@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{InMemoryMetastore, Metastore, SchemaField, SystemColumns}
+import graft.sources.{EventSource, ParquetEventSource}
+
+/** The engine facade: metastore + source + SparkSession.
+  *
+  * Replaces the reference's Guice-wired connector bootstrap
+  * (`KafkaConnectorFactory.java:54-83`, `KafkaConnectorModule.java:38-53`)
+  * with plain constructor injection (SURVEY.md §3 entry point 2). Spark's own
+  * task serialization replaces handle marshaling (C9) entirely.
+  *
+  * Read-only by design, like the reference (`KafkaConnector.java:29-30`):
+  * the engine exposes tables; writes happen through ordinary Spark writers.
+  */
+final class GraftEngine(
+    val spark: SparkSession,
+    val metastore: Metastore,
+    val source: EventSource) {
+
+  /** Table with hidden system columns EXCLUDED — the `SELECT *` projection,
+    * parity with the reference's hidden-column bit
+    * (`KafkaMetadata.java:165-167`; SURVEY.md §1.2).
+    */
+  def table(project: String, collection: String): DataFrame =
+    tableWithSystemColumns(project, collection)
+      .drop(SystemColumns.Offset, SystemColumns.Project, SystemColumns.Collection)
+
+  /** Table including `_offset`/`project`/`collection`. */
+  def tableWithSystemColumns(project: String, collection: String): DataFrame = {
+    val schema = userSchema(project, collection)
+    source.read(spark, project, collection, schema)
+  }
+
+  private def userSchema(project: String, collection: String): StructType =
+    metastore.schemaOf(project, collection).getOrElse(
+      // Parity: TableNotFoundException, reference KafkaMetadata.java:159-161.
+      throw new NoSuchElementException(s"table not found: $project.$collection"))
+
+  /** Register the default projection as a temp view named
+    * `<project>_<collection>` (the physical topic name) so `spark.sql` can
+    * query it.
+    */
+  def register(project: String, collection: String): Unit =
+    table(project, collection)
+      .createOrReplaceTempView(SystemColumns.topicFor(project, collection))
+}
+
+object GraftEngine {
+
+  /** Engine over the driver-generated parquet fixtures: derives each
+    * collection's metastore schema from the parquet footer (the dynamic,
+    * source-of-truth-at-runtime behavior of the reference's JDBC metastore)
+    * and registers it under the given project.
+    */
+  def overFixtures(spark: SparkSession, dir: String,
+                   project: String = "tpch"): GraftEngine = {
+    val ms = new InMemoryMetastore
+    val src = ParquetEventSource(dir)
+    Tables.names.foreach { name =>
+      val st = Tables.load(spark, dir, name).schema
+      ms.createCollection(project, name, SchemaField.fromStructType(st))
+    }
+    new GraftEngine(spark, ms, src)
+  }
+
+  /** Local session with the settings this project standardizes on. */
+  def localSession(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,490 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg}
+
+/** Query-layer operator inventory (SURVEY.md §2.2): the relational surface
+  * Presto supplied over the reference connector's tables, re-expressed as
+  * declarative Spark plans so Catalyst does pushdown / pruning / join
+  * selection / partial aggregation. Every query has a DuckDB oracle unless
+  * the operator is not SQL-expressible (then rows-only).
+  *
+  * Scale notes are per-query; the shared rules: aggregations are partial
+  * (map-side) by construction, small dimensions are broadcast explicitly,
+  * sorts appear only where the result semantically requires them (and above
+  * aggregated — i.e. already tiny — data whenever possible).
+  */
+object QueriesCore {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Fixture timestamps are TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+  // literals must match to avoid tz-coercion differences vs the oracle.
+  private def ts(d: String) = lit(d).cast("timestamp_ntz")
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---------------------------------------------------------------- scans
+    // Parity: SELECT count(1) over a topic — the reference's flagship shape
+    // (TestMinimalFunctionality.java:103) and the TestManySegments exact-count
+    // invariant (many input splits must not lose/duplicate rows).
+    NamedQuery("q01_count_star",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    // Projection+filter: both must reach the parquet scan (PushedFilters /
+    // ReadSchema) — at 100 TB this is the difference between reading 2
+    // columns and reading 11.
+    NamedQuery("q02_filter_project",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_size") >= 40 && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             WHERE p_size >= 40 AND p_type = 'ECONOMY' ORDER BY p_partkey""")),
+
+    // ----------------------------------------------------------- aggregation
+    // TPC-H Q1 shape: hash agg with map-side partial aggregation; 6 groups.
+    NamedQuery("q03_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          decAvg(col("l_extendedprice")).as("avg_price"),
+          decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             ${sqlDecSum("l_quantity")} AS sum_qty,
+             ${sqlDecSum("l_extendedprice")} AS sum_base_price,
+             ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${sqlDecSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+             ${sqlDecAvg("l_quantity")} AS avg_qty,
+             ${sqlDecAvg("l_extendedprice")} AS avg_price,
+             ${sqlDecAvg("l_discount")} AS avg_disc,
+             count(*) AS count_order
+             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------ joins
+    // TPC-H Q3 shape: 3-way shuffle join + agg + top-N. lineitem⨝orders is
+    // the big join (both shuffle on the key); customer filter first so the
+    // join input is pruned. TakeOrderedAndProject caps the sort at N=10.
+    NamedQuery("q04_join_agg_topn",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND l_shipdate > TIMESTAMP '1998-01-01'
+             GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // Semi join (EXISTS): never materializes the probe side's payload.
+    NamedQuery("q05_semi_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             WHERE EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Anti join (NOT EXISTS).
+    NamedQuery("q06_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Broadcast join: nation (25 rows) and region (5 rows) are broadcast —
+    // no shuffle of the fact side. At 100 TB this is mandatory, not a hint.
+    NamedQuery("q07_broadcast_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+             ${sqlDecSum("c_acctbal")} AS sum_acctbal
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // Theta join: self-join with inequality (pairs within a group). Kept on
+    // the 25-row nation table — a deliberate choice: theta joins are
+    // nested-loop and must only ever run on broadcast-sized inputs.
+    NamedQuery("q08_theta_join",
+      (s, dir) => {
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+        n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+          .groupBy(col("rk").as("r_regionkey")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("r_regionkey"))
+      },
+      Some("""SELECT n1.n_regionkey AS r_regionkey, count(*) AS n_pairs
+             FROM nation n1 JOIN nation n2
+               ON n1.n_regionkey = n2.n_regionkey
+              AND n1.n_nationkey < n2.n_nationkey
+             GROUP BY 1 ORDER BY 1""")),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): Catalyst decorrelates
+    // into an aggregate + join. Comparison is safe in double: integer-valued
+    // quantities sum exactly (< 2^53), one division, one multiply.
+    NamedQuery("q09_correlated_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""SELECT ${sqlDecSum("l_extendedprice")} / 7.0 AS avg_yearly
+                 FROM lineitem
+                 WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                     FROM lineitem l2
+                                     WHERE l2.l_partkey = lineitem.l_partkey)""")
+      },
+      Some(s"""SELECT ${sqlDecSum("l_extendedprice")} / 7.0 AS avg_yearly
+             FROM lineitem
+             WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    // ----------------------------------------------------------- windowing
+    // Ranking: top-3 per group with a total tie-break (unique key last).
+    NamedQuery("q10_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_extendedprice"))
+          .orderBy(col("l_returnflag"), col("rn"))
+      },
+      Some("""SELECT l_returnflag, rn, l_orderkey, l_extendedprice FROM (
+               SELECT l_returnflag, l_orderkey, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+               FROM lineitem) WHERE rn <= 3
+             ORDER BY l_returnflag, rn""")),
+
+    // Running aggregate over ROWS frame. Sum runs in DECIMAL so the result
+    // is association-order independent (DuckDB computes cumulative windows
+    // via segment trees — double addition order differs from Spark's).
+    NamedQuery("q11_window_running_sum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast(DecimalType(23, 6))).over(w)
+              .cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS running_spend
+             FROM orders WHERE o_custkey < 100
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // Analytic lag/lead over event streams (sessionized navigation).
+    NamedQuery("q12_window_lag_lead",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(
+            col("user_id"), col("event_id"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+               lag(event_type, 1) OVER w AS prev_type,
+               lead(event_type, 1) OVER w AS next_type
+             FROM events WHERE user_id < 50
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             ORDER BY user_id, event_id""")),
+
+    // RANGE frame: 30-day trailing spend per customer — a genuine
+    // range-based frame (not expressible as ROWS).
+    NamedQuery("q13_window_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val day = 86400L
+        val w = Window.partitionBy(col("o_custkey"))
+          // NTZ → TS (identity under UTC session) → epoch seconds, matching
+          // the oracle's epoch(o_orderdate)
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30 * day, 0)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("spend_30d",
+            sum(col("o_totalprice").cast(DecimalType(23, 6))).over(w)
+              .cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("spend_30d"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS spend_30d
+             FROM orders WHERE o_custkey < 100
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // ---------------------------------------------------- grouping sets etc.
+    NamedQuery("q14_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls")),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n, ${sqlDecSum("l_quantity")} AS qty
+             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             ORDER BY rf, ls""")),
+
+    NamedQuery("q15_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"))
+        .orderBy(col("st"), col("prio")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS prio, count(*) AS n
+             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             ORDER BY st, prio""")),
+
+    NamedQuery("q16_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                  coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+                FROM lineitem
+                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                ORDER BY rf, ls""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+             FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             ORDER BY rf, ls""")),
+
+    // ------------------------------------------------------------- distinct
+    NamedQuery("q17_count_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part, count(*) AS n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // HLL sketch (approx_count_distinct / HyperLogLog++): a Rakam staple for
+    // event analytics. No oracle — DuckDB's HLL differs bit-for-bit; the
+    // spec asserts relative error instead (rows-only driver check).
+    NamedQuery("q18_approx_distinct",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type")),
+      None),
+
+    // -------------------------------------------------------- sort / top-k
+    NamedQuery("q19_top_k",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // --------------------------------------------------------------- set ops
+    NamedQuery("q20_set_ops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+        val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+        val inter = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+        val exc = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+        val uni = a.union(b).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+        inter.union(exc).union(uni).select(col("op"), col("n")).orderBy(col("op"))
+      },
+      Some("""WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+                  b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+             SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+             UNION ALL
+             SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+             UNION ALL
+             SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+             ORDER BY op""")),
+
+    // ------------------------------------------------------ scalar functions
+    NamedQuery("q21_string_functions",
+      (s, dir) => t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 4).as("prefix"),
+          length(col("p_name")).cast("long").as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+             substring(p_name, 1, 4) AS prefix, length(p_name) AS len,
+             concat_ws('|', p_brand, p_type) AS tag,
+             regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+             FROM part ORDER BY p_partkey""")),
+
+    NamedQuery("q22_date_functions",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"))
+        .agg(count(lit(1)).as("n"),
+          max(dayofmonth(col("o_orderdate"))).cast("long").as("max_dom"))
+        .orderBy(col("y"), col("m")),
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+             count(*) AS n, max(dayofmonth(o_orderdate)) AS max_dom
+             FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""")),
+
+    // Math scalars; only cross-engine-deterministic ones (sqrt is correctly
+    // rounded per IEEE-754; ln/exp/pow are libm-dependent and excluded).
+    NamedQuery("q23_math_functions",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("dev"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          sqrt(col("l_quantity")).as("rt"),
+          signum(col("l_discount") - 0.05).cast("double").as("sg"),
+          (col("l_partkey") % 7).as("md"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, abs(l_quantity - 25.0) AS dev,
+             CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+             sqrt(l_quantity) AS rt,
+             CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+             l_partkey % 7 AS md
+             FROM lineitem WHERE l_orderkey <= 100
+             ORDER BY l_orderkey, l_linenumber""")),
+
+    // JSON extraction over the events.props payload — the reference's
+    // deployment queried semi-structured Rakam event attributes.
+    NamedQuery("q24_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             count(*) AS n FROM events GROUP BY 1 ORDER BY k""")),
+
+    // ------------------------------------------------------------ array ops
+    // ARRAY was commented out in the reference (KafkaMetadata.java:190-191);
+    // the rebuild enables arrays: split → explode → agg (word count).
+    NamedQuery("q25_array_explode",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+      Some("""SELECT word, count(*) AS n FROM (
+               SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50""")),
+
+    NamedQuery("q26_array_functions",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          array_distinct(col("words")).as("d"),
+          array_contains(col("words"), "spark").as("has_spark"))
+        .select(col("doc_id"), col("n_words"), size(col("d")).cast("long").as("n_distinct"),
+          col("has_spark"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             list_contains(string_split(text, ' '), 'spark') AS has_spark
+             FROM documents ORDER BY doc_id""")),
+
+    // -------------------------------------------- offset-window (flagship)
+    // Parity: the reference's core semantics — count over an _offset window
+    // (TestMinimalFunctionality.java:103 + offset pushdown C3). The [lo, hi)
+    // bound shape matches OffsetRangePlanner's range model.
+    NamedQuery("q27_offset_window",
+      (s, dir) => {
+        val eng = GraftEngine.overFixtures(s, dir)
+        eng.tableWithSystemColumns("tpch", "events")
+          .filter(col("_offset") >= 1000 && col("_offset") < 9000)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events
+             WHERE event_id >= 1000 AND event_id < 9000
+             GROUP BY event_type ORDER BY event_type""")))
+}

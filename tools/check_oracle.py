@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify, then
+replay every oracle SQL in DuckDB over the same fixture tables and compare
+(column-name-sorted, row-sorted, exact values). Usage:
+    python3 tools/check_oracle.py [sfDir] [--skip-verify]
+"""
+import json, math, subprocess, sys
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "/root/testdata/sf0.01"
+OUT = "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error" in l.lower()]
+    for l in errs[:30]:
+        print(l)
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED"); sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9)  # driver hashes exact; we allow 1e-9 display tolerance flag below
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r))
+
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
+    return a == b
+
+fails, passes, exact = [], 0, 0
+import glob
+for name in sorted(oracles):
+    try:
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+        got_cols = [c.lower() for c in got_rel.columns]
+        got = norm(got_rel.fetchall(), got_cols)
+        want_rel = con.sql(oracles[name])
+        want_cols = [c.lower() for c in want_rel.columns]
+        want = norm(want_rel.fetchall(), want_cols)
+    except Exception as e:
+        fails.append((name, f"EXEC: {e}"))
+        continue
+    if sorted(got_cols) != sorted(want_cols):
+        fails.append((name, f"COLS: spark={sorted(got_cols)} duck={sorted(want_cols)}"))
+        continue
+    if len(got) != len(want):
+        fails.append((name, f"ROWS: spark={len(got)} duck={len(want)}"))
+        continue
+    bad = None
+    is_exact = True
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            if a != b:
+                is_exact = False
+                if not approx_eq(a, b):
+                    bad = (g, w)
+                    break
+        if bad:
+            break
+    if bad:
+        fails.append((name, f"VALS: spark={bad[0]} duck={bad[1]}"))
+    else:
+        passes += 1
+        exact += 1 if is_exact else 0
+        if not is_exact:
+            print(f"  ~ {name}: rows match only approximately (driver hash would FAIL)")
+
+# queries without oracle: rows-only
+no_oracle = [d.split("/")[-1] for d in glob.glob(f"{OUT}/*")
+             if "/" + "oracle_sql.json" not in d and not d.endswith(".json")]
+for name in sorted(set(no_oracle) - set(oracles)):
+    try:
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
+        print(f"  . {name}: no oracle, rows={n}")
+    except Exception as e:
+        fails.append((name, f"NO-ORACLE EXEC: {e}"))
+
+print(f"\n{passes}/{len(oracles)} oracle queries pass ({exact} bit-exact)")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+sys.exit(1 if fails else 0)
