@@ -1,8 +1,257 @@
 package graft
 
-/** LLM-data-pipeline operator inventory (dedup, similarity search, text
-  * analysis, multimodal) — filled in as operators land.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions => GF, PolyHash}
+
+/** LLM-data-pipeline operator inventory: deduplication, similarity search,
+  * text analysis, multimodal plumbing — the operations a 100 TB
+  * training-data pipeline runs over the reference's event/document tables.
+  *
+  * Every operator is expressed as a declarative Spark plan over codegen'd
+  * builtins plus the native [[graft.functions.PolyHash]] expression; the
+  * DuckDB oracle replays the identical algorithm (same hash constants, same
+  * planted-duplicate corpus) generated from the same Scala constants, so
+  * results are bit-checkable cross-engine.
+  *
+  * Scale design notes (the local fixtures are tiny; the shapes are not):
+  *  - dedup joins are inverted-index joins on shingle/band/block keys —
+  *    never all-pairs; candidate verification touches only bucketed pairs.
+  *  - MinHash banding (4 bands × 4 rows) and SimHash block-LSH bound the
+  *    candidate set; both are shuffle-on-key plans that scale horizontally.
+  *  - map-side work (tokenize, shingle, hash) is per-row and codegen'd;
+  *    the only shuffles are the groupBy/doc and the candidate join.
   */
 object QueriesPipeline {
-  val all: Seq[NamedQuery] = Seq.empty
+
+  private val P = PolyHash.Mod
+  private val Half = P / 2
+
+  /** MinHash: K hash functions in [[GF.affineHash]]'s universal family,
+    * banded Bands × Rows for LSH candidate generation.
+    */
+  object MinHashParams {
+    val K = 16; val Bands = 4; val Rows = 4
+    def a(i: Int): Long = ((i + 1) * 97003L + 7) % P
+    def b(i: Int): Long = ((i + 1) * 57331L + 13) % P
+  }
+
+  /** SimHash: Bits independent affine hashes vote ±1 per distinct shingle;
+    * Blocks-way split guarantees (pigeonhole) no missed pair at hamming
+    * ≤ Blocks-1 = 3. Shingle features, not tokens: the fixture vocabulary is
+    * ~40 words shared by every doc, so token-level signatures collapse
+    * (every pair looks near-dup); 3-word shingles are near-disjoint across
+    * unrelated docs. 32 bits ⇒ accidental-pair probability ≈ 1.3e-6.
+    */
+  object SimHashParams {
+    val Bits = 32; val Blocks = 4; val BlockBits = 8; val MaxHamming = 3
+    def a(j: Int): Long = ((j + 1) * 73939L + 3) % P
+    def b(j: Int): Long = ((j + 1) * 104729L + 17) % P
+  }
+
+  // ------------------------------------------------------------------ shared
+
+  /** Distinct 3-word-shingle hashes per doc: (doc_id, h). The inverted-index
+    * unit for Jaccard and MinHash. Hashing shingles to longs (PolyHash)
+    * shrinks the shuffle payload; hash collisions are deterministic and
+    * identical in the oracle (same hash), so results still match exactly.
+    */
+  private def shingleHashes(corpus: DataFrame): DataFrame = {
+    val t = col("t")
+    corpus
+      .select(col("doc_id"), GF.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))).as("s"))
+      .select(col("doc_id"), GF.poly_hash(col("s")).as("h"))
+      .distinct()
+  }
+
+  /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
+    * corpus: `corpus`, `sh` (doc_id, h), `sz` (doc_id, n).
+    */
+  private val sqlShingleCtes: String = {
+    val hashOfS = PolyHash.oracleSql("s")
+    s"""corpus AS (${Corpus.docsSql}),
+       shingles AS (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM (SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM corpus)),
+       sh AS (SELECT DISTINCT doc_id, $hashOfS AS h FROM shingles),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+  }
+
+  /** Jaccard over shingle sets for given candidate pairs; emits
+    * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
+    * division — bit-identical cross-engine.
+    */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ------------------------------------------------------------ p01 exact
+    // Exact dedup: hash-groupBy on content. Keeper = min id per text; emits
+    // groups that actually had copies. One shuffle on the text hash.
+    NamedQuery("p01_dedup_exact",
+      (s, dir) => Corpus.docs(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id")),
+      Some(s"""WITH corpus AS (${Corpus.docsSql})
+             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+             FROM corpus GROUP BY text HAVING count(*) > 1
+             ORDER BY keeper_id""")),
+
+    // ---------------------------------------------------- p02 n-gram Jaccard
+    // Near-dup via 3-word-shingle Jaccard with an inverted-index join:
+    // candidates = pairs sharing ≥1 shingle (never all-pairs). At 100 TB the
+    // inverted index shards by shingle hash; a df-cap on hot shingles would
+    // bound worst-case fan-out (not needed on this corpus).
+    NamedQuery("p02_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingleHashes(Corpus.docs(s, dir))
+        val cand = sh.select(col("doc_id").as("id_a"), col("h"))
+          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        jaccardOf(cand, sh, 0.6)
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             cand AS (
+               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+             inter AS (
+               SELECT id_a, id_b, count(*) AS ni
+               FROM cand
+               JOIN sh sa ON sa.doc_id = id_a
+               JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
+               GROUP BY id_a, id_b)
+             SELECT id_a, id_b,
+                    CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
+             FROM inter
+             JOIN sz za ON za.doc_id = id_a
+             JOIN sz zb ON zb.doc_id = id_b
+             WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
+             ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------ p03 MinHash+LSH
+    // MinHash signatures (K=16) over shingle hashes; LSH banding (4×4) makes
+    // candidates; exact Jaccard verifies. The scale path: signatures are one
+    // groupBy over the inverted index, banding is a map, the candidate join
+    // touches only band-bucket collisions.
+    NamedQuery("p03_dedup_minhash_lsh",
+      (s, dir) => {
+        import MinHashParams._
+        val sh = shingleHashes(Corpus.docs(s, dir))
+        val sigCols = (0 until K).map(i =>
+          min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+        val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        val bandKeys = (0 until Bands).map(bd =>
+          concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+          .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
+            Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        jaccardOf(cand, sh, 0.6)
+      },
+      Some {
+        import MinHashParams._
+        val sigExprs = (0 until K)
+          .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
+        val bandSelects = (0 until Bands).map { bd =>
+          val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
+          s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $sqlShingleCtes,
+           sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+           bands AS ($bandSelects),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+           inter AS (
+             SELECT id_a, id_b, count(*) AS ni
+             FROM cand
+             JOIN sh sa ON sa.doc_id = id_a
+             JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
+             GROUP BY id_a, id_b)
+           SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
+           FROM inter
+           JOIN sz za ON za.doc_id = id_a
+           JOIN sz zb ON zb.doc_id = id_b
+           WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
+           ORDER BY id_a, id_b"""
+      }),
+
+    // --------------------------------------------------------- p04 SimHash
+    // SimHash: 32 independent ±1 votes per distinct shingle → 32-bit
+    // fingerprint; 4-block LSH (pigeonhole-complete for hamming ≤ 3);
+    // verify by bit_count(xor). Near-identical docs differ in few shingles →
+    // few flipped bits.
+    NamedQuery("p04_dedup_simhash",
+      (s, dir) => {
+        import SimHashParams._
+        val toks = shingleHashes(Corpus.docs(s, dir))
+        val bitCols = (0 until Bits).map { j =>
+          sum(when(GF.affineHash(col("h"), a(j), b(j)) > Half, 1).otherwise(-1)).as(s"w$j")
+        }
+        val sig = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until Bits).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
+              .reduce(_ + _).as("sig"))
+        val blocks = sig.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until Blocks).map(bk =>
+            shiftright(col("sig"), bk * BlockBits) % (1 << BlockBits)): _*))
+            .as(Seq("blk", "key")))
+        val cand = blocks.select(col("blk"), col("key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .join(blocks.select(col("blk"), col("key"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
+            Seq("blk", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+          .distinct()
+        cand.filter(col("hamming") <= MaxHamming).orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        import SimHashParams._
+        val wExprs = (0 until Bits).map(j =>
+          s"sum(CASE WHEN ${GF.sqlAffineHash("h", a(j), b(j))} > $Half THEN 1 ELSE -1 END) AS w$j")
+          .mkString(", ")
+        val sigExpr = (0 until Bits)
+          .map(j => s"CASE WHEN w$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        val blockSelects = (0 until Blocks).map(bk =>
+          s"SELECT doc_id, sig, $bk AS blk, (sig // ${1L << (bk * BlockBits)}) % ${1 << BlockBits} AS key FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH $sqlShingleCtes,
+           w AS (SELECT doc_id, $wExprs FROM sh GROUP BY doc_id),
+           sig AS (SELECT doc_id, $sigExpr AS sig FROM w),
+           blocks AS ($blockSelects),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+             FROM blocks a JOIN blocks b
+               ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+           SELECT id_a, id_b, hamming FROM cand
+           WHERE hamming <= $MaxHamming ORDER BY id_a, id_b"""
+      }))
 }

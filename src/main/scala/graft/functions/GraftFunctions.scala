@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level helpers for the engine's pipeline operators. Everything here
+  * is built either on codegen'd builtins or on native Catalyst expressions —
+  * no Scala UDFs in hot paths.
+  */
+object GraftFunctions {
+
+  /** See [[PolyHash]]. */
+  def poly_hash(c: Column): Column =
+    Bridge.column(PolyHash(Bridge.expression(c.cast("string"))))
+
+  /** Universal-hash family over already-hashed longs:
+    * `h_i(x) = (a_i * x + b_i) mod p` with p = PolyHash.Mod. Inputs are
+    * < 2^30 and a_i < p < 2^30, so the product fits a long exactly.
+    */
+  def affineHash(x: Column, a: Long, b: Long): Column =
+    (lit(a) * x + lit(b)) % lit(PolyHash.Mod)
+
+  def sqlAffineHash(x: String, a: Long, b: Long): String =
+    s"($a * $x + $b) % ${PolyHash.Mod}"
+
+  /** Whitespace tokens of a text column, empties removed. The DuckDB twin is
+    * [[sqlTokens]]; both preserve order and keep duplicates.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def sqlTokens(text: String): String =
+    s"list_filter(string_split($text, ' '), t -> t <> '')"
+
+  /** Exact dot product of two double arrays: each pairwise product (a single
+    * IEEE-rounded operation, bit-identical everywhere) is quantized to
+    * DECIMAL(38,12) and summed exactly, so the result is independent of
+    * addition order AND of engine. Products of binary doubles are dyadic
+    * rationals — never exact odd multiples of 5e-13 — so round-to-nearest
+    * at the quantization is unambiguous cross-engine. The DuckDB twin is
+    * [[sqlDotDecimal]].
+    */
+  // DECIMAL(30,12): addition yields (31,12) — still under Spark's 38-digit
+  // cap, so scale 12 is preserved; the re-cast to (30,12) is exact (values
+  // are << 10^18). DECIMAL(38,12) would NOT work: (38,12)+(38,12) → (38,11),
+  // silently rounding the 12th digit.
+  private val Dec = DecimalType(30, 12)
+
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x * y).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, x) => (acc + x).cast(Dec))
+
+  /** DuckDB computes the same sum via positionally-zipped unnest; DECIMAL
+    * addition is associative+commutative, so unnest order is irrelevant.
+    */
+  def sqlDotDecimal(a: String, b: String): String =
+    s"(SELECT sum(CAST(x * y AS DECIMAL(38,12))) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+
+  /** Cosine similarity from decimal-exact dot products, one double division
+    * and two correctly-rounded sqrts at the end — bit-identical cross-engine.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(dotDecimal(a, a).cast("double")) * sqrt(dotDecimal(b, b).cast("double")))
+
+  def sqlCosine(a: String, b: String): String =
+    s"CAST(${sqlDotDecimal(a, b)} AS DOUBLE) / (sqrt(CAST(${sqlDotDecimal(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlDotDecimal(b, b)} AS DOUBLE)))"
+}
