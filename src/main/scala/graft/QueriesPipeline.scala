@@ -50,6 +50,21 @@ object QueriesPipeline {
     def b(j: Int): Long = ((j + 1) * 104729L + 17) % P
   }
 
+  /** Random-hyperplane (sign) LSH for cosine similarity: bucket =
+    * concatenated signs of ⟨v, H_j⟩. Plane components are deterministic
+    * integers in [-1000, 1000] (exactly representable as doubles), embedded
+    * as literals in both the Spark plan and the oracle SQL. Dims match the
+    * fixture embeddings (64).
+    */
+  object HyperplaneParams {
+    val Dims = 64
+    val NearDupPlanes = 8 // 256 buckets — near-dup pair generation
+    val AnnPlanes = 4     // 16 buckets — ANN candidate pools stay top-k-sized
+    def component(j: Int, i: Int): Long =
+      ((j * Dims + i) * 2654435761L + 123456789L) % 2001L - 1000L
+    def plane(j: Int): Seq[Long] = (0 until Dims).map(i => component(j, i))
+  }
+
   // ------------------------------------------------------------------ shared
 
   /** Distinct 3-word-shingle hashes per doc: (doc_id, h). The inverted-index
@@ -101,6 +116,25 @@ object QueriesPipeline {
       .filter(col("jac") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Append sign-LSH bucket id over `embedding` using the first `nPlanes`
+    * hyperplanes. Decimal-exact dots, so the sign (and thus the bucket) is
+    * engine-independent.
+    */
+  private def withBucket(vecs: DataFrame, nPlanes: Int): DataFrame = {
+    val bucket = (0 until nPlanes).map { j =>
+      val planeCol = array(HyperplaneParams.plane(j).map(v => lit(v.toDouble)): _*)
+      when(GF.dotDecimal(col("embedding"), planeCol) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    vecs.withColumn("bucket", bucket)
+  }
+
+  /** DuckDB twin of [[withBucket]]'s bucket expression. */
+  private def sqlBucket(nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val arr = HyperplaneParams.plane(j).mkString("[", ", ", "]")
+      s"CASE WHEN ${GF.sqlDotDecimal("embedding", s"$arr::DOUBLE[]")} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -253,5 +287,106 @@ object QueriesPipeline {
                ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
            SELECT id_a, id_b, hamming FROM cand
            WHERE hamming <= $MaxHamming ORDER BY id_a, id_b"""
-      }))
+      }),
+
+    // ------------------------------------------- p05 embedding near-dup LSH
+    // Near-duplicate vectors via sign-LSH bucketing + exact cosine verify.
+    // Identical vectors always share a bucket, so planted dups can't be
+    // missed; candidate pairs are per-bucket, never all-pairs. At 100 TB:
+    // bucket is a shuffle key; multi-probe or band-OR raises recall for
+    // merely-close (non-identical) vectors.
+    NamedQuery("p05_embedding_neardup",
+      (s, dir) => {
+        val v = withBucket(Corpus.vecs(s, dir), HyperplaneParams.NearDupPlanes)
+        val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), GF.cosine(col("ea"), col("eb")).as("cos"))
+          .filter(col("cos") >= 0.999)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
+             bucketed AS (SELECT vec_id, embedding,
+                                 ${sqlBucket(HyperplaneParams.NearDupPlanes)} AS bucket
+                          FROM vecs),
+             cand AS (
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ${GF.sqlCosine("a.embedding", "b.embedding")} AS cos
+               FROM bucketed a JOIN bucketed b
+                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             SELECT id_a, id_b, cos FROM cand
+             WHERE cos >= 0.999 ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------ p06 brute-force top-k
+    // Exact k-NN baseline: broadcast the (small) query set against the full
+    // corpus, exact cosine, per-query top-5 via window rank. The scale path
+    // broadcasts queries so the corpus never shuffles; ranking shuffles only
+    // (n_queries × corpus) scored rows — this is the O(N·Q) baseline that
+    // p07 approximates.
+    NamedQuery("p06_similarity_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Corpus.vecs(s, dir)
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+        v.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+          .join(broadcast(q), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), GF.cosine(col("qe"), col("ne")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
+             q AS (SELECT vec_id AS q_id, embedding AS qe FROM vecs WHERE vec_id < 10),
+             scored AS (
+               SELECT q_id, v.vec_id AS n_id,
+                      ${GF.sqlCosine("qe", "v.embedding")} AS score
+               FROM q JOIN vecs v ON v.vec_id <> q.q_id),
+             ranked AS (
+               SELECT q_id, n_id, score,
+                      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+               FROM scored)
+             SELECT q_id, rank, n_id, score FROM ranked
+             WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // --------------------------------------------------- p07 ANN (LSH/IVF)
+    // Approximate k-NN: candidates restricted to the query's LSH bucket
+    // (the IVF-style coarse partition), exact cosine re-rank inside. Scans
+    // 1/2^planes of the corpus per query instead of all of it — the 100 TB
+    // path, trading recall (bucket-edge neighbors) for a bounded probe set.
+    NamedQuery("p07_similarity_ann_lsh",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = withBucket(Corpus.vecs(s, dir), HyperplaneParams.AnnPlanes)
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+        v.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("ne"))
+          .join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"), GF.cosine(col("qe"), col("ne")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
+             bucketed AS (SELECT vec_id, embedding,
+                                 ${sqlBucket(HyperplaneParams.AnnPlanes)} AS bucket
+                          FROM vecs),
+             q AS (SELECT bucket, vec_id AS q_id, embedding AS qe
+                   FROM bucketed WHERE vec_id < 10),
+             scored AS (
+               SELECT q_id, v.vec_id AS n_id,
+                      ${GF.sqlCosine("qe", "v.embedding")} AS score
+               FROM q JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
+             ranked AS (
+               SELECT q_id, n_id, score,
+                      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+               FROM scored)
+             SELECT q_id, rank, n_id, score FROM ranked
+             WHERE rank <= 5 ORDER BY q_id, rank""")))
 }
