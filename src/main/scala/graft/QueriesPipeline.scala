@@ -388,5 +388,164 @@ object QueriesPipeline {
                       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
                FROM scored)
              SELECT q_id, rank, n_id, score FROM ranked
-             WHERE rank <= 5 ORDER BY q_id, rank""")))
+             WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ----------------------------------------------------- p08 language ID
+    // Stopword-ratio n-gram heuristic → confusion matrix against the
+    // labeled `lang` column. (Fixture labels are synthetic — every text is
+    // the same English word-soup — so the matrix, not accuracy, is the
+    // contract; a real deployment swaps in per-language profile sets.)
+    NamedQuery("p08_text_lang_id",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "in", "to")
+        val toks = GF.tokens(col("text"))
+        val ratio = size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks)
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            when(ratio >= lit(0.12), "en")
+              .when(ratio >= lit(0.04), "mixed")
+              .otherwise("unknown").as("predicted"))
+          .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""WITH scored AS (
+               SELECT lang,
+                 CASE
+                   WHEN len(list_filter(${GF.sqlTokens("text")},
+                        t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+                        / len(${GF.sqlTokens("text")}) >= 0.12 THEN 'en'
+                   WHEN len(list_filter(${GF.sqlTokens("text")},
+                        t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+                        / len(${GF.sqlTokens("text")}) >= 0.04 THEN 'mixed'
+                   ELSE 'unknown' END AS predicted
+               FROM documents)
+             SELECT lang, predicted, count(*) AS n FROM scored
+             GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    // -------------------------------------------------- p09 quality scoring
+    // Per-document quality features (token count, stopword ratio, mean token
+    // length, punctuation density) folded into one score. Pure per-row
+    // arithmetic in a fixed evaluation order — embarrassingly parallel,
+    // bit-identical cross-engine.
+    NamedQuery("p09_text_quality",
+      (s, dir) => {
+        val stop = Seq("the", "a", "of", "and", "in", "to")
+        val toks = GF.tokens(col("text"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(toks).cast("long").as("n_tok"),
+            (size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks)).as("stop_ratio"),
+            (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)).as("mean_len"),
+            regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("n_punct"))
+          .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("mean_len"), col("n_punct"),
+            (least(lit(1.0), col("n_tok") / 100.0) * 0.5
+              + (lit(1.0) - col("stop_ratio")) * 0.3
+              + least(lit(1.0), col("mean_len") / 8.0) * 0.2).as("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toks = GF.sqlTokens("text")
+        s"""WITH f AS (
+             SELECT doc_id,
+               len($toks)::BIGINT AS n_tok,
+               len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+                 / len($toks) AS stop_ratio,
+               list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) AS mean_len,
+               len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT AS n_punct
+             FROM documents)
+           SELECT doc_id, n_tok, stop_ratio, mean_len, n_punct,
+                  least(1.0, n_tok / 100.0) * 0.5
+                  + (1.0 - stop_ratio) * 0.3
+                  + least(1.0, mean_len / 8.0) * 0.2 AS score
+           FROM f ORDER BY doc_id"""
+      }),
+
+    // --------------------------------------------------- p10 token counting
+    // Whitespace tokens, regex (BPE-ish pre-tokenizer) tokens, and a
+    // ceil(len/4) subword estimate, aggregated per source. Integer-exact.
+    NamedQuery("p10_text_token_count",
+      (s, dir) => {
+        val toks = GF.tokens(col("text"))
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            size(toks).cast("long").as("ws"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("re"),
+            aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + 3) / 4).cast("long")).as("subword"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs"), sum(col("ws")).as("ws_tokens"),
+            sum(col("re")).as("re_tokens"), sum(col("subword")).as("subword_est"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH f AS (
+             SELECT source,
+               len(${GF.sqlTokens("text")})::BIGINT AS ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS re,
+               list_sum(list_transform(${GF.sqlTokens("text")},
+                 t -> (length(t) + 3) // 4))::BIGINT AS subword
+             FROM documents)
+           SELECT source, count(*) AS docs, sum(ws)::BIGINT AS ws_tokens,
+                  sum(re)::BIGINT AS re_tokens, sum(subword)::BIGINT AS subword_est
+           FROM f GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------- p11 fingerprinting
+    // Document fingerprint: normalize (lowercase, collapse non-alnum runs),
+    // PolyHash the result, group — exact-dup detection robust to formatting.
+    // Runs on the planted-dup corpus; the fingerprint is the same native
+    // expression the dedup family uses, replayed arithmetically in DuckDB.
+    NamedQuery("p11_text_fingerprint",
+      (s, dir) => Corpus.docs(s, dir)
+        .select(col("doc_id"),
+          GF.poly_hash(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper_id"), col("fp"), col("n_copies"))
+        .orderBy(col("keeper_id")),
+      Some {
+        val norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+        s"""WITH corpus AS (${Corpus.docsSql}),
+           fps AS (SELECT doc_id, ${PolyHash.oracleSql(norm)} AS fp FROM corpus)
+           SELECT min(doc_id) AS keeper_id, fp, count(*) AS n_copies
+           FROM fps GROUP BY fp HAVING count(*) > 1
+           ORDER BY keeper_id"""
+      }),
+
+    // ------------------------------------------------- p12 multimodal stub
+    // Multimodal plumbing: media as opaque binary + typed metadata, feature
+    // extraction via typed Dataset.mapPartitions (the Spark-side batch shape
+    // a real image/audio decoder plugs into). The decode step is a STUB —
+    // decoding libraries are absent here — replaced by a deterministic fake
+    // (byte histogram, 16 buckets), so the distributed plumbing is real and
+    // oracle-checkable. Blobs derive from fixture text (UTF-8 bytes).
+    NamedQuery("p12_multimodal_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
+            struct(col("source"), col("n_chars")).as("meta")) // typed sidecar metadata
+        val feats = media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              // STUB decode: real deployments decode image/audio frames here.
+              // Deterministic fake: 16-bucket histogram over 7-bit byte values.
+              val hist = new Array[Long](16)
+              var i = 0
+              while (i < bytes.length) {
+                hist((bytes(i) & 0x7f) >> 3) += 1
+                i += 1
+              }
+              (id, hist.toSeq)
+            }
+          }.toDF("doc_id", "hist")
+        feats
+          .select(col("doc_id"), posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("doc_id"), col("bucket").cast("long"), col("cnt"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      // Fixture text is ASCII, so UTF-8 bytes == code points.
+      Some("""SELECT doc_id, (unicode(c) // 8)::BIGINT AS bucket, count(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+             GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")))
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Semantic contracts of the pipeline operators on the planted-duplicate
+  * corpora (sf0.001). Value-level parity with DuckDB is covered by the
+  * oracle gate; these specs pin the *recall* behavior: planted duplicates
+  * must actually be found.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val byName = QueriesPipeline.all.map(q => q.name -> q.fn).toMap
+  private def run(name: String): DataFrame = byName(name)(spark, sfDir)
+
+  private lazy val nDocs = Tables.load(spark, sfDir, "documents").count()
+  private lazy val exactPlanted = (0L until nDocs).count(_ % 7 == 0)
+  private lazy val nearPlanted = (0L until nDocs).count(_ % 5 == 0)
+
+  test("p01 recovers every planted exact duplicate group") {
+    val rows = run("p01_dedup_exact").collect()
+    assert(rows.length == exactPlanted)
+    assert(rows.forall(_.getLong(1) == 2)) // each group = original + copy
+  }
+
+  test("p02/p03 recover planted near+exact pairs; minhash finds a subset of jaccard") {
+    val jac = run("p02_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = run("p03_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair is present in the exact-jaccard result
+    (0L until nDocs).filter(_ % 7 == 0).foreach(id =>
+      assert(jac.contains((id, id + Corpus.ExactIdOffset)), s"missing exact pair $id"))
+    (0L until nDocs).filter(_ % 5 == 0).foreach(id =>
+      assert(jac.contains((id, id + Corpus.NearIdOffset)), s"missing near pair $id"))
+    // LSH banding is a candidate filter over the same verification — subset
+    assert(mh.subsetOf(jac))
+    // and it must not lose the planted pairs (identical/near-identical
+    // signatures collide in at least one band)
+    (0L until nDocs).filter(_ % 7 == 0).foreach(id =>
+      assert(mh.contains((id, id + Corpus.ExactIdOffset)), s"minhash missed exact pair $id"))
+  }
+
+  test("p04 simhash: exact copies at hamming 0") {
+    val byPair = run("p04_dedup_simhash").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    (0L until nDocs).filter(_ % 7 == 0).foreach(id =>
+      assert(byPair.get((id, id + Corpus.ExactIdOffset)).contains(0L),
+        s"exact pair $id not at hamming 0"))
+  }
+
+  test("p05 finds exactly the planted identical vectors") {
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    val planted = (0L until nVecs).count(_ % 10 == 0)
+    val rows = run("p05_embedding_neardup").collect()
+    assert(rows.length == planted)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + Corpus.ExactIdOffset))
+    assert(rows.forall(_.getDouble(2) > 0.999))
+  }
+
+  test("p06 exact top-k: planted twin ranks first for its query") {
+    val rows = run("p06_similarity_topk").collect()
+    val rank1 = rows.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // query 0 is divisible by 10 → has an identical twin at +ExactIdOffset
+    assert(rank1(0L) == Corpus.ExactIdOffset)
+    // 10 queries × 5 ranks
+    assert(rows.length == 50)
+  }
+
+  test("p07 ANN: identical twin is always retrieved (same bucket), recall>0") {
+    val ann = run("p07_similarity_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.contains((0L, Corpus.ExactIdOffset)))
+    val exact = run("p06_similarity_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ann.count(exact.contains).toDouble / exact.size
+    info(f"ANN recall@5 vs exact baseline: $recall%.2f")
+    assert(recall > 0.1)
+  }
+
+  test("p11 fingerprint groups == exact dup groups (normalization is identity here)") {
+    assert(run("p11_text_fingerprint").count() == exactPlanted)
+  }
+
+  test("p12 multimodal: histogram counts sum to total bytes") {
+    val total = run("p12_multimodal_features")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    val expected = Tables.load(spark, sfDir, "documents")
+      .selectExpr("sum(length(text))").head().getLong(0)
+    assert(total == expected)
+  }
+}
