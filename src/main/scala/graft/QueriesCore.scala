@@ -486,5 +486,26 @@ object QueriesCore {
       },
       Some("""SELECT event_type, count(*) AS n FROM events
              WHERE event_id >= 1000 AND event_id < 9000
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------- avro codec round-trip
+    // The reference's wire path end-to-end: rows → Avro binary (the produce
+    // side, KafkaLoader.java:89-148) → schema-resolved decode (C6) → agg.
+    // The oracle aggregates the ORIGINAL rows, so equality proves the codec
+    // is lossless. Only event_type/value are referenced after decode, so
+    // PruneAvroDecode shrinks the reader schema and the decoder byte-skips
+    // user_id — O2 projection pushdown exercised in a real plan.
+    NamedQuery("q28_avro_roundtrip",
+      (s, dir) => {
+        import graft.functions.{AvroSchemas, GraftFunctions => GF}
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("value"))
+        val avroSchema = AvroSchemas.toAvro(ev.schema, "ev").toString
+        ev.select(GF.to_avro(struct(col("user_id"), col("event_type"), col("value")), avroSchema).as("payload"))
+          .select(GF.from_avro(col("payload"), avroSchema).as("e"))
+          .groupBy(col("e.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("e.value")).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type""")))
 }

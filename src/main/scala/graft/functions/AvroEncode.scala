@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.io.{BinaryEncoder, EncoderFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Encode a struct column as Avro binary under the given writer schema —
+  * the inverse of [[AvroDecode]], used by the produce/ingest path (the
+  * reference's test harness role, `KafkaLoader.java:89-148`, which fed
+  * engine rows back into Kafka) and by Kafka sinks. Nullable fields encode
+  * as `union[null, T]` with branch index 0=null, 1=value (Rakam's layout,
+  * reference `PageDatumReader.java:127-129` reads the same).
+  */
+case class AvroEncode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val structType =
+    child.dataType.asInstanceOf[StructType]
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avro_encode"
+
+  @transient private var encoder: BinaryEncoder = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = input.asInstanceOf[InternalRow]
+    val out = new ByteArrayOutputStream()
+    encoder = EncoderFactory.get().binaryEncoder(out, encoder)
+    val fields = schema.getFields
+    var i = 0
+    while (i < fields.size()) {
+      val f = fields.get(i)
+      val dt = structType(i).dataType
+      write(f.schema(), dt, row, i)
+      i += 1
+    }
+    encoder.flush()
+    out.toByteArray
+  }
+
+  private def write(s: Schema, dt: DataType, row: InternalRow, ord: Int): Unit =
+    s.getType match {
+      case Schema.Type.UNION =>
+        // union[null, T]
+        if (row.isNullAt(ord)) { encoder.writeIndex(0); encoder.writeNull() }
+        else {
+          encoder.writeIndex(1)
+          writeValue(s.getTypes.get(1), dt, row, ord)
+        }
+      case _ => writeValue(s, dt, row, ord)
+    }
+
+  private def writeValue(s: Schema, dt: DataType, row: InternalRow, ord: Int): Unit =
+    (s.getType, dt) match {
+      case (Schema.Type.STRING, StringType) => encoder.writeString(row.getUTF8String(ord).toString)
+      case (Schema.Type.LONG, LongType) => encoder.writeLong(row.getLong(ord))
+      case (Schema.Type.INT, IntegerType) => encoder.writeInt(row.getInt(ord))
+      case (Schema.Type.FLOAT, FloatType) => encoder.writeFloat(row.getFloat(ord))
+      case (Schema.Type.DOUBLE, DoubleType) => encoder.writeDouble(row.getDouble(ord))
+      case (Schema.Type.BOOLEAN, BooleanType) => encoder.writeBoolean(row.getBoolean(ord))
+      case (Schema.Type.BYTES, BinaryType) =>
+        encoder.writeBytes(row.getBinary(ord))
+      case (Schema.Type.ARRAY, ArrayType(et, _)) =>
+        val arr = row.getArray(ord)
+        encoder.writeArrayStart()
+        encoder.setItemCount(arr.numElements())
+        var i = 0
+        while (i < arr.numElements()) {
+          encoder.startItem()
+          writeArrayElem(s.getElementType, et, arr, i)
+          i += 1
+        }
+        encoder.writeArrayEnd()
+      case (st, other) =>
+        throw new UnsupportedOperationException(s"cannot encode ${other.sql} as avro $st")
+    }
+
+  private def writeArrayElem(s: Schema, dt: DataType, arr: ArrayData, i: Int): Unit =
+    (s.getType, dt) match {
+      case (Schema.Type.STRING, StringType) => encoder.writeString(arr.getUTF8String(i).toString)
+      case (Schema.Type.LONG, LongType) => encoder.writeLong(arr.getLong(i))
+      case (Schema.Type.INT, IntegerType) => encoder.writeInt(arr.getInt(i))
+      case (Schema.Type.FLOAT, FloatType) => encoder.writeFloat(arr.getFloat(i))
+      case (Schema.Type.DOUBLE, DoubleType) => encoder.writeDouble(arr.getDouble(i))
+      case (Schema.Type.BOOLEAN, BooleanType) => encoder.writeBoolean(arr.getBoolean(i))
+      case (st, other) =>
+        throw new UnsupportedOperationException(s"cannot encode array<${other.sql}> as avro $st")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): AvroEncode =
+    copy(child = newChild)
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.types._
+
+/** Avro ↔ Spark schema mapping for the reference's wire-type lattice
+  * (reference `PageDatumReader.java:123-166`): UNION-with-null (how Rakam
+  * encodes nullable fields), STRING, LONG, INT, FLOAT, DOUBLE, BOOLEAN,
+  * ENUM (as string), BYTES, NULL — plus ARRAY, which the reference intended
+  * but commented out (`KafkaMetadata.java:190-191`); the rebuild enables it.
+  * RECORD/MAP/FIXED inside a value are rejected exactly like the reference
+  * (`PageDatumReader.java:156-160` throws `UnsupportedOperationException`).
+  */
+object AvroSchemas {
+
+  /** Avro record schema → Spark StructType. */
+  def toSpark(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD, s"top-level schema must be a record: $schema")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = fieldType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filterNot(_.getType == Schema.Type.NULL)
+      require(nonNull.size == 1, s"only unions of [null, T] are supported: $s")
+      (fieldType(nonNull.head)._1, branches.size > nonNull.size)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = fieldType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case other =>
+      // parity: reference PageDatumReader.java:156-160
+      throw new UnsupportedOperationException(s"avro type not supported: $other")
+  }
+
+  /** Spark StructType → Avro record schema; nullable fields become
+    * `union[null, T]` with null default, matching Rakam's encoding.
+    */
+  def toAvro(st: StructType, name: String = "event"): Schema = {
+    val fields = st.fields.toSeq.map { f =>
+      val base = avroOf(f.dataType)
+      val s = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+      val default: Object = if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null
+      new Schema.Field(f.name, s, null, default)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.asJava)
+  }
+
+  private def avroOf(dt: DataType): Schema = dt match {
+    case StringType => Schema.create(Schema.Type.STRING)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, _) => Schema.createArray(avroOf(et))
+    case other =>
+      throw new UnsupportedOperationException(s"cannot map ${other.sql} to avro")
+  }
+
+  /** Reader schema projected to `names` (in writer field order) — the C6/O2
+    * projection pushdown unit: `ResolvingDecoder` byte-skips every field not
+    * in the reader schema (reference `KafkaConnectorPageSource.java:91-105`,
+    * skip logic `PageDatumReader.java:210-271`).
+    */
+  def project(writer: Schema, names: Seq[String]): Schema = {
+    val keep = names.toSet
+    val fields = writer.getFields.asScala.toSeq
+      .filter(f => keep(f.name()))
+      .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+    Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace, false, fields.asJava)
+  }
+}

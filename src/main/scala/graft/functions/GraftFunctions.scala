@@ -15,6 +15,21 @@ object GraftFunctions {
   def poly_hash(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c.cast("string"))))
 
+  /** See [[AvroDecode]]: decode Avro binary with writer/reader schema
+    * resolution; reader defaults to the writer (full decode) and is pruned
+    * automatically by [[graft.plans.PruneAvroDecode]] when only a subset of
+    * fields is referenced.
+    */
+  def from_avro(c: Column, writerSchemaJson: String): Column =
+    from_avro(c, writerSchemaJson, writerSchemaJson)
+
+  def from_avro(c: Column, writerSchemaJson: String, readerSchemaJson: String): Column =
+    Bridge.column(AvroDecode(Bridge.expression(c), writerSchemaJson, readerSchemaJson))
+
+  /** See [[AvroEncode]]: struct column → Avro binary under `schemaJson`. */
+  def to_avro(c: Column, schemaJson: String): Column =
+    Bridge.column(AvroEncode(Bridge.expression(c), schemaJson))
+
   /** Universal-hash family over already-hashed longs:
     * `h_i(x) = (a_i * x + b_i) mod p` with p = PolyHash.Mod. Inputs are
     * < 2^30 and a_i < p < 2^30, so the product fits a long exactly.

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
+
+import graft.catalog.SystemColumns
+
+/** Half-open offset window `[start, end)`; `end = None` means "live latest",
+  * mirroring the reference's unbounded-high ranges resolved against the
+  * broker at plan time (`KafkaSplitManager.java:163-167`).
+  */
+final case class OffsetRange(start: Long, end: Option[Long]) {
+  require(end.forall(_ >= start), s"invalid range [$start, $end)")
+  def isEmpty: Boolean = end.contains(start)
+  def intersect(o: OffsetRange): Option[OffsetRange] = {
+    val s = math.max(start, o.start)
+    val e = (end, o.end) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    if (e.forall(_ > s)) Some(OffsetRange(s, e)) else None
+  }
+  def contains(off: Long): Boolean = off >= start && end.forall(off < _)
+}
+
+/** Offset-predicate pushdown (reference C3/O1, `KafkaSplitManager.java:93-106,
+  * 152-178`): extract `_offset` bounds from a Catalyst predicate and turn
+  * them into a *disjoint, sorted* set of `[start, end)` ranges that a log
+  * source (Kafka batch read, or any offset-addressed scan) can prune with.
+  *
+  * Differences from the reference, on purpose:
+  *  - multi-range predicates are handled correctly — the reference wrote
+  *    overlapping array slots (`offsets[i]`/`offsets[i+1]` instead of `2*i`,
+  *    `KafkaSplitManager.java:159-177`) and was only correct for a single
+  *    range; we normalize/merge ranges instead (SURVEY.md §4 "known bugs").
+  *  - extraction is *conservative*: an unrecognized conjunct is ignored
+  *    (yielding a superset range — the residual filter still runs), and an
+  *    unrecognized disjunct poisons the whole OR (full scan). This is the
+  *    standard sound over-approximation the engine's TupleDomain gave the
+  *    reference for free.
+  */
+object OffsetRangePlanner {
+
+  val Full: Seq[OffsetRange] = Seq(OffsetRange(0L, None))
+
+  /** Plan offset ranges for `pred` over `table` (any DataFrame exposing the
+    * `_offset` column). The predicate is run through Catalyst analysis
+    * first — Spark 4 `Column`s are lazy ColumnNode trees, and analysis also
+    * resolves attribute references and inserts the casts that [[extract]]
+    * unwraps.
+    */
+  def fromPredicate(table: DataFrame, pred: Column): Seq[OffsetRange] = {
+    val analyzed = table.filter(pred).queryExecution.analyzed
+    analyzed.collectFirst { case f: logical.Filter => f.condition } match {
+      case Some(cond) => fromExpression(cond)
+      case None => Full
+    }
+  }
+
+  /** Pure extraction over an already-analyzed Catalyst predicate. */
+  def fromExpression(e: Expression): Seq[OffsetRange] =
+    normalize(extract(e))
+
+  /** Exclusive-bound arithmetic matches the reference's `++` on non-EXACTLY
+    * markers (`KafkaSplitManager.java:173-176`): `> v` ⇒ start v+1;
+    * `<= v` ⇒ end v+1.
+    */
+  private def extract(e: Expression): Seq[OffsetRange] = e match {
+    case And(l, r) => intersectAll(extract(l), extract(r))
+    case Or(l, r) => extract(l) ++ extract(r)
+    case GreaterThan(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v + 1, None))
+    case GreaterThanOrEqual(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v, None))
+    case LessThan(OffsetAttr(), Lit(v)) => Seq(OffsetRange(0L, Some(v)))
+    case LessThanOrEqual(OffsetAttr(), Lit(v)) => Seq(OffsetRange(0L, Some(v + 1)))
+    case EqualTo(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v, Some(v + 1)))
+    // mirrored comparisons (literal on the left)
+    case GreaterThan(Lit(v), OffsetAttr()) => Seq(OffsetRange(0L, Some(v)))
+    case GreaterThanOrEqual(Lit(v), OffsetAttr()) => Seq(OffsetRange(0L, Some(v + 1)))
+    case LessThan(Lit(v), OffsetAttr()) => Seq(OffsetRange(v + 1, None))
+    case LessThanOrEqual(Lit(v), OffsetAttr()) => Seq(OffsetRange(v, None))
+    case EqualTo(Lit(v), OffsetAttr()) => Seq(OffsetRange(v, Some(v + 1)))
+    case In(OffsetAttr(), vs) if vs.forall(Lit.unapply(_).isDefined) =>
+      vs.flatMap(Lit.unapply).map(v => OffsetRange(v, Some(v + 1)))
+    case _ => Full // unknown conjunct: no pruning from this subtree
+  }
+
+  private object OffsetAttr {
+    def unapply(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == SystemColumns.Offset
+      case Cast(c, _, _, _) => unapply(c)
+      case _ => false
+    }
+  }
+
+  private object Lit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Cast(c, _, _, _) => unapply(c)
+      case _ => None
+    }
+  }
+
+  private def intersectAll(a: Seq[OffsetRange], b: Seq[OffsetRange]): Seq[OffsetRange] =
+    for { x <- a; y <- b; z <- x.intersect(y) } yield z
+
+  /** Sort, clamp to [0, ∞), merge overlapping/adjacent → disjoint sorted. */
+  def normalize(rs: Seq[OffsetRange]): Seq[OffsetRange] = {
+    val clamped = rs
+      .map(r => OffsetRange(math.max(0L, r.start), r.end.map(e => math.max(0L, e))))
+      .filterNot(_.isEmpty)
+      .sortBy(r => (r.start, r.end.getOrElse(Long.MaxValue)))
+    clamped.foldLeft(Vector.empty[OffsetRange]) { (acc, r) =>
+      acc.lastOption match {
+        case Some(last) if last.end.forall(_ >= r.start) =>
+          val merged = OffsetRange(last.start,
+            (last.end, r.end) match {
+              case (Some(a), Some(b)) => Some(math.max(a, b))
+              case _ => None
+            })
+          acc.init :+ merged
+        case _ => acc :+ r
+      }
+    }
+  }
+
+  /** Segment-aligned split generation (reference C4,
+    * `KafkaSplitManager.java:180-188` + design note `KafkaSplit.java:27-33`:
+    * one split per log segment so a single partition parallelizes across
+    * workers). Given ascending segment boundary offsets and a pruned range,
+    * emit per-segment `[start, end)` splits clamped to the range. `latest`
+    * resolves unbounded-high ends — the plan-time snapshot of the live log
+    * head (`KafkaSplitManager.java:194-216`).
+    */
+  def segmentSplits(boundaries: Seq[Long], range: OffsetRange, latest: Long): Seq[OffsetRange] = {
+    val end = math.min(range.end.getOrElse(latest), latest)
+    if (end <= range.start) return Nil
+    val bs = (boundaries.filter(b => b > range.start && b < end).distinct.sorted
+      .prepended(range.start) :+ end)
+    bs.sliding(2).collect { case Seq(s, e) if e > s => OffsetRange(s, Some(e)) }.toSeq
+  }
+
+  /** `startingOffsets`/`endingOffsets` JSON for Spark's Kafka batch source,
+    * for the first (or only) pruned range across all partitions of a topic.
+    * Multi-range windows run as a union of per-range reads.
+    */
+  def kafkaOffsetJson(topic: String, numPartitions: Int, range: OffsetRange): (String, String) = {
+    def json(v: String): String =
+      s"""{"$topic":{${(0 until numPartitions).map(p => s""""$p":$v""").mkString(",")}}}"""
+    (json(range.start.toString), range.end.map(e => json(e.toString)).getOrElse("latest"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.SystemColumns
+import graft.functions.{AvroSchemas, GraftFunctions => GF}
+import graft.plans.{OffsetRange, OffsetRangePlanner}
+
+/** Payload codec: Kafka `value` bytes → typed struct (null on malformed).
+  * The reference's live path decoded Avro (`KafkaConnectorPageSource.java:298`)
+  * while its test harness produced JSON (`EmbeddedKafka.java:135`,
+  * `JsonEncoder.java:34-43`); the rebuild supports both behind one interface.
+  */
+sealed trait PayloadCodec {
+  def decode(value: Column, schema: StructType): Column
+}
+
+/** Avro with metastore writer schema; projection pushdown via
+  * [[graft.plans.PruneAvroDecode]] once only some fields are referenced.
+  */
+case object AvroPayloadCodec extends PayloadCodec {
+  override def decode(value: Column, schema: StructType): Column =
+    GF.from_avro(value, AvroSchemas.toAvro(schema).toString)
+}
+
+/** JSON. PERMISSIVE `from_json` yields an all-null struct (not null) on
+  * malformed input, which would be indistinguishable from a legitimate
+  * all-null record — so a corrupt-record marker column distinguishes them
+  * and malformed rows decode to a null struct (drop semantics).
+  */
+case object JsonPayloadCodec extends PayloadCodec {
+  private val Corrupt = "_graft_corrupt"
+  override def decode(value: Column, schema: StructType): Column = {
+    val aug = schema.add(Corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = from_json(value.cast("string"), aug,
+      Map("columnNameOfCorruptRecord" -> Corrupt))
+    when(parsed.getField(Corrupt).isNull, parsed.dropFields(Corrupt))
+      .otherwise(lit(null).cast(schema))
+  }
+}
+
+/** Kafka batch source over `<project>_<collection>` topics (reference
+  * C2–C8). Spark's Kafka connector supplies partition discovery, replica
+  * failover, locality and fetch/retry (reference C2/C4/C5/O4/O6 — all
+  * engine-side now); this class contributes what the reference's connector
+  * actually owned:
+  *
+  *  - offset windows: pruned [[OffsetRange]]s (from
+  *    [[OffsetRangePlanner.fromPredicate]]) become `startingOffsets` /
+  *    `endingOffsets` JSON — the C3 pushdown. Multi-range windows read as a
+  *    union of per-range scans (correctly, unlike the reference's
+  *    overlapping-slot bug).
+  *  - segment-granular parallelism (O3): `minPartitions` splits partitions
+  *    by offset range, Spark's analogue of one-split-per-log-segment.
+  *  - codec decode with schema resolution + malformed-row drop (C6) and
+  *    hidden system-column synthesis (C7).
+  *  - buffer/timeout knobs default to the reference's
+  *    (`KafkaConnectorPageSource.java:62` 1 MB fetch,
+  *    `KafkaConnectorConfig.java:44-49` 64 KB socket / 10 s connect).
+  *
+  * Requires `spark-sql-kafka-0-10` on the cluster classpath (not bundled
+  * here); everything around the `format("kafka")` call is broker-free and
+  * unit-tested via [[KafkaEventSource.decodeRaw]].
+  */
+final case class KafkaEventSource(
+    bootstrapServers: String,
+    codec: PayloadCodec = AvroPayloadCodec,
+    offsetRanges: Seq[OffsetRange] = OffsetRangePlanner.Full,
+    partitionsOf: String => Int = _ => 1,
+    minPartitions: Option[Int] = None,
+    extraOptions: Map[String, String] = Map.empty)
+    extends EventSource {
+
+  /** Source options for one pruned offset range of a topic. */
+  def readOptions(topic: String, range: OffsetRange): Map[String, String] = {
+    val (startJson, endJson) =
+      OffsetRangePlanner.kafkaOffsetJson(topic, partitionsOf(topic), range)
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startJson,
+      "endingOffsets" -> endJson,
+      // reference parity: 1 MB fetch, 64 KB socket buffer, 10 s connect
+      "kafka.fetch.max.bytes" -> "1000000",
+      "kafka.receive.buffer.bytes" -> "65536",
+      "kafka.request.timeout.ms" -> "10000",
+      "failOnDataLoss" -> "false") ++
+      minPartitions.map("minPartitions" -> _.toString) ++
+      extraOptions
+  }
+
+  override def read(spark: SparkSession, project: String, collection: String,
+                    schema: StructType): DataFrame = {
+    val topic = SystemColumns.topicFor(project, collection)
+    val raw = offsetRanges
+      .map(r => spark.read.format("kafka").options(readOptions(topic, r)).load())
+      .reduce(_ unionAll _)
+    KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+  }
+}
+
+object KafkaEventSource {
+
+  /** Kafka-shaped rows (`value` binary, `offset` long) → the engine's table
+    * shape: system columns first, decoded user fields after, malformed rows
+    * dropped (reference `KafkaConnectorPageSource.java:300-307`).
+    */
+  def decodeRaw(raw: DataFrame, project: String, collection: String,
+                schema: StructType, codec: PayloadCodec): DataFrame = {
+    val decoded = raw.select(
+      col("offset").cast("long").as(SystemColumns.Offset),
+      lit(project).as(SystemColumns.Project),
+      lit(collection).as(SystemColumns.Collection),
+      codec.decode(col("value"), schema).as("__event"))
+    decoded
+      .filter(col("__event").isNotNull)
+      .select(
+        (SystemColumns.fields.map(f => col(f.name)) :+ col("__event.*")): _*)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{AvroSchemas, GraftFunctions => GF}
+
+class AvroSpec extends SparkTestBase {
+
+  private val writerStruct = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  private val writerSchema = AvroSchemas.toAvro(writerStruct, "ev")
+
+  private def encode(schema: Schema)(set: GenericRecord => Unit): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    set(rec)
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def payloads: Seq[Array[Byte]] = Seq(
+    encode(writerSchema) { r =>
+      r.put("user_id", 1L); r.put("event_type", "click"); r.put("value", 2.5)
+      r.put("tags", java.util.List.of("a", "b"))
+    },
+    encode(writerSchema) { r =>
+      r.put("user_id", 2L); r.put("event_type", null); r.put("value", null)
+      r.put("tags", null)
+    })
+
+  private def df = {
+    val s0 = spark
+    import s0.implicits._
+    payloads.toDF("value")
+  }
+
+  test("schema round-trip: StructType -> avro -> StructType") {
+    assert(AvroSchemas.toSpark(writerSchema) == writerStruct)
+  }
+
+  test("decodes records incl. null-union branches and arrays") {
+    val rows = df.select(GF.from_avro(col("value"), writerSchema.toString).as("e"))
+      .select("e.*").orderBy("user_id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "click"
+      && rows(0).getDouble(2) == 2.5 && rows(0).getSeq[String](3) == Seq("a", "b"))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).isNullAt(2)
+      && rows(1).isNullAt(3))
+  }
+
+  test("projection: explicit pruned reader schema byte-skips other fields") {
+    val reader = AvroSchemas.project(writerSchema, Seq("event_type"))
+    val rows = df.select(GF.from_avro(col("value"), writerSchema.toString, reader.toString).as("e"))
+      .select("e.event_type").collect()
+    assert(rows.map(r => Option(r.getString(0))).toSet == Set(Some("click"), None))
+  }
+
+  test("schema evolution: reader field absent from writer resolves to default") {
+    val evolved = AvroSchemas.toAvro(writerStruct.add(
+      StructField("new_col", StringType, nullable = true)), "ev")
+    val rows = df.select(GF.from_avro(col("value"), writerSchema.toString, evolved.toString).as("e"))
+      .select("e.user_id", "e.new_col").orderBy("user_id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(1)))
+  }
+
+  test("malformed payloads decode to null and are filterable (drop semantics)") {
+    val s0 = spark
+    import s0.implicits._
+    val junk = (payloads :+ Array[Byte](1, 2)) :+ Array.empty[Byte]
+    val decoded = junk.toDF("value")
+      .select(GF.from_avro(col("value"), writerSchema.toString).as("e"))
+    assert(decoded.count() == 4)
+    assert(decoded.filter(col("e").isNotNull).count() == 2)
+  }
+
+  test("PruneAvroDecode rewrites the reader schema to referenced fields only") {
+    val s0 = spark
+    import s0.implicits._
+    // RDD-backed (not a LocalRelation) so ConvertToLocalRelation can't
+    // constant-fold the decode away before our rule sees it
+    val rddDf = s0.createDataset(s0.sparkContext.parallelize(payloads, 1)).toDF("value")
+    val q = rddDf.select(GF.from_avro(col("value"), writerSchema.toString).as("e"), lit(1).as("k"))
+      .select(col("e.event_type"), col("k"))
+    val optimized = q.queryExecution.optimizedPlan
+    val decoded = optimized.expressions
+      .flatMap(_.collect { case d: graft.functions.AvroDecode => d })
+    assert(decoded.nonEmpty, s"no AvroDecode in optimized plan:\n$optimized")
+    val readerFields = new Schema.Parser().parse(decoded.head.readerSchemaJson)
+      .getFields
+    assert(readerFields.size() == 1 && readerFields.get(0).name() == "event_type",
+      s"reader not pruned: $readerFields")
+    // and values are still right
+    assert(q.collect().map(r => Option(r.getString(0))).toSet == Set(Some("click"), None))
+  }
+}
