@@ -99,6 +99,20 @@ final case class KafkaEventSource(
       .reduce(_ unionAll _)
     KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
   }
+
+  /** Structured-Streaming variant (the extension the reference never had —
+    * its "streaming" was repeated batch over the log, SURVEY.md §1.1):
+    * unbounded read from the first pruned range's start; feed the result to
+    * [[graft.streaming.EventStreams]] windows/sessionization.
+    */
+  def readStream(spark: SparkSession, project: String, collection: String,
+                 schema: StructType): DataFrame = {
+    val topic = SystemColumns.topicFor(project, collection)
+    val start = offsetRanges.headOption.getOrElse(OffsetRange(0L, None))
+    val opts = readOptions(topic, OffsetRange(start.start, None)) - "endingOffsets"
+    val raw = spark.readStream.format("kafka").options(opts).load()
+    KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+  }
 }
 
 object KafkaEventSource {

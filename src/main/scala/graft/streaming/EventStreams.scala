@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mode over event tables — the north-star extension
+  * the reference never had (its "streaming" was repeated batch over a
+  * growing log, SURVEY.md §1.1): true event-time windows with watermarks,
+  * and stateful sessionization.
+  *
+  * Late-data policy (documented per SURVEY.md §7 "what's hard"): events
+  * later than the watermark are DROPPED by the windowed aggregations
+  * (Spark's semantics); the watermark delay is the knob. At 100 TB-scale
+  * ingest these are shuffle-on-(window,key) plans whose state store is
+  * bounded by the watermark horizon.
+  */
+object EventStreams {
+
+  /** Tumbling (or sliding, when `slide` is given) windowed counts/sums per
+    * event_type. Works identically over batch and streaming frames.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, watermark: String,
+                    windowDur: String, slide: Option[String] = None): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), windowDur, slide.getOrElse(windowDur)),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Built-in gap-based session windows per user. */
+  def sessionStats(events: DataFrame, tsCol: String, watermark: String,
+                   gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  final case class Event(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+  final case class Session(
+      user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total_value: Double)
+
+  /** State buffer for [[sessionize]] (public: the state encoder's generated
+    * code must reach the constructor and accessors).
+    */
+  final case class SessionBuf(startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` with
+    * event-time timeout: a session closes `gapMs` after its last event
+    * (by watermark), then emits exactly once (Append mode). This is the
+    * KeyValueGroupedDataset state API the built-in `session_window` can't
+    * express custom per-session aggregates through.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long, watermark: String = "10 seconds")
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var buf = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              buf match {
+                case Some(b) if t - b.lastMs <= gapMs =>
+                  buf = Some(b.copy(lastMs = math.max(b.lastMs, t), n = b.n + 1,
+                    total = b.total + e.value))
+                case Some(b) => // gap exceeded within the batch: close + reopen
+                  closed += Session(userId, new Timestamp(b.startMs),
+                    new Timestamp(b.lastMs), b.n, b.total)
+                  buf = Some(SessionBuf(t, t, 1, e.value))
+                case None =>
+                  buf = Some(SessionBuf(t, t, 1, e.value))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

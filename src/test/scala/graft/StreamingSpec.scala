@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming semantics through real micro-batch execution (MemoryStream →
+  * query → memory sink), including watermark-driven late-data drops and
+  * event-time session timeout.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  // offset from epoch 0: a row exactly at the initial watermark (t=0)
+  // would be considered late and dropped by stateful operators
+  private val Base = 1200000L // multiple of the 60 s window, off epoch 0
+  private def ts(s: Long): Timestamp = new Timestamp(Base + s * 1000L)
+
+  test("windowed stats over a stream; late data beyond watermark is dropped") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedStats(input.toDF(), "ts", "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("win").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, "click", ts(5), 1.0), Event(2, "click", ts(30), 2.0),
+        Event(1, "view", ts(65), 3.0))
+      q.processAllAvailable()
+      // advance watermark far: closes the first windows
+      input.addData(Event(9, "click", ts(500), 0.0))
+      q.processAllAvailable()
+      // a late event for an already-closed window must be dropped
+      input.addData(Event(3, "click", ts(10), 99.0))
+      q.processAllAvailable()
+      input.addData(Event(9, "click", ts(1000), 0.0))
+      q.processAllAvailable()
+      val rows = s0.table("win").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 1000, r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), s"got $rows")   // ts 5 + 30
+      assert(rows.contains((60L, "view", 1L, 3.0)), s"got $rows")
+      // the late ts(10) click did NOT reopen window 0 with 99.0
+      assert(!rows.exists(r => r._1 == 0 && r._4 == 102.0), s"late data leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("built-in session windows close by gap") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionStats(input.toDF(), "ts", "5 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 0s and 10s (one session), then 100s (new session)
+      input.addData(Event(1, "a", ts(0), 0), Event(1, "b", ts(10), 0), Event(1, "c", ts(100), 0))
+      q.processAllAvailable()
+      input.addData(Event(2, "z", ts(1000), 0)) // advance watermark, close all
+      q.processAllAvailable()
+      val rows = s0.table("sess").collect()
+        .map(r => (r.getLong(2), (r.getTimestamp(0).getTime - Base) / 1000, r.getLong(3))).toSet
+      assert(rows.contains((1L, 0L, 2L)), s"got $rows")
+      assert(rows.contains((1L, 100L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("custom flatMapGroupsWithState sessionization emits on event-time timeout") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    try {
+      input.addData(Event(7, "a", ts(0), 1.5), Event(7, "b", ts(20), 2.5))
+      q.processAllAvailable()
+      // watermark jump past lastMs+gap → timeout fires, session emits
+      input.addData(Event(8, "z", ts(600), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(8, "z2", ts(1200), 0.0))
+      q.processAllAvailable()
+      val rows = s0.table("fmgws").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+          (r.getTimestamp(2).getTime - Base) / 1000, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows.contains((7L, 0L, 20L, 2L, 4.0)), s"got $rows")
+    } finally q.stop()
+  }
+}
