@@ -136,6 +136,24 @@ object QueriesPipeline {
       s"CASE WHEN ${GF.sqlDotDecimal("embedding", s"$arr::DOUBLE[]")} > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
 
+  /** Precomputed L2 norm — cosine then costs ONE dot fold per pair instead
+    * of three (norms are per-vector, not per-pair; at N·k pairs that's the
+    * dominant term). Same arithmetic as [[GF.cosine]], just factored; the
+    * oracle factors identically so scores stay bit-equal.
+    */
+  private def withNorm(vecs: DataFrame): DataFrame =
+    vecs.withColumn("norm",
+      sqrt(GF.dotDecimal(col("embedding"), col("embedding")).cast("double")))
+
+  private val sqlNorm: String =
+    s"sqrt(CAST(${GF.sqlDotDecimal("embedding", "embedding")} AS DOUBLE))"
+
+  private def pairScore(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    GF.dotDecimal(ea, eb).cast("double") / (na * nb)
+
+  private def sqlPairScore(ea: String, eb: String, na: String, nb: String): String =
+    s"CAST(${GF.sqlDotDecimal(ea, eb)} AS DOUBLE) / ($na * $nb)"
+
   val all: Seq[NamedQuery] = Seq(
 
     // ------------------------------------------------------------ p01 exact
@@ -160,23 +178,29 @@ object QueriesPipeline {
     // bound worst-case fan-out (not needed on this corpus).
     NamedQuery("p02_dedup_ngram_jaccard",
       (s, dir) => {
+        // ONE self-join: the grouped pair-count IS the intersection size —
+        // no candidate-distinct + re-join round trip (that tripled the
+        // shuffle volume; at 100 TB the inverted-index join is the whole
+        // cost, so it must run exactly once).
         val sh = shingleHashes(Corpus.docs(s, dir))
-        val cand = sh.select(col("doc_id").as("id_a"), col("h"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("id_a"), col("h"))
           .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
           .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        jaccardOf(cand, sh, 0.6)
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+          .filter(col("jac") >= 0.6)
+          .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH $sqlShingleCtes,
-             cand AS (
-               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
              inter AS (
-               SELECT id_a, id_b, count(*) AS ni
-               FROM cand
-               JOIN sh sa ON sa.doc_id = id_a
-               JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
-               GROUP BY id_a, id_b)
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
              SELECT id_a, id_b,
                     CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
              FROM inter
@@ -297,22 +321,26 @@ object QueriesPipeline {
     // merely-close (non-identical) vectors.
     NamedQuery("p05_embedding_neardup",
       (s, dir) => {
-        val v = withBucket(Corpus.vecs(s, dir), HyperplaneParams.NearDupPlanes)
-        val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-        val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+        val v = withNorm(withBucket(Corpus.vecs(s, dir), HyperplaneParams.NearDupPlanes))
+        val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("norm").as("na"))
+        val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("norm").as("nb"))
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), GF.cosine(col("ea"), col("eb")).as("cos"))
+          .select(col("id_a"), col("id_b"),
+            pairScore(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
           .filter(col("cos") >= 0.999)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH vecs AS (${Corpus.vecsSql}),
              bucketed AS (SELECT vec_id, embedding,
-                                 ${sqlBucket(HyperplaneParams.NearDupPlanes)} AS bucket
+                                 ${sqlBucket(HyperplaneParams.NearDupPlanes)} AS bucket,
+                                 $sqlNorm AS norm
                           FROM vecs),
              cand AS (
                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                      ${GF.sqlCosine("a.embedding", "b.embedding")} AS cos
+                      ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
                FROM bucketed a JOIN bucketed b
                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
              SELECT id_a, id_b, cos FROM cand
@@ -327,23 +355,26 @@ object QueriesPipeline {
     NamedQuery("p06_similarity_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val v = Corpus.vecs(s, dir)
+        val v = withNorm(Corpus.vecs(s, dir))
         val q = v.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-        v.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+        v.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))
           .join(broadcast(q), col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), GF.cosine(col("qe"), col("ne")).as("score"))
+          .select(col("q_id"), col("n_id"),
+            pairScore(col("qe"), col("ne"), col("qn"), col("nn")).as("score"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("n_id"), col("score"))
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
-             q AS (SELECT vec_id AS q_id, embedding AS qe FROM vecs WHERE vec_id < 10),
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn
+                   FROM vecs WHERE vec_id < 10),
              scored AS (
                SELECT q_id, v.vec_id AS n_id,
-                      ${GF.sqlCosine("qe", "v.embedding")} AS score
+                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
                FROM q JOIN vecs v ON v.vec_id <> q.q_id),
              ranked AS (
                SELECT q_id, n_id, score,
@@ -360,14 +391,17 @@ object QueriesPipeline {
     NamedQuery("p07_similarity_ann_lsh",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val v = withBucket(Corpus.vecs(s, dir), HyperplaneParams.AnnPlanes)
+        val v = withNorm(withBucket(Corpus.vecs(s, dir), HyperplaneParams.AnnPlanes))
         val q = v.filter(col("vec_id") < 10)
-          .select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .select(col("bucket"), col("vec_id").as("q_id"),
+            col("embedding").as("qe"), col("norm").as("qn"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
-        v.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("ne"))
+        v.select(col("bucket"), col("vec_id").as("n_id"),
+          col("embedding").as("ne"), col("norm").as("nn"))
           .join(broadcast(q), Seq("bucket"))
           .filter(col("q_id") =!= col("n_id"))
-          .select(col("q_id"), col("n_id"), GF.cosine(col("qe"), col("ne")).as("score"))
+          .select(col("q_id"), col("n_id"),
+            pairScore(col("qe"), col("ne"), col("qn"), col("nn")).as("score"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("n_id"), col("score"))
@@ -375,13 +409,14 @@ object QueriesPipeline {
       },
       Some(s"""WITH vecs AS (${Corpus.vecsSql}),
              bucketed AS (SELECT vec_id, embedding,
-                                 ${sqlBucket(HyperplaneParams.AnnPlanes)} AS bucket
+                                 ${sqlBucket(HyperplaneParams.AnnPlanes)} AS bucket,
+                                 $sqlNorm AS norm
                           FROM vecs),
-             q AS (SELECT bucket, vec_id AS q_id, embedding AS qe
+             q AS (SELECT bucket, vec_id AS q_id, embedding AS qe, norm AS qn
                    FROM bucketed WHERE vec_id < 10),
              scored AS (
                SELECT q_id, v.vec_id AS n_id,
-                      ${GF.sqlCosine("qe", "v.embedding")} AS score
+                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
                FROM q JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
              ranked AS (
                SELECT q_id, n_id, score,
