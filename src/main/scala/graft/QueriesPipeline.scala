@@ -582,5 +582,17 @@ object QueriesPipeline {
       // Fixture text is ASCII, so UTF-8 bytes == code points.
       Some("""SELECT doc_id, (unicode(c) // 8)::BIGINT AS bucket, count(*) AS cnt
              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-             GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")))
+             GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
+    // ------------------------------------------------ p13 portable HLL UDAF
+    // Custom typed Aggregator (portable, mergeable sketch bytes) — the
+    // pre-aggregated event-analytics pattern. No oracle (sketch estimates
+    // are algorithm-specific); HllSketchSpec pins accuracy and losslessness
+    // of merge, the driver records a rows-only check.
+    NamedQuery("p13_hll_sketch_udaf",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+      None))
 }
