@@ -507,5 +507,30 @@ object QueriesCore {
           .orderBy(col("event_type"))
       },
       Some(s"""SELECT event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value
-             FROM events GROUP BY event_type ORDER BY event_type""")))
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------- map functions
+    // MapType surface (absent from the reference — MAP threw in its decoder,
+    // PageDatumReader.java:156-160 — but §2.2 includes it since the rebuild
+    // enables maps): parse the semi-structured props payload into
+    // map<string,long>, explode entries, aggregate per key. DuckDB has no
+    // JSON→MAP cast; the oracle walks json_keys/json_extract instead.
+    NamedQuery("q29_map_functions",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, MapType, StringType}
+        t(s, dir, "events")
+          .select(from_json(col("props"), MapType(StringType, LongType)).as("m"))
+          .filter(size(map_keys(col("m"))) > 0)
+          .select(explode(col("m")).as(Seq("key", "value")))
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT k AS key, count(*) AS n, sum(v)::BIGINT AS sv,
+               min(v) AS mn, max(v) AS mx
+             FROM (SELECT unnest(json_keys(props)) AS k,
+                          json_extract(props, '$.' || unnest(json_keys(props)))::BIGINT AS v
+                   FROM events)
+             GROUP BY k ORDER BY key""")))
 }

@@ -64,6 +64,12 @@ object GraftFunctions {
   private val Dec = DecimalType(30, 12)
 
   def dotDecimal(a: Column, b: Column): Column =
+    Bridge.column(DotDecimal(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Reference implementation of [[dotDecimal]] as a builtin lambda fold —
+    * kept for the property test pinning the native expression's semantics.
+    */
+  def dotDecimalFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x * y).cast(Dec)),
       lit(0).cast(Dec),

@@ -41,6 +41,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(df.agg(count(col("h"))).head().getLong(0) == 10)
   }
 
+  test("native DotDecimal matches the lambda-fold reference on fixture vectors") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val mismatches = emb.select(
+      GF.dotDecimal(col("e"), col("e")).as("native"),
+      GF.dotDecimalFold(col("e"), col("e")).as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(mismatches == 0)
+  }
+
   test("dotDecimal/cosine are exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
