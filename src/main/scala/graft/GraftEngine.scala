@@ -47,6 +47,21 @@ final class GraftEngine(
   def register(project: String, collection: String): Unit =
     table(project, collection)
       .createOrReplaceTempView(SystemColumns.topicFor(project, collection))
+
+  /** Offset-windowed scan — the reference's core query shape (`SELECT …
+    * WHERE _offset …`, C3): plan the predicate into pruned [[graft.plans.OffsetRange]]s,
+    * specialize the source to them (Kafka reads only those windows; parquet
+    * relies on Catalyst pushdown), and keep the full predicate as the
+    * residual filter (extraction is conservative, so this is always sound).
+    */
+  def offsetWindow(project: String, collection: String,
+                   predicate: org.apache.spark.sql.Column): DataFrame = {
+    val full = tableWithSystemColumns(project, collection)
+    val ranges = graft.plans.OffsetRangePlanner.fromPredicate(full, predicate)
+    val pruned = source.withOffsetRanges(ranges)
+    pruned.read(spark, project, collection, userSchema(project, collection))
+      .filter(predicate)
+  }
 }
 
 object GraftEngine {

@@ -15,6 +15,13 @@ import graft.catalog.SystemColumns
 trait EventSource {
   def read(spark: SparkSession, project: String, collection: String,
            schema: StructType): DataFrame
+
+  /** Source specialized to the given pruned `_offset` windows (reference
+    * C3): offset-addressed sources (Kafka) scan only those ranges; columnar
+    * sources return themselves — Catalyst's filter pushdown already prunes
+    * them (the residual filter always runs either way).
+    */
+  def withOffsetRanges(ranges: Seq[graft.plans.OffsetRange]): EventSource = this
 }
 
 /** Parquet-fixture source (test/bench path; TESTDATA.md layout

@@ -73,6 +73,9 @@ final case class KafkaEventSource(
     extraOptions: Map[String, String] = Map.empty)
     extends EventSource {
 
+  override def withOffsetRanges(ranges: Seq[OffsetRange]): EventSource =
+    copy(offsetRanges = ranges)
+
   /** Source options for one pruned offset range of a topic. */
   def readOptions(topic: String, range: OffsetRange): Map[String, String] = {
     val (startJson, endJson) =
