@@ -532,5 +532,70 @@ object QueriesCore {
              FROM (SELECT unnest(json_keys(props)) AS k,
                           json_extract(props, '$.' || unnest(json_keys(props)))::BIGINT AS v
                    FROM events)
-             GROUP BY k ORDER BY key""")))
+             GROUP BY k ORDER BY key""")),
+
+    // ----------------------------------------------------------- as-of join
+    // As-of join (an operator Spark lacks natively; SURVEY §2.2 joins row):
+    // each click matched to the user's latest error at-or-before it. NOT the
+    // naive inequality join (that's a nested-loop blowup): tag both sides,
+    // union, ONE shuffle on user_id, and carry the last error forward with
+    // last(ignoreNulls) over (ts, kind) — errors sort before clicks at equal
+    // ts, giving inclusive <= semantics. O(n log n) per key group, no join
+    // explosion; the 100 TB shape for time-series alignment. Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    NamedQuery("q30_asof_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(1).as("kind"),
+            col("event_id"), lit(null).cast("long").as("err_id"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            lit(null).cast("long").as("event_id"), col("event_id").as("err_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(errors)
+          .withColumn("last_err", last(col("err_id"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"), col("last_err").as("err_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+                  errors AS (SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error')
+             SELECT c.event_id, c.user_id, e.err_id
+             FROM clicks c ASOF LEFT JOIN errors e
+               ON c.user_id = e.user_id AND e.ts <= c.ts
+             ORDER BY c.event_id""")),
+
+    // ------------------------------------------- window analytics inventory
+    // The remaining ranking/analytic functions in one pass (ntile,
+    // dense_rank, percent_rank, first/last over a frame) — completes the
+    // §2.2 window row alongside q10-q13.
+    NamedQuery("q31_window_analytics",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            dense_rank().over(w).cast("long").as("drank"),
+            percent_rank().over(w).as("prank"),
+            first(col("c_custkey")).over(frame).as("top_cust"),
+            last(col("c_custkey")).over(frame).as("bottom_cust"))
+          .orderBy(col("c_mktsegment"), col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+               ntile(4) OVER w AS quartile,
+               dense_rank() OVER w AS drank,
+               percent_rank() OVER w AS prank,
+               first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_cust,
+               last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_cust
+             FROM customer WHERE c_custkey <= 200
+             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             ORDER BY c_mktsegment, c_custkey""")))
 }
