@@ -584,6 +584,66 @@ object QueriesPipeline {
              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
              GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
 
+    // ---------------------------------------------------- p14 ANN (IVF)
+    // True IVF coarse quantization (the companion scale-path to p07's LSH):
+    // fixed seed vectors act as centroids; every vector is assigned to its
+    // nearest seed (exact decimal cosine, deterministic argmax); a query
+    // probes only its own partition's inverted list (nprobe=1). At 100 TB
+    // the assignment is one broadcast-seeds map pass and partitions are the
+    // shuffle key — scan cost per query drops to corpus/n_seeds.
+    NamedQuery("p14_similarity_ivf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = withNorm(Corpus.vecs(s, dir))
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
+        // assignment: nearest seed by (score desc, seed_id) — deterministic
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("seed_id"))
+        val assigned = v.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("norm"), col("seed_id"),
+            pairScore(col("embedding"), col("se"), col("norm"), col("sn")).as("score"))
+          .withColumn("rn", row_number().over(wa))
+          .filter(col("rn") === 1)
+          .select(col("seed_id").as("part"), col("vec_id"), col("embedding"), col("norm"))
+        val q = assigned.filter(col("vec_id") < 10)
+          .select(col("part"), col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+        assigned.select(col("part"), col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))
+          .join(broadcast(q), Seq("part"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            pairScore(col("qe"), col("ne"), col("qn"), col("nn")).as("score"))
+          .withColumn("rank", row_number().over(wr).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             scoredseeds AS (
+               SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM vecs v CROSS JOIN seeds s),
+             assigned AS (
+               SELECT seed_id AS part, vec_id, embedding, norm FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, seed_id) AS rn
+                 FROM scoredseeds) WHERE rn = 1),
+             q AS (SELECT part, vec_id AS q_id, embedding AS qe, norm AS qn
+                   FROM assigned WHERE vec_id < 10),
+             scored AS (
+               SELECT q_id, v.vec_id AS n_id,
+                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
+               FROM q JOIN assigned v ON v.part = q.part AND v.vec_id <> q.q_id),
+             ranked AS (
+               SELECT q_id, n_id, score,
+                      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+               FROM scored)
+             SELECT q_id, rank, n_id, score FROM ranked
+             WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // ------------------------------------------------ p13 portable HLL UDAF
     // Custom typed Aggregator (portable, mergeable sketch bytes) — the
     // pre-aggregated event-analytics pattern. No oracle (sketch estimates

@@ -19,8 +19,8 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val eng = GraftEngine.overFixtures(spark, "/root/testdata/sf0.001")
-    eng.tableWithSystemColumns("tpch", "events")
-      .filter(col("_offset") >= 100 && col("_offset") < 9000)
+    eng.offsetWindow("tpch", "events",
+      col("_offset") >= 100 && col("_offset") < 9000)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
