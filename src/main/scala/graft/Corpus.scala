@@ -26,7 +26,9 @@ object Corpus {
     val toks = split(col("text"), " ")
     val near = d.filter(col("doc_id") % 5 === 0).select(
       (col("doc_id") + NearIdOffset).as("doc_id"),
-      concat_ws(" ", slice(toks, lit(1), size(toks) - 3)).as("text"))
+      // greatest(...,0): a ≤3-token doc must yield empty, not a negative-
+      // length slice error (fixture min is 10 tokens, but don't rely on it)
+      concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 3, lit(0)))).as("text"))
     val exact = d.filter(col("doc_id") % 7 === 0).select(
       (col("doc_id") + ExactIdOffset).as("doc_id"), col("text"))
     d.unionAll(near).unionAll(exact)
@@ -40,7 +42,7 @@ object Corpus {
     s"""SELECT doc_id, text FROM documents
        UNION ALL
        SELECT doc_id + $NearIdOffset AS doc_id,
-              array_to_string(list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 3), ' ') AS text
+              array_to_string(list_slice(string_split(text, ' '), 1, greatest(len(string_split(text, ' ')) - 3, 0)), ' ') AS text
        FROM documents WHERE doc_id % 5 = 0
        UNION ALL
        SELECT doc_id + $ExactIdOffset AS doc_id, text

@@ -56,10 +56,11 @@ final class GraftEngine(
     */
   def offsetWindow(project: String, collection: String,
                    predicate: org.apache.spark.sql.Column): DataFrame = {
-    val full = tableWithSystemColumns(project, collection)
+    val schema = userSchema(project, collection) // one metastore lookup
+    val full = source.read(spark, project, collection, schema)
     val ranges = graft.plans.OffsetRangePlanner.fromPredicate(full, predicate)
-    val pruned = source.withOffsetRanges(ranges)
-    pruned.read(spark, project, collection, userSchema(project, collection))
+    source.withOffsetRanges(ranges)
+      .read(spark, project, collection, schema)
       .filter(predicate)
   }
 }

@@ -81,7 +81,13 @@ object AvroSchemas {
     val keep = names.toSet
     val fields = writer.getFields.asScala.toSeq
       .filter(f => keep(f.name()))
-      .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+      .map { f =>
+        val nf = new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+        // preserve aliases — rename-based schema resolution
+        // (Schema.applyAliases) must survive reader pruning
+        f.aliases().forEach(a => nf.addAlias(a))
+        nf
+      }
     Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace, false, fields.asJava)
   }
 }

@@ -41,9 +41,13 @@ object DotDecimal {
 
   private val Scale = 12
 
-  /** Static so generated code can call it directly. */
+  /** Static so generated code can call it directly. Length mismatch ⇒ null,
+    * matching the lambda-fold reference (zip_with null-pads, poisoning the
+    * sum) — a wrong-length vector must not yield a silently-partial score.
+    */
   def dot(a: ArrayData, b: ArrayData): Decimal = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var sum = 0L
     var i = 0
     while (i < n) {

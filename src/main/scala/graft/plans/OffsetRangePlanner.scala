@@ -69,21 +69,30 @@ object OffsetRangePlanner {
   private def extract(e: Expression): Seq[OffsetRange] = e match {
     case And(l, r) => intersectAll(extract(l), extract(r))
     case Or(l, r) => extract(l) ++ extract(r)
-    case GreaterThan(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v + 1, None))
+    case GreaterThan(OffsetAttr(), Lit(v)) => above(v)
     case GreaterThanOrEqual(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v, None))
     case LessThan(OffsetAttr(), Lit(v)) => Seq(OffsetRange(0L, Some(v)))
-    case LessThanOrEqual(OffsetAttr(), Lit(v)) => Seq(OffsetRange(0L, Some(v + 1)))
-    case EqualTo(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v, Some(v + 1)))
+    case LessThanOrEqual(OffsetAttr(), Lit(v)) => upTo(v)
+    case EqualTo(OffsetAttr(), Lit(v)) => exactly(v)
     // mirrored comparisons (literal on the left)
     case GreaterThan(Lit(v), OffsetAttr()) => Seq(OffsetRange(0L, Some(v)))
-    case GreaterThanOrEqual(Lit(v), OffsetAttr()) => Seq(OffsetRange(0L, Some(v + 1)))
-    case LessThan(Lit(v), OffsetAttr()) => Seq(OffsetRange(v + 1, None))
+    case GreaterThanOrEqual(Lit(v), OffsetAttr()) => upTo(v)
+    case LessThan(Lit(v), OffsetAttr()) => above(v)
     case LessThanOrEqual(Lit(v), OffsetAttr()) => Seq(OffsetRange(v, None))
-    case EqualTo(Lit(v), OffsetAttr()) => Seq(OffsetRange(v, Some(v + 1)))
+    case EqualTo(Lit(v), OffsetAttr()) => exactly(v)
     case In(OffsetAttr(), vs) if vs.forall(Lit.unapply(_).isDefined) =>
-      vs.flatMap(Lit.unapply).map(v => OffsetRange(v, Some(v + 1)))
+      vs.flatMap(Lit.unapply).flatMap(exactly)
     case _ => Full // unknown conjunct: no pruning from this subtree
   }
+
+  // v+1 bound arithmetic, Long.MaxValue-safe: `> MAX` is empty,
+  // `<= MAX` / `>= MAX (mirrored)` are unbounded-high
+  private def above(v: Long): Seq[OffsetRange] =
+    if (v == Long.MaxValue) Nil else Seq(OffsetRange(v + 1, None))
+  private def upTo(v: Long): Seq[OffsetRange] =
+    if (v == Long.MaxValue) Seq(OffsetRange(0L, None)) else Seq(OffsetRange(0L, Some(v + 1)))
+  private def exactly(v: Long): Seq[OffsetRange] =
+    if (v == Long.MaxValue) Seq(OffsetRange(v, None)) else Seq(OffsetRange(v, Some(v + 1)))
 
   private object OffsetAttr {
     def unapply(e: Expression): Boolean = e match {

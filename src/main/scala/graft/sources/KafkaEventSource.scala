@@ -97,10 +97,16 @@ final case class KafkaEventSource(
   override def read(spark: SparkSession, project: String, collection: String,
                     schema: StructType): DataFrame = {
     val topic = SystemColumns.topicFor(project, collection)
-    val raw = offsetRanges
-      .map(r => spark.read.format("kafka").options(readOptions(topic, r)).load())
-      .reduce(_ unionAll _)
-    KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+    if (offsetRanges.isEmpty) {
+      // contradictory predicate pruned everything — empty relation, not a crash
+      val full = StructType(SystemColumns.fields ++ schema.fields)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    } else {
+      val raw = offsetRanges
+        .map(r => spark.read.format("kafka").options(readOptions(topic, r)).load())
+        .reduce(_ unionAll _)
+      KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+    }
   }
 
   /** Structured-Streaming variant (the extension the reference never had —

@@ -81,8 +81,12 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               buf match {
-                case Some(b) if t - b.lastMs <= gapMs =>
-                  buf = Some(b.copy(lastMs = math.max(b.lastMs, t), n = b.n + 1,
+                // within a gap of the session's RANGE (a late cross-batch
+                // event above the watermark may precede startMs — extend the
+                // session downward rather than mis-dating it)
+                case Some(b) if t >= b.startMs - gapMs && t - b.lastMs <= gapMs =>
+                  buf = Some(b.copy(startMs = math.min(b.startMs, t),
+                    lastMs = math.max(b.lastMs, t), n = b.n + 1,
                     total = b.total + e.value))
                 case Some(b) => // gap exceeded within the batch: close + reopen
                   closed += Session(userId, new Timestamp(b.startMs),

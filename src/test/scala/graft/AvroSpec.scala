@@ -50,6 +50,16 @@ class AvroSpec extends SparkTestBase {
     assert(AvroSchemas.toSpark(writerSchema) == writerStruct)
   }
 
+  test("project preserves field aliases (rename-based resolution survives pruning)") {
+    val json = """{"type":"record","name":"ev","fields":[
+      {"name":"new_name","aliases":["old_name"],"type":"long"},
+      {"name":"other","type":"string"}]}"""
+    val reader = new Schema.Parser().parse(json)
+    val pruned = AvroSchemas.project(reader, Seq("new_name"))
+    assert(pruned.getFields.size() == 1)
+    assert(pruned.getFields.get(0).aliases().contains("old_name"))
+  }
+
   test("decodes records incl. null-union branches and arrays") {
     val rows = df.select(GF.from_avro(col("value"), writerSchema.toString).as("e"))
       .select("e.*").orderBy("user_id").collect()

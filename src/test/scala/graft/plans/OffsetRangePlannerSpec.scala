@@ -94,6 +94,13 @@ class OffsetRangePlannerSpec extends SparkTestBase {
     assert(plan(lit(7L) > off) == Seq(OffsetRange(0, Some(7))))
   }
 
+  test("contradictory predicates prune to empty; Long.MaxValue bounds don't overflow") {
+    assert(plan(off >= 10 && off < 5).isEmpty)
+    assert(plan(off <= Long.MaxValue) == Seq(OffsetRange(0, None)))
+    assert(plan(off > Long.MaxValue).isEmpty)
+    assert(plan(off === Long.MaxValue) == Seq(OffsetRange(Long.MaxValue, None)))
+  }
+
   test("segment splits cover the pruned range exactly, cut at boundaries") {
     val splits = OffsetRangePlanner.segmentSplits(
       boundaries = Seq(0L, 100L, 200L, 300L),
