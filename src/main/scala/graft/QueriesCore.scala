@@ -597,5 +597,125 @@ object QueriesCore {
                last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_cust
              FROM customer WHERE c_custkey <= 200
              WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-             ORDER BY c_mktsegment, c_custkey""")))
+             ORDER BY c_mktsegment, c_custkey""")),
+
+    // TPC-H Q5 shape: 6-way join graph — two broadcast dims (nation, region)
+    // + supplier broadcast after filter, lineitem⨝orders shuffle once. The
+    // n_nationkey double-role (customer AND supplier nation equal) prunes
+    // hard before aggregation.
+    NamedQuery("q32_local_supplier_volume",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1997-01-01"))
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+             GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q12 shape: conditional aggregation (CASE inside SUM).
+    NamedQuery("q33_conditional_agg",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(
+          col("l_returnflag").isin("A", "R")
+            && col("l_shipdate") >= ts("1996-01-01")
+            && col("l_shipdate") < ts("1997-01-01"))
+        val o = t(s, dir, "orders")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE l_returnflag IN ('A','R')
+               AND l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1997-01-01'
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // TPC-H Q14 shape: ratio of conditional to total revenue (two decimal
+    // sums, one double division at the end).
+    NamedQuery("q34_promo_revenue",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(
+          col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
+        val p = t(s, dir, "part")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            decSum(when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+            / decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("promo_revenue"))
+      },
+      Some(s"""SELECT 100.0 * ${sqlDecSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'""")),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates — Catalyst
+    // must push the common l_partkey = p_partkey conjunct into the join and
+    // keep the OR as residual.
+    NamedQuery("q35_disjunctive_predicates",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+              && col("l_quantity").between(1, 21)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(10, 30)
+              && col("l_quantity").between(20, 40)))
+          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+             count(*) AS n
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+                OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)""")),
+
+    // Pivot: wide-format aggregation (groupBy.pivot). Oracle is the
+    // equivalent manual CASE aggregation — deterministic and dialect-free.
+    NamedQuery("q36_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .filter(col("user_id") < 50)
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
+             FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")))
 }
