@@ -717,5 +717,21 @@ object QueriesCore {
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
-             FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")))
+             FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
+
+    // Exact interpolated percentiles (Presto's approx_percentile was an
+    // event-analytics staple; the exact form is cross-engine checkable:
+    // both engines use linear interpolation at rank (n-1)*q).
+    NamedQuery("q37_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.95) AS p95,
+             min(value) AS mn, max(value) AS mx
+             FROM events GROUP BY event_type ORDER BY event_type""")))
 }
