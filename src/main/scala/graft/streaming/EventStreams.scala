@@ -43,6 +43,33 @@ object EventStreams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** Streaming exact dedup on business key within the watermark horizon —
+    * the streaming face of the dedup family (state is bounded by the
+    * watermark, unlike plain dropDuplicates whose state grows forever).
+    */
+  def dedupedStream(events: DataFrame, tsCol: String, watermark: String,
+                    keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner join with event-time bounds: each click joined to
+    * the same user's errors within `windowSec` BEFORE it. Both sides'
+    * state stores are bounded by watermark + the time-range condition.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame, watermark: String,
+                     windowSec: Long): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id").as("e_user"), col("ts").as("err_ts"))
+    c.join(e,
+      col("user_id") === col("e_user")
+        && col("err_ts") >= col("click_ts") - expr(s"INTERVAL $windowSec SECONDS")
+        && col("err_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_ts"), col("err_ts"))
+  }
+
   final case class Event(user_id: Long, event_type: String, ts: Timestamp, value: Double)
 
   final case class Session(

@@ -68,6 +68,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats of the key within the watermark") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupedStream(input.toDF(), "ts", "10 seconds", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, "click", ts(0), 1.0), Event(1, "click", ts(2), 2.0),
+        Event(1, "view", ts(3), 3.0), Event(2, "click", ts(4), 4.0))
+      q.processAllAvailable()
+      input.addData(Event(1, "click", ts(5), 5.0)) // still within horizon: dup
+      q.processAllAvailable()
+      val rows = s0.table("dedup").collect()
+      assert(rows.length == 3, s"got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches errors within the time window before each click") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = EventStreams.clickErrorJoin(
+      clicks.toDF().filter($"event_type" === "click"),
+      errors.toDF().filter($"event_type" === "error"),
+      watermark = "10 seconds", windowSec = 30)
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      errors.addData(Event(1, "error", ts(10), 0), Event(1, "error", ts(100), 0))
+      clicks.addData(Event(1, "click", ts(20), 0), Event(1, "click", ts(90), 0))
+      q.processAllAvailable()
+      // advance both watermarks so results emit (distinct users so the
+      // probe events can't join each other)
+      errors.addData(Event(8, "error", ts(500), 0))
+      clicks.addData(Event(9, "click", ts(500), 0))
+      q.processAllAvailable()
+      val rows = s0.table("ssj").collect()
+        .map(r => ((r.getTimestamp(1).getTime - Base) / 1000, (r.getTimestamp(2).getTime - Base) / 1000))
+        .toSet
+      // click@20 matches error@10 (within 30 s before); click@90 matches
+      // neither (error@100 is after it, error@10 is 80 s before)
+      assert(rows == Set((20L, 10L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionization emits on event-time timeout") {
     val s0 = spark
     import s0.implicits._
