@@ -217,6 +217,9 @@ object QueriesPipeline {
     NamedQuery("p03_dedup_minhash_lsh",
       (s, dir) => {
         import MinHashParams._
+        // NOTE: the shingle index feeds 4 subtrees; .persist() was tried and
+        // is a net LOSS here (materialization blocks pipelining and the
+        // recomputed branches are scan-light after column pruning)
         val sh = shingleHashes(Corpus.docs(s, dir))
         val sigCols = (0 until K).map(i =>
           min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))

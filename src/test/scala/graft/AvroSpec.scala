@@ -94,6 +94,26 @@ class AvroSpec extends SparkTestBase {
     assert(decoded.filter(col("e").isNotNull).count() == 2)
   }
 
+  test("encode->decode round-trip is identity over random values (property)") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.functions.{GraftFunctions => GFF}
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      (if (rnd.nextBoolean()) Some(rnd.nextLong()) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextString(rnd.nextInt(20))) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble()) else None,
+        if (rnd.nextBoolean()) Some((0 until rnd.nextInt(5)).map(_ => rnd.nextInt().toString)) else None)
+    }
+    val df = rows.toDF("user_id", "event_type", "value", "tags")
+    val schemaJson = AvroSchemas.toAvro(df.schema, "rt").toString
+    val back = df
+      .select(GFF.to_avro(struct(df.columns.map(col): _*), schemaJson).as("v"))
+      .select(GFF.from_avro(col("v"), schemaJson).as("e"))
+      .select("e.*")
+    assert(back.collect().toSeq.sortBy(_.toString) == df.collect().toSeq.sortBy(_.toString))
+  }
+
   test("PruneAvroDecode rewrites the reader schema to referenced fields only") {
     val s0 = spark
     import s0.implicits._
