@@ -42,19 +42,12 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
       }
     }
 
-  override def listProjects: Seq[String] = listDir(Paths.get(root)) {
+  override def listProjects: Seq[String] = graft.util.Fs.listDir(Paths.get(root)) {
     _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
   }
 
-  override def listCollections(project: String): Seq[String] = listDir(dir(project)) {
-    _.map(_.getFileName.toString).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
-  }
-
-  // Files.list holds a directory handle until closed — leak-free iteration
-  private def listDir(p: Path)(f: Iterator[Path] => Iterator[String]): Seq[String] = {
-    if (!Files.exists(p)) return Nil
-    val stream = Files.list(p)
-    try f(stream.iterator().asScala).toSeq.sorted
-    finally stream.close()
-  }
+  override def listCollections(project: String): Seq[String] =
+    graft.util.Fs.listDir(dir(project)) {
+      _.map(_.getFileName.toString).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+    }
 }

@@ -45,8 +45,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   private def pathFor(ident: Identifier): java.nio.file.Path = {
     val base = java.nio.file.Paths.get(root)
     ident.namespace() match {
-      case Array(p) if p == defaultProject => base.resolve(s"${ident.name}.parquet")
-      case Array(p) => base.resolve(p).resolve(s"${ident.name}.parquet")
+      case Array(p) =>
+        // nested tree wins; the flat fixture layout only backs the default
+        // project (so a REAL <root>/<defaultProject>/ dir is never shadowed)
+        val nested = base.resolve(p).resolve(s"${ident.name}.parquet")
+        if (java.nio.file.Files.exists(nested)) nested
+        else if (p == defaultProject) base.resolve(s"${ident.name}.parquet")
+        else nested
       case _ => base.resolve(s"${ident.name}.parquet")
     }
   }
@@ -69,22 +74,21 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       classOf[ParquetFileFormat])
   }
 
+  private def parquetNames(dir: java.nio.file.Path): Seq[String] =
+    graft.util.Fs.listDir(dir) {
+      _.map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet"))
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = namespace match {
-      case Array(p) if p == defaultProject => java.nio.file.Paths.get(root)
-      case Array(p) => java.nio.file.Paths.get(root, p)
-      case _ => java.nio.file.Paths.get(root)
+    val names = namespace match {
+      case Array(p) if p == defaultProject =>
+        (parquetNames(java.nio.file.Paths.get(root))
+          ++ parquetNames(java.nio.file.Paths.get(root, p))).distinct.sorted
+      case Array(p) => parquetNames(java.nio.file.Paths.get(root, p))
+      case _ => parquetNames(java.nio.file.Paths.get(root))
     }
-    if (!java.nio.file.Files.exists(dir)) Array.empty
-    else {
-      val stream = java.nio.file.Files.list(dir)
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet"))
-        .map(f => Identifier.of(namespace, f.stripSuffix(".parquet")))
-        .toArray
-      finally stream.close()
-    }
+    names.map(Identifier.of(namespace, _)).toArray
   }
 
   // ---- read-only: reference parity (KafkaConnector.java:83-87) ----
@@ -100,17 +104,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces = projects ----
   override def listNamespaces(): Array[Array[String]] = {
-    val base = java.nio.file.Paths.get(root)
-    val nested =
-      if (!java.nio.file.Files.exists(base)) Array.empty[Array[String]]
-      else {
-        val stream = java.nio.file.Files.list(base)
-        try stream.iterator().asScala
-          .filter(java.nio.file.Files.isDirectory(_))
-          .map(d => Array(d.getFileName.toString)).toArray
-        finally stream.close()
-      }
-    Array(Array(defaultProject)) ++ nested
+    val nested = graft.util.Fs.listDir(java.nio.file.Paths.get(root)) {
+      _.filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString)
+    }
+    (defaultProject +: nested).distinct.map(Array(_)).toArray
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =

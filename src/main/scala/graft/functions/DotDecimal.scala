@@ -30,8 +30,14 @@ case class DotDecimal(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotDecimal.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
+  // dot() returns null on length mismatch — defineCodeGen cannot represent a
+  // null RESULT (it only null-checks inputs), so set isNull explicitly
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotDecimal.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.DotDecimal.dot($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDecimal =
     copy(left = newLeft, right = newRight)

@@ -70,29 +70,38 @@ object OffsetRangePlanner {
     case And(l, r) => intersectAll(extract(l), extract(r))
     case Or(l, r) => extract(l) ++ extract(r)
     case GreaterThan(OffsetAttr(), Lit(v)) => above(v)
-    case GreaterThanOrEqual(OffsetAttr(), Lit(v)) => Seq(OffsetRange(v, None))
-    case LessThan(OffsetAttr(), Lit(v)) => Seq(OffsetRange(0L, Some(v)))
+    case GreaterThanOrEqual(OffsetAttr(), Lit(v)) => from(v)
+    case LessThan(OffsetAttr(), Lit(v)) => below(v)
     case LessThanOrEqual(OffsetAttr(), Lit(v)) => upTo(v)
     case EqualTo(OffsetAttr(), Lit(v)) => exactly(v)
     // mirrored comparisons (literal on the left)
-    case GreaterThan(Lit(v), OffsetAttr()) => Seq(OffsetRange(0L, Some(v)))
+    case GreaterThan(Lit(v), OffsetAttr()) => below(v)
     case GreaterThanOrEqual(Lit(v), OffsetAttr()) => upTo(v)
     case LessThan(Lit(v), OffsetAttr()) => above(v)
-    case LessThanOrEqual(Lit(v), OffsetAttr()) => Seq(OffsetRange(v, None))
+    case LessThanOrEqual(Lit(v), OffsetAttr()) => from(v)
     case EqualTo(Lit(v), OffsetAttr()) => exactly(v)
     case In(OffsetAttr(), vs) if vs.forall(Lit.unapply(_).isDefined) =>
       vs.flatMap(Lit.unapply).flatMap(exactly)
     case _ => Full // unknown conjunct: no pruning from this subtree
   }
 
-  // v+1 bound arithmetic, Long.MaxValue-safe: `> MAX` is empty,
-  // `<= MAX` / `>= MAX (mirrored)` are unbounded-high
+  // Bound arithmetic, safe at both domain edges: offsets live in [0, MAX],
+  // so `> MAX` / `< 0` / `= negative` are empty, `<= MAX` unbounded-high,
+  // and negative lower bounds clamp to 0.
   private def above(v: Long): Seq[OffsetRange] =
-    if (v == Long.MaxValue) Nil else Seq(OffsetRange(v + 1, None))
+    if (v == Long.MaxValue) Nil else from(v + 1) // v+1 safe: v < MAX
+  private def from(v: Long): Seq[OffsetRange] =
+    Seq(OffsetRange(math.max(0L, v), None))
+  private def below(v: Long): Seq[OffsetRange] =
+    if (v <= 0L) Nil else Seq(OffsetRange(0L, Some(v)))
   private def upTo(v: Long): Seq[OffsetRange] =
-    if (v == Long.MaxValue) Seq(OffsetRange(0L, None)) else Seq(OffsetRange(0L, Some(v + 1)))
+    if (v < 0L) Nil
+    else if (v == Long.MaxValue) Seq(OffsetRange(0L, None))
+    else Seq(OffsetRange(0L, Some(v + 1)))
   private def exactly(v: Long): Seq[OffsetRange] =
-    if (v == Long.MaxValue) Seq(OffsetRange(v, None)) else Seq(OffsetRange(v, Some(v + 1)))
+    if (v < 0L) Nil
+    else if (v == Long.MaxValue) Seq(OffsetRange(v, None))
+    else Seq(OffsetRange(v, Some(v + 1)))
 
   private object OffsetAttr {
     def unapply(e: Expression): Boolean = e match {

@@ -117,7 +117,11 @@ final case class KafkaEventSource(
   def readStream(spark: SparkSession, project: String, collection: String,
                  schema: StructType): DataFrame = {
     val topic = SystemColumns.topicFor(project, collection)
-    val start = offsetRanges.headOption.getOrElse(OffsetRange(0L, None))
+    // batch read() returns an empty relation for Nil ranges; the streaming
+    // analogue would be "everything from 0", the OPPOSITE — refuse loudly
+    require(offsetRanges.nonEmpty,
+      s"predicate prunes every offset of $topic - nothing to stream")
+    val start = offsetRanges.head
     val opts = readOptions(topic, OffsetRange(start.start, None)) - "endingOffsets"
     val raw = spark.readStream.format("kafka").options(opts).load()
     KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)

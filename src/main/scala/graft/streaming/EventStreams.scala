@@ -108,14 +108,18 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               buf match {
-                // within a gap of the session's RANGE (a late cross-batch
-                // event above the watermark may precede startMs — extend the
-                // session downward rather than mis-dating it)
-                case Some(b) if t >= b.startMs - gapMs && t - b.lastMs <= gapMs =>
+                // a very-late event (above watermark but more than a gap
+                // BEFORE the open session) is its own past session — emit it
+                // alone; do NOT fragment the still-live session
+                case Some(b) if t < b.startMs - gapMs =>
+                  closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                // within a gap of the session's range (late events above the
+                // watermark may precede startMs — extend downward)
+                case Some(b) if t - b.lastMs <= gapMs =>
                   buf = Some(b.copy(startMs = math.min(b.startMs, t),
                     lastMs = math.max(b.lastMs, t), n = b.n + 1,
                     total = b.total + e.value))
-                case Some(b) => // gap exceeded within the batch: close + reopen
+                case Some(b) => // gap exceeded forward: close + reopen
                   closed += Session(userId, new Timestamp(b.startMs),
                     new Timestamp(b.lastMs), b.n, b.total)
                   buf = Some(SessionBuf(t, t, 1, e.value))

@@ -51,6 +51,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("DotDecimal yields null (not NPE) for mismatched lengths under codegen") {
+    val s0 = spark
+    import s0.implicits._
+    // RDD-backed so the projection actually codegens (LocalRelation would fold)
+    val df = s0.createDataset(s0.sparkContext.parallelize(
+      Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), (Array(1.0, 2.0), Array(3.0, 4.0))), 1))
+      .toDF("a", "b")
+    val rows = df.select(GF.dotDecimal(col("a"), col("b")).cast("double").as("d"))
+      .collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.exists(r => !r.isNullAt(0) && r.getDouble(0) == 11.0))
+  }
+
   test("dotDecimal/cosine are exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")

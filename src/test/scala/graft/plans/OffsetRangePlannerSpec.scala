@@ -101,6 +101,15 @@ class OffsetRangePlannerSpec extends SparkTestBase {
     assert(plan(off === Long.MaxValue) == Seq(OffsetRange(Long.MaxValue, None)))
   }
 
+  test("negative bounds clamp or empty (offsets live in [0, MAX])") {
+    assert(plan(off < -3).isEmpty)
+    assert(plan(off <= -1).isEmpty)
+    assert(plan(off === -1).isEmpty)
+    assert(plan(lit(-3L) > off).isEmpty)
+    assert(plan(off >= -5) == Seq(OffsetRange(0, None)))
+    assert(plan(off > -5) == Seq(OffsetRange(0, None)))
+  }
+
   test("segment splits cover the pruned range exactly, cut at boundaries") {
     val splits = OffsetRangePlanner.segmentSplits(
       boundaries = Seq(0L, 100L, 200L, 300L),
