@@ -719,6 +719,55 @@ object QueriesCore {
              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
              FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
 
+    // Unpivot/melt: wide → long (the inverse of q36), via stack().
+    NamedQuery("q38_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(decSum(col("l_quantity")).as("qty"),
+          decSum(col("l_extendedprice")).as("price"),
+          decSum(col("l_tax")).as("tax"))
+        .select(col("l_returnflag"),
+          expr("stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, v)"))
+        .orderBy(col("l_returnflag"), col("measure")),
+      Some(s"""WITH w AS (
+               SELECT l_returnflag, ${sqlDecSum("l_quantity")} AS qty,
+                      ${sqlDecSum("l_extendedprice")} AS price,
+                      ${sqlDecSum("l_tax")} AS tax
+               FROM lineitem GROUP BY l_returnflag)
+             SELECT l_returnflag, measure, v FROM (
+               SELECT l_returnflag, 'qty' AS measure, qty AS v FROM w
+               UNION ALL SELECT l_returnflag, 'price', price FROM w
+               UNION ALL SELECT l_returnflag, 'tax', tax FROM w)
+             ORDER BY l_returnflag, measure""")),
+
+    // Schema evolution through the correctness gate: rows encoded under the
+    // v1 writer schema, decoded under an EVOLVED reader — a renamed column
+    // (alias maps old name) plus a new nullable column (defaults to null) —
+    // the ResolvingDecoder semantics of C6 (reference PageDatumReader.java:68-93)
+    // hash-checked against the original rows.
+    NamedQuery("q39_avro_schema_evolution",
+      (s, dir) => {
+        import graft.functions.{AvroSchemas, GraftFunctions => GF}
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+        val writer = AvroSchemas.toAvro(ev.schema, "ev")
+        // evolved reader: user_id renamed to uid (alias resolves), new
+        // nullable col absent from the writer
+        val readerJson =
+          """{"type":"record","name":"ev","namespace":"graft","fields":[
+             {"name":"uid","aliases":["user_id"],"type":["null","long"],"default":null},
+             {"name":"event_type","type":["null","string"],"default":null},
+             {"name":"added_later","type":["null","string"],"default":null}]}"""
+        ev.select(GF.to_avro(struct(col("user_id"), col("event_type")), writer.toString).as("payload"))
+          .select(GF.from_avro(col("payload"), writer.toString, readerJson).as("e"))
+          .groupBy(col("e.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("e.uid")).as("sum_uid"),
+            count(col("e.added_later")).as("n_new_col"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, sum(user_id)::BIGINT AS sum_uid,
+             0::BIGINT AS n_new_col
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Exact interpolated percentiles (Presto's approx_percentile was an
     // event-analytics staple; the exact form is cross-engine checkable:
     // both engines use linear interpolation at rank (n-1)*q).
