@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.SystemColumns
+
+/** Event collections stored as line-delimited JSON or CSV files — the
+  * remaining batch source formats beside parquet fixtures and Kafka. Layout
+  * `<root>/<collection>.<ext>`; the metastore schema is authoritative (no
+  * inference — parity with the reference's metastore-driven typing,
+  * SURVEY.md §1.3), malformed rows drop (C6 semantics), system columns are
+  * synthesized like every other source (C7): `_offset` from an explicit
+  * offset column when the collection has one, else null.
+  */
+final case class FileEventSource(
+    rootDir: String,
+    format: String, // "json" | "csv"
+    offsetColumns: Map[String, String] = ParquetEventSource.defaultOffsetColumns)
+    extends EventSource {
+
+  require(format == "json" || format == "csv", s"unsupported format: $format")
+
+  override def read(spark: SparkSession, project: String, collection: String,
+                    schema: StructType): DataFrame = {
+    // DROPMALFORMED = the reference's log-and-skip row handling
+    val reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+    val raw = format match {
+      case "json" => reader.json(s"$rootDir/$collection.json")
+      case "csv" => reader.option("header", "true").csv(s"$rootDir/$collection.csv")
+    }
+    val offset: Column = offsetColumns.get(collection) match {
+      case Some(c) if raw.columns.contains(c) => col(c).cast("long")
+      case _ => lit(null).cast("long")
+    }
+    raw.select(
+      (offset.as(SystemColumns.Offset) ::
+        lit(project).as(SystemColumns.Project) ::
+        lit(collection).as(SystemColumns.Collection) ::
+        Nil) ++ schema.fieldNames.toSeq.map(col): _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression guards: the properties SCALING.md claims must be
+  * visible in the physical plan, pinned here so they can't silently rot.
+  */
+class ScaleSpec extends SparkTestBase {
+
+  private val queries = SparkEntry.queries
+
+  private def plan(name: String): String =
+    queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), IsNotNull(p_type), " +
+      "GreaterThanOrEqual(p_size,40), EqualTo(p_type,ECONOMY)]"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string,p_type:string," +
+      "p_size:int,p_retailprice:double>"), p)
+  }
+
+  test("q07: dimension joins are broadcast, fact side never shuffles for them") {
+    val p = plan("q07_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q27: _offset predicate pushes through the system-column alias to the scan") {
+    val p = plan("q27_offset_window")
+    assert(p.contains("GreaterThanOrEqual(event_id,1000)") &&
+      p.contains("LessThan(event_id,9000)"), p)
+  }
+
+  test("q19 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q19_top_k")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q30 as-of join: exactly one hash shuffle, no join operator at all") {
+    val p = plan("q30_asof_join")
+    assert(!p.contains("Join"), p) // union+window carry, not an inequality join
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // explicit paths → external tables; the (static) warehouse dir is unused
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val s0 = spark
+    val o = Tables.load(s0, sfDir, "orders")
+    val c = Tables.load(s0, sfDir, "customer")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/b_customer").saveAsTable("b_customer")
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s0.table("b_orders")
+        .join(s0.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // bucket pruning: neither join input has a shuffle exchange
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(o_custkey"), p)
+      assert(!joinSection.contains("Exchange hashpartitioning(c_custkey"), p)
+      // and results are right
+      assert(joined.agg(sum("n")).head().getLong(0) == o.count())
+    } finally {
+      s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s0.sql("DROP TABLE IF EXISTS b_orders")
+      s0.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}
