@@ -647,6 +647,37 @@ object QueriesPipeline {
              SELECT q_id, rank, n_id, score FROM ranked
              WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ------------------------------------------- p15 multimodal frame-sample
+    // Frame sampling over chunked binary media (the video-shaped multimodal
+    // op): treat the blob as fixed-size frames (32 bytes), sample every 4th,
+    // fingerprint each sampled frame. Pure per-row map work (sequence +
+    // transform + explode, codegen'd) — the shape a real frame decoder plugs
+    // into; the fingerprint stands in for the decoded-frame feature (STUB,
+    // decoding libs absent). ASCII fixture text ⇒ byte == char, so the
+    // oracle replays with substring arithmetic.
+    NamedQuery("p15_multimodal_frame_sample",
+      (s, dir) => {
+        val frameLen = 32
+        val stride = 4
+        val nFrames = floor(length(col("text")) / frameLen).cast("int")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))).as("frame_idx"))
+          .filter(length(col("text")) >= frameLen) // at least one whole frame
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            GF.poly_hash(col("text").substr(col("frame_idx") * frameLen + 1, lit(frameLen)))
+              .as("fhash"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(s"""SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+               ${PolyHash.oracleSql("substring(text, (frame_idx * 32 + 1)::INT, 32)")} AS fhash
+             FROM (
+               SELECT doc_id, text,
+                      unnest(generate_series(0, greatest((length(text) // 32) - 1, 0), 4)) AS frame_idx
+               FROM documents)
+             WHERE length(text) >= 32
+             ORDER BY doc_id, frame_idx""")),
+
     // ------------------------------------------------ p13 portable HLL UDAF
     // Custom typed Aggregator (portable, mergeable sketch bytes) — the
     // pre-aggregated event-analytics pattern. No oracle (sketch estimates
