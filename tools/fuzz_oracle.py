@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Differential SQL fuzzer: generate random aggregation queries in the
+Spark∩DuckDB dialect, run them through graft.RunSql (Spark) and DuckDB,
+compare exactly. Determinism rules: only exact aggregates (count/min/max,
+integer sums, avg-of-int = one exact division), categorical group keys,
+total ORDER BY. Usage:
+    python3 tools/fuzz_oracle.py [sfDir] [nQueries] [seed]
+"""
+import json, random, subprocess, sys
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+OUT = "/tmp/fuzz_out"
+QFILE = "/tmp/fuzz_queries.json"
+
+rng = random.Random(SEED)
+
+TABLES = {
+    "lineitem": {
+        "group": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "double": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "predcols": [("l_orderkey", "int", (1, 60000)), ("l_quantity", "num", (1, 50)),
+                     ("l_returnflag", "str", ["A", "N", "R"]), ("l_discount", "num", (0, 0.1))],
+    },
+    "orders": {
+        "group": ["o_orderstatus", "o_orderpriority", "year(o_orderdate)"],
+        "int": ["o_orderkey", "o_custkey"],
+        "double": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "predcols": [("o_custkey", "int", (1, 15000)), ("o_totalprice", "num", (1000, 400000)),
+                     ("o_orderstatus", "str", ["F", "O", "P"])],
+    },
+    "events": {
+        "group": ["event_type", "user_id % 10"],
+        "int": ["event_id", "user_id"],
+        "double": ["value"],
+        "str": ["event_type", "props"],
+        "predcols": [("user_id", "int", (0, 1000)), ("value", "num", (0, 200)),
+                     ("event_type", "str", ["click", "view", "purchase", "error", "signup"])],
+    },
+}
+
+
+def gen_pred(t):
+    col, kind, dom = rng.choice(TABLES[t]["predcols"])
+    if kind == "int":
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        return f"{col} {op} {rng.randint(*dom)}"
+    if kind == "num":
+        op = rng.choice(["<", "<=", ">", ">="])
+        return f"{col} {op} {round(rng.uniform(*dom), 2)}"
+    vals = rng.sample(dom, k=rng.randint(1, len(dom)))
+    if len(vals) == 1:
+        return f"{col} = '{vals[0]}'"
+    return f"{col} IN ({', '.join(repr(v) for v in vals)})"
+
+
+def gen_query(i):
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    groups = rng.sample(spec["group"], k=rng.randint(1, min(2, len(spec["group"]))))
+    aggs = ["count(*) AS cnt"]
+    for j in range(rng.randint(1, 3)):
+        kind = rng.choice(["minmax_int", "minmax_double", "minmax_str", "sum_int", "avg_int", "count_col"])
+        if kind == "minmax_int":
+            c = rng.choice(spec["int"]); f = rng.choice(["min", "max"])
+            aggs.append(f"{f}({c}) AS a{j}")
+        elif kind == "minmax_double":
+            c = rng.choice(spec["double"]); f = rng.choice(["min", "max"])
+            aggs.append(f"{f}({c}) AS a{j}")
+        elif kind == "minmax_str":
+            c = rng.choice(spec["str"]); f = rng.choice(["min", "max"])
+            aggs.append(f"{f}({c}) AS a{j}")
+        elif kind == "sum_int":
+            c = rng.choice(spec["int"])
+            # CAST to BIGINT on both sides: DuckDB sums to INT128
+            aggs.append(f"CAST(sum({c}) AS BIGINT) AS a{j}")
+        elif kind == "avg_int":
+            c = rng.choice(spec["int"])
+            aggs.append(f"avg({c}) AS a{j}")
+        else:
+            c = rng.choice(spec["str"])
+            aggs.append(f"count({c}) AS a{j}")
+    where = ""
+    if rng.random() < 0.7:
+        preds = [gen_pred(t) for _ in range(rng.randint(1, 2))]
+        where = " WHERE " + rng.choice([" AND ", " OR "]).join(preds)
+    gsel = [f"{g} AS g{k}" for k, g in enumerate(groups)]
+    gnames = [f"g{k}" for k in range(len(groups))]
+    return (f"f{i:03d}",
+            f"SELECT {', '.join(gsel + aggs)} FROM {t}{where} "
+            f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
+
+
+queries = dict(gen_query(i) for i in range(N))
+json.dump(queries, open(QFILE, "w"), indent=1)
+print(f"generated {N} queries (seed {SEED}) -> {QFILE}")
+
+r = subprocess.run(["sbt", "-batch", f"runMain graft.RunSql {SF_DIR} {QFILE} {OUT}"],
+                   capture_output=True, text=True, cwd="/root/repo")
+for l in (r.stdout + r.stderr).splitlines():
+    if "[runsql]" in l:
+        print(l)
+if r.returncode != 0:
+    print("SPARK RUN FAILED"); sys.exit(1)
+
+import duckdb, math
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+fails = passes = 0
+for name, sql in sorted(queries.items()):
+    try:
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+        cols = [c.lower() for c in got_rel.columns]
+        got = sorted(map(tuple, got_rel.fetchall()), key=str)
+        want_rel = con.sql(sql)
+        wcols = [c.lower() for c in want_rel.columns]
+        want = sorted(map(tuple, want_rel.fetchall()), key=str)
+    except Exception as e:
+        print(f"FAIL {name}: EXEC {e}\n  {sql}"); fails += 1; continue
+    if cols != wcols:
+        print(f"FAIL {name}: COLS {cols} vs {wcols}\n  {sql}"); fails += 1; continue
+    if got != want:
+        print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+        for g, w in list(zip(got, want))[:3]:
+            if g != w:
+                print(f"  spark={g}\n  duck ={w}")
+        print(f"  {sql}")
+        fails += 1
+        continue
+    passes += 1
+
+print(f"\n{passes}/{len(queries)} fuzz queries match exactly")
+sys.exit(1 if fails else 0)
