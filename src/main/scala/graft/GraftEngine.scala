@@ -48,6 +48,17 @@ final class GraftEngine(
     table(project, collection)
       .createOrReplaceTempView(SystemColumns.topicFor(project, collection))
 
+  /** Register every collection the metastore lists and run a SQL query over
+    * the `<project>_<collection>` views — discovery-driven, which the
+    * reference could never do (its listTables was empty by design,
+    * `KafkaMetadata.java:69-74,91-97`; SURVEY.md §4 known bugs).
+    */
+  def sql(query: String): DataFrame = {
+    metastore.listProjects.foreach(p =>
+      metastore.listCollections(p).foreach(c => register(p, c)))
+    spark.sql(query)
+  }
+
   /** Offset-windowed scan — the reference's core query shape (`SELECT …
     * WHERE _offset …`, C3): plan the predicate into pruned [[graft.plans.OffsetRange]]s,
     * specialize the source to them (Kafka reads only those windows; parquet

@@ -65,6 +65,15 @@ class EngineWiringSpec extends SparkTestBase {
     assert(back.collect().map(_.getString(0)).toSet == Set("click", "view"))
   }
 
+  test("engine.sql discovers collections from the metastore and queries them") {
+    val eng = GraftEngine.overFixtures(spark, sfDir)
+    val out = eng.sql(
+      """SELECT e.event_type, count(*) AS n
+        |FROM tpch_events e JOIN tpch_customer c ON e.user_id % 100 = c.c_custkey % 100
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    assert(out.count() > 0)
+  }
+
   test("exact counts across many input partitions (TestManySegments invariant)") {
     // the reference proved split-boundary correctness by exact count over
     // many tiny segments (TestManySegments.java:102-108); analogue: same
