@@ -54,10 +54,29 @@ final class GraftEngine(
     * `KafkaMetadata.java:69-74,91-97`; SURVEY.md §4 known bugs).
     */
   def sql(query: String): DataFrame = {
-    metastore.listProjects.foreach(p =>
-      metastore.listCollections(p).foreach(c => register(p, c)))
+    val all = for {
+      p <- metastore.listProjects
+      c <- metastore.listCollections(p)
+    } yield (p, c)
+    // topic naming is ambiguous under underscores (a.b_c and a_b.c both
+    // map to view a_b_c) — refuse rather than silently shadow
+    val collisions = all.groupBy { case (p, c) => SystemColumns.topicFor(p, c) }
+      .filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      s"ambiguous view names (project_collection collide): $collisions")
+    all.foreach { case (p, c) =>
+      // a stale metastore entry (missing backing data) must not take down
+      // queries that never touch it
+      try register(p, c)
+      catch { case e: Exception =>
+        logWarning(s"skipping unreadable collection $p.$c: ${e.getMessage}")
+      }
+    }
     spark.sql(query)
   }
+
+  private def logWarning(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
 
   /** Offset-windowed scan — the reference's core query shape (`SELECT …
     * WHERE _offset …`, C3): plan the predicate into pruned [[graft.plans.OffsetRange]]s,

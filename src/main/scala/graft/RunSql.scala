@@ -27,13 +27,33 @@ object RunSql {
     // minimal JSON object parser for {"name": "sql", ...} with escaped strings
     val text = Files.readString(Paths.get(queryFile))
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unescape(s: String): String = s
-      .replace("\\n", "\n").replace("\\t", "\t").replace("\\\"", "\"").replace("\\\\", "\\")
+    // single left-to-right scan: naive sequential replace() corrupts "\\n"
+    // (escaped backslash followed by n) into backslash+newline
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'u' if i + 5 < s.length =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 4
+            case other => sb += other // covers \" \\ \/ etc.
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
     entry.findAllMatchIn(text).foreach { m =>
       val (name, sql) = (unescape(m.group(1)), unescape(m.group(2)))
       try spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[runsql] $name failed: ${e.getMessage.linesIterator.next()}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[runsql] $name failed: ${msg.linesIterator.next()}")
       }
     }
     spark.stop()

@@ -105,7 +105,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces = projects ----
   override def listNamespaces(): Array[Array[String]] = {
     val nested = graft.util.Fs.listDir(java.nio.file.Paths.get(root)) {
-      _.filter(java.nio.file.Files.isDirectory(_)).map(_.getFileName.toString)
+      _.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        // Spark writes tables AS directories named <t>.parquet — those are
+        // tables of the default project, not projects
+        .filterNot(_.endsWith(".parquet"))
     }
     (defaultProject +: nested).distinct.map(Array(_)).toArray
   }

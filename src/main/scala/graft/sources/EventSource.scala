@@ -24,6 +24,27 @@ trait EventSource {
   def withOffsetRanges(ranges: Seq[graft.plans.OffsetRange]): EventSource = this
 }
 
+object EventSource {
+  /** Shared system-column synthesis (C7): `_offset` from the collection's
+    * declared offset column (the Kafka-offset stand-in) or null,
+    * `project`/`collection` as constants, user fields after — used by every
+    * columnar-file source.
+    */
+  def withSystemColumns(raw: DataFrame, project: String, collection: String,
+                        schema: StructType,
+                        offsetColumns: Map[String, String]): DataFrame = {
+    val offset: Column = offsetColumns.get(collection) match {
+      case Some(c) if raw.columns.contains(c) => col(c).cast("long")
+      case _ => lit(null).cast("long")
+    }
+    raw.select(
+      (offset.as(SystemColumns.Offset) ::
+        lit(project).as(SystemColumns.Project) ::
+        lit(collection).as(SystemColumns.Collection) ::
+        Nil) ++ schema.fieldNames.toSeq.map(col): _*)
+  }
+}
+
 /** Parquet-fixture source (test/bench path; TESTDATA.md layout
   * `<root>/<collection>.parquet`).
   *
@@ -42,19 +63,10 @@ final case class ParquetEventSource(
     extends EventSource {
 
   override def read(spark: SparkSession, project: String, collection: String,
-                    schema: StructType): DataFrame = {
-    val raw = graft.Tables.load(spark, rootDir, collection)
-    val offset: Column = offsetColumns.get(collection) match {
-      case Some(c) if raw.columns.contains(c) => col(c).cast("long")
-      case _ => lit(null).cast("long")
-    }
-    val userCols = schema.fieldNames.toSeq.map(col)
-    raw.select(
-      (offset.as(SystemColumns.Offset) ::
-        lit(project).as(SystemColumns.Project) ::
-        lit(collection).as(SystemColumns.Collection) ::
-        Nil) ++ userCols: _*)
-  }
+                    schema: StructType): DataFrame =
+    EventSource.withSystemColumns(
+      graft.Tables.load(spark, rootDir, collection),
+      project, collection, schema, offsetColumns)
 }
 
 object ParquetEventSource {

@@ -28,16 +28,13 @@ final case class FileEventSource(
     val reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
     val raw = format match {
       case "json" => reader.json(s"$rootDir/$collection.json")
-      case "csv" => reader.option("header", "true").csv(s"$rootDir/$collection.csv")
+      case "csv" =>
+        // enforceSchema=false validates header names against the metastore
+        // schema — a column-order mismatch fails loudly instead of silently
+        // binding values positionally
+        reader.option("header", "true").option("enforceSchema", "false")
+          .csv(s"$rootDir/$collection.csv")
     }
-    val offset: Column = offsetColumns.get(collection) match {
-      case Some(c) if raw.columns.contains(c) => col(c).cast("long")
-      case _ => lit(null).cast("long")
-    }
-    raw.select(
-      (offset.as(SystemColumns.Offset) ::
-        lit(project).as(SystemColumns.Project) ::
-        lit(collection).as(SystemColumns.Collection) ::
-        Nil) ++ schema.fieldNames.toSeq.map(col): _*)
+    EventSource.withSystemColumns(raw, project, collection, schema, offsetColumns)
   }
 }

@@ -102,36 +102,37 @@ object EventStreams {
             Iterator.single(Session(userId, new Timestamp(s.startMs),
               new Timestamp(s.lastMs), s.n, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var buf = state.getOption
-            sorted.foreach { e =>
+            // 1. sessionize this batch's (sorted) events on their own
+            val built = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
-              buf match {
-                // a very-late event (above watermark but more than a gap
-                // BEFORE the open session) is its own past session — emit it
-                // alone; do NOT fragment the still-live session
-                case Some(b) if t < b.startMs - gapMs =>
-                  closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
-                // within a gap of the session's range (late events above the
-                // watermark may precede startMs — extend downward)
+              built.lastOption match {
                 case Some(b) if t - b.lastMs <= gapMs =>
-                  buf = Some(b.copy(startMs = math.min(b.startMs, t),
-                    lastMs = math.max(b.lastMs, t), n = b.n + 1,
-                    total = b.total + e.value))
-                case Some(b) => // gap exceeded forward: close + reopen
-                  closed += Session(userId, new Timestamp(b.startMs),
-                    new Timestamp(b.lastMs), b.n, b.total)
-                  buf = Some(SessionBuf(t, t, 1, e.value))
-                case None =>
-                  buf = Some(SessionBuf(t, t, 1, e.value))
+                  built(built.length - 1) =
+                    b.copy(lastMs = t, n = b.n + 1, total = b.total + e.value)
+                case _ => built += SessionBuf(t, t, 1, e.value)
               }
             }
-            buf.foreach { b =>
-              state.update(b)
-              state.setTimeoutTimestamp(b.lastMs + gapMs)
+            // 2. merge the carried open session and the batch sessions as
+            // gap-separated intervals (sorted by start, so late events above
+            // the watermark extend sessions downward instead of fragmenting
+            // them); the LATEST merged interval stays open — it may still
+            // grow — and every earlier one is complete and emits now
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+            (state.getOption.toSeq ++ built).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+              merged.lastOption match {
+                case Some(b) if s.startMs <= b.lastMs + gapMs =>
+                  merged(merged.length - 1) = SessionBuf(
+                    math.min(b.startMs, s.startMs), math.max(b.lastMs, s.lastMs),
+                    b.n + s.n, b.total + s.total)
+                case _ => merged += s
+              }
             }
-            closed.iterator
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            merged.init.iterator.map(s => Session(userId,
+              new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total))
           }
       }
   }
