@@ -647,6 +647,37 @@ object QueriesPipeline {
              SELECT q_id, rank, n_id, score FROM ranked
              WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // ---------------------------------------------- p16 multimodal resize
+    // "Resize" = downsampling the extracted feature map: the 16-bucket byte
+    // histogram (p12's decode-stub output) sum-pooled 4:1 — the second
+    // pipeline stage a real image resize occupies (decode → features →
+    // pooled features), expressed as a plain aggregation over the typed
+    // extraction output.
+    NamedQuery("p16_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        val feats = media.as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val hist = new Array[Long](16)
+              var i = 0
+              while (i < bytes.length) { hist((bytes(i) & 0x7f) >> 3) += 1; i += 1 }
+              (id, hist.toSeq)
+            }
+          }.toDF("doc_id", "hist")
+        feats
+          .select(col("doc_id"), posexplode(col("hist")).as(Seq("bucket", "cnt")))
+          .groupBy(col("doc_id"), (col("bucket") / 4).cast("long").as("pooled"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .orderBy(col("doc_id"), col("pooled"))
+      },
+      Some("""SELECT doc_id, (unicode(c) // 32)::BIGINT AS pooled, count(*) AS cnt
+             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+             GROUP BY doc_id, pooled ORDER BY doc_id, pooled""")),
+
     // ------------------------------------------- p15 multimodal frame-sample
     // Frame sampling over chunked binary media (the video-shaped multimodal
     // op): treat the blob as fixed-size frames (32 bytes), sample every 4th,
