@@ -79,8 +79,11 @@ def gen_query(i):
             # CAST to BIGINT on both sides: DuckDB sums to INT128
             aggs.append(f"CAST(sum({c}) AS BIGINT) AS a{j}")
         elif kind == "avg_int":
+            # NOT avg(c): DuckDB's integer-avg finalization can differ from
+            # Spark's by 1 ulp (seen at sf0.1). Exact integer sum cast to
+            # double, one division — bit-identical in both engines.
             c = rng.choice(spec["int"])
-            aggs.append(f"avg({c}) AS a{j}")
+            aggs.append(f"CAST(sum({c}) AS DOUBLE) / count({c}) AS a{j}")
         else:
             c = rng.choice(spec["str"])
             aggs.append(f"count({c}) AS a{j}")
