@@ -58,7 +58,46 @@ def gen_pred(t):
     return f"{col} IN ({', '.join(repr(v) for v in vals)})"
 
 
+JOINS = [
+    # (sql_from, usable group cols, usable agg cols by kind, pred tables)
+    ("lineitem JOIN orders ON l_orderkey = o_orderkey",
+     ["l_returnflag", "o_orderstatus", "o_orderpriority", "year(o_orderdate)"],
+     {"int": ["l_partkey", "o_custkey"], "double": ["l_quantity", "o_totalprice"],
+      "str": ["l_linestatus", "o_orderpriority"]},
+     ["lineitem", "orders"]),
+    ("orders JOIN customer ON o_custkey = c_custkey",
+     ["o_orderstatus", "c_mktsegment"],
+     {"int": ["o_orderkey", "c_nationkey"], "double": ["o_totalprice", "c_acctbal"],
+      "str": ["o_orderpriority", "c_mktsegment"]},
+     ["orders"]),
+]
+
+
+def gen_join_query(i):
+    frm, groups_all, cols, predtables = rng.choice(JOINS)
+    groups = rng.sample(groups_all, k=rng.randint(1, 2))
+    aggs = ["count(*) AS cnt"]
+    for j in range(rng.randint(1, 3)):
+        kind = rng.choice(["minmax_int", "minmax_double", "minmax_str", "sum_int"])
+        if kind == "sum_int":
+            aggs.append(f"CAST(sum({rng.choice(cols['int'])}) AS BIGINT) AS a{j}")
+        else:
+            fam = {"minmax_int": "int", "minmax_double": "double", "minmax_str": "str"}[kind]
+            aggs.append(f"{rng.choice(['min', 'max'])}({rng.choice(cols[fam])}) AS a{j}")
+    where = ""
+    if rng.random() < 0.7:
+        preds = [gen_pred(rng.choice(predtables)) for _ in range(rng.randint(1, 2))]
+        where = " WHERE " + rng.choice([" AND ", " OR "]).join(preds)
+    gsel = [f"{g} AS g{k}" for k, g in enumerate(groups)]
+    gnames = [f"g{k}" for k in range(len(groups))]
+    return (f"j{i:03d}",
+            f"SELECT {', '.join(gsel + aggs)} FROM {frm}{where} "
+            f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
+
+
 def gen_query(i):
+    if rng.random() < 0.35:
+        return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
     groups = rng.sample(spec["group"], k=rng.randint(1, min(2, len(spec["group"]))))
@@ -112,7 +151,9 @@ if r.returncode != 0:
 
 import duckdb, math
 con = duckdb.connect()
-for t in TABLES:
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+for t in ALL_TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 fails = passes = 0
