@@ -95,8 +95,47 @@ def gen_join_query(i):
             f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
 
 
+# windows are deterministic when ordered by a unique key within partition
+WINDOW_TABLES = {
+    "orders": {"part": ["o_orderstatus", "o_orderpriority"], "ukey": "o_orderkey",
+               "int": ["o_custkey"], "val": ["o_totalprice"]},
+    "events": {"part": ["event_type", "user_id % 10"], "ukey": "event_id",
+               "int": ["user_id"], "val": ["value"]},
+}
+
+
+def gen_window_query(i):
+    t = rng.choice(list(WINDOW_TABLES))
+    spec = WINDOW_TABLES[t]
+    part = rng.choice(spec["part"])
+    ukey = spec["ukey"]
+    win = f"PARTITION BY {part} ORDER BY {ukey}"
+    sels = [f"{part} AS g0", f"{ukey} AS k",
+            f"row_number() OVER ({win}) AS rn"]
+    for j, kind in enumerate(rng.sample(
+            ["rank", "lag", "lead", "runsum", "firstval"], k=rng.randint(1, 3))):
+        if kind == "rank":
+            sels.append(f"dense_rank() OVER ({win}) AS a{j}")
+        elif kind == "lag":
+            sels.append(f"lag({rng.choice(spec['val'])}, 1) OVER ({win}) AS a{j}")
+        elif kind == "lead":
+            sels.append(f"lead({ukey}, 1) OVER ({win}) AS a{j}")
+        elif kind == "runsum":
+            c = rng.choice(spec["int"])
+            sels.append(f"CAST(sum({c}) OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS a{j}")
+        else:
+            sels.append(f"first_value({ukey}) OVER ({win}) AS a{j}")
+    where = f" WHERE {gen_pred(t)}" if rng.random() < 0.6 else ""
+    return (f"w{i:03d}",
+            f"SELECT * FROM (SELECT {', '.join(sels)} FROM {t}{where}) "
+            f"WHERE rn <= 10 ORDER BY g0, rn")
+
+
 def gen_query(i):
-    if rng.random() < 0.35:
+    r = rng.random()
+    if r < 0.2:
+        return gen_window_query(i)
+    if r < 0.5:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
