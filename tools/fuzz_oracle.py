@@ -131,11 +131,55 @@ def gen_window_query(i):
             f"WHERE rn <= 10 ORDER BY g0, rn")
 
 
+SCALARS = {
+    "part": {"key": "p_partkey", "str": ["p_name", "p_brand", "p_type"],
+             "num": ["p_retailprice", "p_size"], "date": []},
+    "orders": {"key": "o_orderkey", "str": ["o_orderpriority", "o_orderstatus"],
+               "num": ["o_totalprice"], "date": ["o_orderdate"]},
+}
+
+
+def gen_scalar_query(i):
+    t = rng.choice(list(SCALARS))
+    spec = SCALARS[t]
+    key = spec["key"]
+    sels = [f"{key} AS k"]
+    for j in range(rng.randint(2, 4)):
+        kind = rng.choice(
+            ["upper", "lower", "substr", "length", "concat", "abs", "floor", "round2"]
+            + (["year", "month"] if spec["date"] else []))
+        if kind in ("upper", "lower"):
+            sels.append(f"{kind}({rng.choice(spec['str'])}) AS a{j}")
+        elif kind == "substr":
+            sels.append(f"substring({rng.choice(spec['str'])}, {rng.randint(1, 3)}, {rng.randint(2, 6)}) AS a{j}")
+        elif kind == "length":
+            sels.append(f"CAST(length({rng.choice(spec['str'])}) AS BIGINT) AS a{j}")
+        elif kind == "concat":
+            a, b = rng.choice(spec["str"]), rng.choice(spec["str"])
+            sels.append(f"concat({a}, '|', {b}) AS a{j}")
+        elif kind == "abs":
+            sels.append(f"abs({rng.choice(spec['num'])} - {rng.randint(1, 100)}) AS a{j}")
+        elif kind == "floor":
+            sels.append(f"CAST(floor({rng.choice(spec['num'])}) AS BIGINT) AS a{j}")
+        elif kind == "round2":
+            # round(double, 2): both engines round-half-even on the exact
+            # binary value? NOT portable in general — use floor of scaled
+            sels.append(f"CAST(floor({rng.choice(spec['num'])} * 4) AS BIGINT) AS a{j}")
+        elif kind == "year":
+            sels.append(f"year({rng.choice(spec['date'])}) AS a{j}")
+        else:
+            sels.append(f"month({rng.choice(spec['date'])}) AS a{j}")
+    return (f"s{i:03d}",
+            f"SELECT {', '.join(sels)} FROM {t} WHERE {key} <= 500 ORDER BY k")
+
+
 def gen_query(i):
     r = rng.random()
-    if r < 0.2:
+    if r < 0.15:
+        return gen_scalar_query(i)
+    if r < 0.35:
         return gen_window_query(i)
-    if r < 0.5:
+    if r < 0.6:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
