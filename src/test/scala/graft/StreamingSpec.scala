@@ -116,6 +116,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize merges very-late events into one past session (no fragmentation)") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    // generous watermark so deliberately-late events still reach the operator
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 5000L, watermark = "600 seconds")
+    val q = sessions.writeStream.format("memory").queryName("latemerge").outputMode("append").start()
+    try {
+      input.addData(Event(1, "a", ts(100), 1.0)) // open session at 100s
+      q.processAllAvailable()
+      // two very-late events within one gap of each other, far before the
+      // open session: must emit as ONE merged past session, and must not
+      // fragment the open one
+      input.addData(Event(1, "b", ts(10), 2.0), Event(1, "c", ts(12), 3.0))
+      q.processAllAvailable()
+      // close everything via watermark advance
+      input.addData(Event(2, "z", ts(5000), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(2, "z2", ts(10000), 0.0))
+      q.processAllAvailable()
+      val rows = s0.table("latemerge").collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+          (r.getTimestamp(2).getTime - Base) / 1000, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows.contains((1L, 10L, 12L, 2L, 5.0)), s"late pair not merged: $rows")
+      assert(rows.contains((1L, 100L, 100L, 1L, 1.0)), s"open session lost: $rows")
+      assert(rows.count(_._1 == 1L) == 2, s"fragmented: $rows")
+    } finally q.stop()
+  }
+
   test("custom flatMapGroupsWithState sessionization emits on event-time timeout") {
     val s0 = spark
     import s0.implicits._
