@@ -58,13 +58,16 @@ final class GraftEngine(
       p <- metastore.listProjects
       c <- metastore.listCollections(p)
     } yield (p, c)
-    // topic naming is ambiguous under underscores (a.b_c and a_b.c both
-    // map to view a_b_c) — refuse rather than silently shadow
-    val collisions = all.groupBy { case (p, c) => SystemColumns.topicFor(p, c) }
-      .filter(_._2.size > 1)
-    require(collisions.isEmpty,
-      s"ambiguous view names (project_collection collide): $collisions")
-    all.foreach { case (p, c) =>
+    // topic naming is ambiguous under underscores (a.b_c and a_b.c both map
+    // to view a_b_c) — skip ONLY the colliding group (silent shadowing would
+    // return wrong data; failing everything would take down queries that
+    // never touch the ambiguous name, same principle as the stale-entry
+    // branch below)
+    val byView = all.groupBy { case (p, c) => SystemColumns.topicFor(p, c) }
+    byView.filter(_._2.size > 1).foreach { case (view, colls) =>
+      logWarning(s"skipping ambiguous view $view (collides: $colls)")
+    }
+    byView.filter(_._2.size == 1).values.flatten.foreach { case (p, c) =>
       // a stale metastore entry (missing backing data) must not take down
       // queries that never touch it
       try register(p, c)

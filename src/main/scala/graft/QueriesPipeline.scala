@@ -560,6 +560,7 @@ object QueriesPipeline {
       (s, dir) => {
         import s.implicits._
         val media = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"),
             struct(col("source"), col("n_chars")).as("meta")) // typed sidecar metadata
         val feats = media.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
@@ -584,7 +585,8 @@ object QueriesPipeline {
       },
       // Fixture text is ASCII, so UTF-8 bytes == code points.
       Some("""SELECT doc_id, (unicode(c) // 8)::BIGINT AS bucket, count(*) AS cnt
-             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+                   WHERE text IS NOT NULL AND length(text) > 0)
              GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
 
     // ---------------------------------------------------- p14 ANN (IVF)
@@ -656,7 +658,10 @@ object QueriesPipeline {
     NamedQuery("p16_multimodal_resize",
       (s, dir) => {
         import s.implicits._
+        // ASCII fixture assumption as in p12/p15 (byte == code point);
+        // null/empty guarded in BOTH dialects so the oracle can't diverge
         val media = Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 0)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         val feats = media.as[(Long, Array[Byte])]
           .mapPartitions { it =>
@@ -675,7 +680,8 @@ object QueriesPipeline {
           .orderBy(col("doc_id"), col("pooled"))
       },
       Some("""SELECT doc_id, (unicode(c) // 32)::BIGINT AS pooled, count(*) AS cnt
-             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+             FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+                   WHERE text IS NOT NULL AND length(text) > 0)
              GROUP BY doc_id, pooled ORDER BY doc_id, pooled""")),
 
     // ------------------------------------------- p15 multimodal frame-sample

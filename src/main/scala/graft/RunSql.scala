@@ -38,7 +38,10 @@ object RunSql {
             case 'n' => sb += '\n'
             case 't' => sb += '\t'
             case 'r' => sb += '\r'
-            case 'u' if i + 5 < s.length =>
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'u' if i + 5 < s.length &&
+                s.substring(i + 2, i + 6).forall(c => Character.digit(c, 16) >= 0) =>
               sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
               i += 4
             case other => sb += other // covers \" \\ \/ etc.

@@ -1,10 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-
-import graft.catalog.SystemColumns
 
 /** Event collections stored as line-delimited JSON or CSV files — the
   * remaining batch source formats beside parquet fixtures and Kafka. Layout

@@ -85,6 +85,14 @@ object EventStreams {
     * (by watermark), then emits exactly once (Append mode). This is the
     * KeyValueGroupedDataset state API the built-in `session_window` can't
     * express custom per-session aggregates through.
+    *
+    * Known limitation (Append-mode trade-off): past sessions emit as soon
+    * as the batch that completes them is processed, so a very-late burst
+    * SPLIT ACROSS batches (events above the watermark, each within a gap of
+    * an already-emitted past session) can emit as multiple fragments. Only
+    * the single open session per key is retained in state; holding all
+    * sessions until the watermark passes would fix this at the cost of a
+    * list-state model. The watermark bounds how late such events can be.
     */
   def sessionize(events: Dataset[Event], gapMs: Long, watermark: String = "10 seconds")
       : Dataset[Session] = {

@@ -232,7 +232,7 @@ for l in (r.stdout + r.stderr).splitlines():
 if r.returncode != 0:
     print("SPARK RUN FAILED"); sys.exit(1)
 
-import duckdb, math
+import duckdb
 con = duckdb.connect()
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
