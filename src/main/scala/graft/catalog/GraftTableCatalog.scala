@@ -42,7 +42,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  private def rejectDeepNamespace(namespace: Array[String]): Unit =
+    if (namespace.length > 1) {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    }
+
   private def pathFor(ident: Identifier): java.nio.file.Path = {
+    rejectDeepNamespace(ident.namespace())
     val base = java.nio.file.Paths.get(root)
     ident.namespace() match {
       case Array(p) =>
@@ -81,6 +88,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    rejectDeepNamespace(namespace)
     val names = namespace match {
       case Array(p) if p == defaultProject =>
         (parquetNames(java.nio.file.Paths.get(root))

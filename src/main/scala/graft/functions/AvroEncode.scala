@@ -48,11 +48,21 @@ case class AvroEncode(child: Expression, schemaJson: String)
   private def write(s: Schema, dt: DataType, row: InternalRow, ord: Int): Unit =
     s.getType match {
       case Schema.Type.UNION =>
-        // union[null, T]
-        if (row.isNullAt(ord)) { encoder.writeIndex(0); encoder.writeNull() }
-        else {
-          encoder.writeIndex(1)
-          writeValue(s.getTypes.get(1), dt, row, ord)
+        // Rakam writes union[null, T] (reference `PageDatumReader.java:127-129`)
+        // but a legal Avro schema may declare union[T, null] — locate both
+        // branch indices dynamically instead of assuming [null, T].
+        val types = s.getTypes
+        val nullIdx = (0 until types.size()).find(types.get(_).getType == Schema.Type.NULL)
+        val valueIdx = (0 until types.size()).find(types.get(_).getType != Schema.Type.NULL)
+        if (row.isNullAt(ord)) {
+          val i = nullIdx.getOrElse(throw new UnsupportedOperationException(
+            s"null value but union $s has no null branch"))
+          encoder.writeIndex(i); encoder.writeNull()
+        } else {
+          val i = valueIdx.getOrElse(throw new UnsupportedOperationException(
+            s"non-null value but union $s has no value branch"))
+          encoder.writeIndex(i)
+          writeValue(types.get(i), dt, row, ord)
         }
       case _ => writeValue(s, dt, row, ord)
     }

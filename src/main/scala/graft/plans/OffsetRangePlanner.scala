@@ -103,22 +103,49 @@ object OffsetRangePlanner {
     else if (v == Long.MaxValue) Seq(OffsetRange(v, None))
     else Seq(OffsetRange(v, Some(v + 1)))
 
+  /** Casts that keep every long offset value intact. Narrowing casts (e.g.
+    * `cast(_offset AS INT)`) are NOT unwrapped: `cast(_offset AS INT) = 5`
+    * also matches offsets 2^32+5 etc. (ANSI off), so extracting [5,6) would
+    * drop rows the residual filter keeps — the conjunct must instead fall
+    * through to the `Full` over-approximation.
+    */
+  private def preservesLongValues(target: org.apache.spark.sql.types.DataType): Boolean =
+    target match {
+      case org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0 && d.precision >= 20
+      case _ => false
+    }
+
   private object OffsetAttr {
     def unapply(e: Expression): Boolean = e match {
       case a: Attribute => a.name == SystemColumns.Offset
-      case Cast(c, _, _, _) => unapply(c)
+      case Cast(c, t, _, _) if preservesLongValues(t) => unapply(c)
       case _ => false
     }
   }
 
+  /** The literal side is EVALUATED, not structurally unwrapped: the folded
+    * value is by definition the operand the comparison runs against, so even
+    * a truncating cast chain on the literal is safe to use (its result is
+    * what's compared). Non-integral results (fractional decimals, doubles)
+    * are rejected — combined with the value-preserving guard on the
+    * attribute side, every extracted bound is exact.
+    */
   private object Lit {
-    def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, _) => Some(v)
-      case Literal(v: Int, _) => Some(v.toLong)
-      case Literal(v: Short, _) => Some(v.toLong)
-      case Cast(c, _, _, _) => unapply(c)
-      case _ => None
-    }
+    def unapply(e: Expression): Option[Long] =
+      if (!e.foldable || !e.deterministic) None
+      else try {
+        e.eval(null) match {
+          case v: Long => Some(v)
+          case v: Int => Some(v.toLong)
+          case v: Short => Some(v.toLong)
+          case v: Byte => Some(v.toLong)
+          case d: org.apache.spark.sql.types.Decimal =>
+            val bd = d.toBigDecimal
+            if (bd.isWhole && bd.isValidLong) Some(bd.toLongExact) else None
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def intersectAll(a: Seq[OffsetRange], b: Seq[OffsetRange]): Seq[OffsetRange] =

@@ -113,6 +113,13 @@ final case class KafkaEventSource(
     * its "streaming" was repeated batch over the log, SURVEY.md §1.1):
     * unbounded read from the first pruned range's start; feed the result to
     * [[graft.streaming.EventStreams]] windows/sessionization.
+    *
+    * The broker is only told the coarse start offset (streams have no
+    * `endingOffsets`), so the raw stream is a superset of a multi-range
+    * window; the pruned ranges are re-applied as a residual `_offset` filter
+    * on the decoded stream so callers see exactly the predicate's rows —
+    * gaps between ranges and offsets past the last bounded range are
+    * excluded, matching the batch `read()` semantics.
     */
   def readStream(spark: SparkSession, project: String, collection: String,
                  schema: StructType): DataFrame = {
@@ -124,11 +131,22 @@ final case class KafkaEventSource(
     val start = offsetRanges.head
     val opts = readOptions(topic, OffsetRange(start.start, None)) - "endingOffsets"
     val raw = spark.readStream.format("kafka").options(opts).load()
-    KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+    val decoded = KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
+    decoded.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), offsetRanges))
   }
 }
 
 object KafkaEventSource {
+
+  /** `_offset ∈ ranges` as a Column predicate — the residual filter that
+    * makes a superset scan (e.g. an unbounded stream) honor a multi-range
+    * pruned window exactly.
+    */
+  def rangeResidual(offset: Column, ranges: Seq[OffsetRange]): Column =
+    ranges
+      .map(r => r.end.fold(offset >= r.start)(e => offset >= r.start && offset < e))
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
 
   /** Kafka-shaped rows (`value` binary, `offset` long) → the engine's table
     * shape: system columns first, decoded user fields after, malformed rows

@@ -114,6 +114,23 @@ class AvroSpec extends SparkTestBase {
     assert(back.collect().toSeq.sortBy(_.toString) == df.collect().toSeq.sortBy(_.toString))
   }
 
+  test("encode handles union[T, null] branch order (not just Rakam's [null, T])") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.functions.{GraftFunctions => GFF}
+    // legal Avro, reversed branch order: value branch is index 0, null is 1
+    val reversed = """{"type":"record","name":"rv","fields":[
+      {"name":"user_id","type":"long"},
+      {"name":"event_type","type":["string","null"]}]}"""
+    val df = Seq((1L, Some("click")), (2L, None)).toDF("user_id", "event_type")
+    val back = df
+      .select(GFF.to_avro(struct(col("user_id"), col("event_type")), reversed).as("v"))
+      .select(GFF.from_avro(col("v"), reversed).as("e"))
+      .select("e.*").orderBy("user_id").collect()
+    assert(back(0).getLong(0) == 1L && back(0).getString(1) == "click")
+    assert(back(1).getLong(0) == 2L && back(1).isNullAt(1))
+  }
+
   test("PruneAvroDecode rewrites the reader schema to referenced fields only") {
     val s0 = spark
     import s0.implicits._

@@ -66,6 +66,18 @@ class KafkaSourceSpec extends SparkTestBase {
     assert(opts("subscribe") == "proj_events")
   }
 
+  test("rangeResidual restores multi-range semantics on a superset stream") {
+    val s0 = spark
+    import s0.implicits._
+    val df = (0L until 50L).toDF("_offset")
+    val ranges = Seq(OffsetRange(5, Some(10)), OffsetRange(20, Some(25)), OffsetRange(40, None))
+    val kept = df.filter(KafkaEventSource.rangeResidual(col("_offset"), ranges))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == ((5L until 10L) ++ (20L until 25L) ++ (40L until 50L)).toSet)
+    // no ranges -> nothing passes (matches the empty batch relation)
+    assert(df.filter(KafkaEventSource.rangeResidual(col("_offset"), Nil)).count() == 0)
+  }
+
   test("avro round-trip: encode(decode) is lossless incl. nulls") {
     val s0 = spark
     import s0.implicits._

@@ -29,6 +29,18 @@ class TableCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("deep namespaces raise NoSuchNamespace instead of silently resolving flat") {
+    withCatalog {
+      // before the fix, graft.a.b.lineitem fell through to <root>/lineitem.parquet
+      val e = intercept[Exception](
+        spark.sql("SELECT count(*) FROM graft.a.b.lineitem").collect())
+      val msg = e.getMessage.toLowerCase
+      assert(msg.contains("namespace") || msg.contains("not found")
+        || msg.contains("cannot be found"), e.getMessage)
+      intercept[Exception](spark.sql("SHOW TABLES IN graft.a.b").collect())
+    }
+  }
+
   test("catalog is read-only (reference parity)") {
     withCatalog {
       intercept[Exception](

@@ -123,6 +123,20 @@ class OffsetRangePlannerSpec extends SparkTestBase {
     assert(OffsetRangePlanner.segmentSplits(Seq(0L), OffsetRange(500L, None), 100L).isEmpty)
   }
 
+  test("narrowing casts are NOT unwrapped (would drop aliased offsets)") {
+    // cast(_offset AS INT) = 5 also matches 2^32+5 etc. (ANSI off): pruning
+    // to [5,6) would silently drop rows the residual filter keeps. Must
+    // fall back to Full.
+    assert(plan(off.cast("int") === 5) == Seq(OffsetRange(0, None)))
+    assert(plan(off.cast("int") > 5) == Seq(OffsetRange(0, None)))
+    assert(plan(off.cast("smallint") <= 5) == Seq(OffsetRange(0, None)))
+    // value-preserving casts still prune
+    assert(plan(off.cast("long") === 5) == Seq(OffsetRange(5, Some(6))))
+    assert(plan(off.cast("decimal(20,0)") === 5) == Seq(OffsetRange(5, Some(6))))
+    // and a narrowing cast ANDed with a real bound keeps only the real bound
+    assert(plan(off.cast("int") === 5 && off >= 3) == Seq(OffsetRange(3, None)))
+  }
+
   test("kafka offset JSON covers every partition") {
     val (s, e) = OffsetRangePlanner.kafkaOffsetJson("proj_events", 3, OffsetRange(10, Some(99)))
     assert(s == """{"proj_events":{"0":10,"1":10,"2":10}}""")
