@@ -596,20 +596,32 @@ object QueriesPipeline {
     // probes only its own partition's inverted list (nprobe=1). At 100 TB
     // the assignment is one broadcast-seeds map pass and partitions are the
     // shuffle key — scan cost per query drops to corpus/n_seeds.
+    //
+    // The assignment argmax is a codegen fold over ONE broadcast row holding
+    // the (seed_id-sorted) seeds array: strict `>` keeps the first maximum,
+    // i.e. the lowest seed_id on ties — identical to the oracle's
+    // row_number() OVER (ORDER BY score DESC, seed_id). Zero exchange: the
+    // corpus is never widened to 16N rows and never shuffled for assignment
+    // (a window argmax would shuffle+sort 16N rows on vec_id).
     NamedQuery("p14_similarity_ivf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val v = withNorm(Corpus.vecs(s, dir))
         val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
-        // assignment: nearest seed by (score desc, seed_id) — deterministic
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("seed_id"))
-        val assigned = v.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("embedding"), col("norm"), col("seed_id"),
-            pairScore(col("embedding"), col("se"), col("norm"), col("sn")).as("score"))
-          .withColumn("rn", row_number().over(wa))
-          .filter(col("rn") === 1)
-          .select(col("seed_id").as("part"), col("vec_id"), col("embedding"), col("norm"))
+        val seedArr = seeds.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        val assigned = v.crossJoin(broadcast(seedArr))
+          .withColumn("part", aggregate(
+            col("sarr"),
+            struct(lit(Double.NegativeInfinity).as("score"), lit(-1L).as("seed")),
+            (acc, sd) => {
+              val sc = pairScore(col("embedding"), sd.getField("se"), col("norm"), sd.getField("sn"))
+              when(sc > acc.getField("score"),
+                struct(sc.as("score"), sd.getField("seed_id").as("seed")))
+                .otherwise(acc)
+            }).getField("seed"))
+          .select(col("part"), col("vec_id"), col("embedding"), col("norm"))
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("part"), col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))

@@ -46,6 +46,16 @@ class ScaleSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("p14 IVF assignment is map-side: one window (final top-k), no 16N shuffle") {
+    val p = plan("p14_similarity_ivf")
+    // exactly one Window — the final per-query top-5 rank; the
+    // nearest-centroid argmax must NOT be a window (it would shuffle+sort
+    // 16N rows on vec_id)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+    // no exchange keyed on vec_id anywhere (assignment stays map-side)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // explicit paths → external tables; the (static) warehouse dir is unused
     val wh = Files.createTempDirectory("graft-wh").toString
