@@ -782,5 +782,34 @@ object QueriesCore {
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
              quantile_cont(value, 0.95) AS p95,
              min(value) AS mn, max(value) AS mx
-             FROM events GROUP BY event_type ORDER BY event_type""")))
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------- spark.sql offset pushdown
+    // The reference's primary query surface: plain SQL over
+    // catalog.schema.table with the offset predicate pruned at the SCAN
+    // (every Presto query got TupleDomain pruning, KafkaSplitManager.java:
+    // 93-106). Here the whole path is DSv2: GraftTableCatalog (metastore
+    // mode) resolves tpch.events to a GraftLogTable whose ScanBuilder
+    // translates the _offset filters through OffsetRangePlanner — q27 covers
+    // the engine API (offsetWindow); this covers the SQL surface.
+    NamedQuery("q40_sql_offset_pushdown",
+      (s, dir) => {
+        val cat = "graftsql"
+        val msDir = s"/tmp/graft_ms_${Integer.toHexString(dir.hashCode)}"
+        new graft.catalog.FileMetastore(msDir).createCollection("tpch", "events",
+          graft.catalog.SchemaField.fromStructType(t(s, dir, "events").schema))
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.metastore", msDir)
+        s.conf.set(s"spark.sql.catalog.$cat.source", "parquet")
+        s.conf.set(s"spark.sql.catalog.$cat.sourceRoot", dir)
+        s.sql(s"""SELECT event_type, count(*) AS n,
+                         min(_offset) AS min_off, max(_offset) AS max_off
+                  FROM $cat.tpch.events
+                  WHERE _offset >= 2000 AND _offset < 7000
+                  GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             min(event_id) AS min_off, max(event_id) AS max_off
+             FROM events WHERE event_id >= 2000 AND event_id < 7000
+             GROUP BY event_type ORDER BY event_type""")))
 }

@@ -16,29 +16,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * surface to `spark.sql`: `SELECT … FROM graft.<project>.<collection>`
   * (SURVEY C1's "TableCatalog (DSv2) if full spark.sql naming is wanted").
   *
-  * Register with
-  * `spark.sql.catalog.graft = graft.catalog.GraftTableCatalog` and
-  * `spark.sql.catalog.graft.root = <dir>`. Tables resolve to Spark's own
-  * parquet DSv2 table, so filter/column pushdown, partition pruning and
-  * vectorized reads are the native ones. Read-only by design, exactly like
-  * the reference (`KafkaConnector.java:29-30,83-87`): every mutation throws.
+  * Two modes:
   *
-  * Layout: `<root>/<collection>.parquet` (the fixture layout) under a
-  * single default project namespace; a (project, collection) metastore tree
-  * maps the same way with `<root>/<project>/<collection>.parquet`.
+  *  1. '''Fixture mode''' (`spark.sql.catalog.graft.root = <dir>`): tables
+  *     resolve to Spark's own parquet DSv2 table, so filter/column
+  *     pushdown, partition pruning and vectorized reads are the native
+  *     ones. Layout `<root>/<collection>.parquet` under a single default
+  *     project namespace (`<root>/<project>/<collection>.parquet` nested).
+  *
+  *  2. '''Metastore mode''' (`spark.sql.catalog.graft.metastore = <dir>`):
+  *     projects/collections resolve through a [[FileMetastore]] — the
+  *     reference's primary naming surface, `catalog.schema.table` over
+  *     declared topics (`KafkaMetadata.java:155-175`) — and tables are
+  *     [[GraftLogTable]]s over the configured [[graft.sources.EventSource]]
+  *     (`source` = `parquet` | `json` | `csv` | `kafka`, with `sourceRoot`
+  *     resp. `bootstrap`), so every `spark.sql` query gets `_offset`
+  *     pushdown exactly like every Presto query got TupleDomain pruning.
+  *
+  * Read-only by design, exactly like the reference
+  * (`KafkaConnector.java:29-30,83-87`): every mutation throws.
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
   private var defaultProject: String = "tpch"
+  private var metastore: Option[Metastore] = None
+  private var eventSource: Option[graft.sources.EventSource] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    root = Option(options.get("root")).getOrElse(
-      throw new IllegalArgumentException(s"catalog $name needs option 'root'"))
+    metastore = Option(options.get("metastore")).map(new FileMetastore(_))
+    if (metastore.isDefined) {
+      eventSource = Some(Option(options.get("source")).getOrElse("parquet") match {
+        case "parquet" => graft.sources.ParquetEventSource(required(options, "sourceRoot"))
+        case f @ ("json" | "csv") => graft.sources.FileEventSource(required(options, "sourceRoot"), f)
+        case "kafka" => graft.sources.KafkaEventSource(required(options, "bootstrap"))
+        case other => throw new IllegalArgumentException(s"unknown source '$other'")
+      })
+      root = options.get("sourceRoot") // may be null for kafka; unused then
+    } else {
+      root = Option(options.get("root")).getOrElse(
+        throw new IllegalArgumentException(s"catalog $name needs option 'root' or 'metastore'"))
+    }
     defaultProject = Option(options.get("project")).getOrElse(defaultProject)
   }
+
+  private def required(options: CaseInsensitiveStringMap, key: String): String =
+    Option(options.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"catalog $catalogName needs option '$key'"))
 
   override def name(): String = catalogName
 
@@ -63,22 +89,41 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    java.nio.file.Files.exists(pathFor(ident))
+  private def projectOf(ident: Identifier): String = ident.namespace() match {
+    case Array(p) => p
+    case Array() => defaultProject
+    case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      ident.namespace().toSeq)
+  }
 
-  override def loadTable(ident: Identifier): Table = {
-    val p = pathFor(ident)
-    if (!java.nio.file.Files.exists(p)) {
-      // parity: TableNotFoundException (KafkaMetadata.java:159-161)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    }
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name}",
-      SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
-      Seq(p.toString),
-      None,
-      classOf[ParquetFileFormat])
+  override def tableExists(ident: Identifier): Boolean = metastore match {
+    case Some(ms) =>
+      rejectDeepNamespace(ident.namespace())
+      ms.getCollection(projectOf(ident), ident.name).isDefined
+    case None => java.nio.file.Files.exists(pathFor(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table = metastore match {
+    case Some(ms) =>
+      rejectDeepNamespace(ident.namespace())
+      val project = projectOf(ident)
+      val schema = ms.schemaOf(project, ident.name).getOrElse(
+        // parity: TableNotFoundException (KafkaMetadata.java:159-161)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+      new GraftLogTable(
+        s"$catalogName.$project.${ident.name}", project, ident.name, schema, eventSource.get)
+    case None =>
+      val p = pathFor(ident)
+      if (!java.nio.file.Files.exists(p)) {
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      }
+      ParquetTable(
+        s"$catalogName.${ident.namespace().mkString(".")}.${ident.name}",
+        SparkSession.active,
+        CaseInsensitiveStringMap.empty(),
+        Seq(p.toString),
+        None,
+        classOf[ParquetFileFormat])
   }
 
   private def parquetNames(dir: java.nio.file.Path): Seq[String] =
@@ -89,6 +134,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     rejectDeepNamespace(namespace)
+    metastore match {
+      case Some(ms) =>
+        val project = namespace match { case Array(p) => p; case _ => defaultProject }
+        return ms.listCollections(project).map(Identifier.of(namespace, _)).toArray
+      case None => ()
+    }
     val names = namespace match {
       case Array(p) if p == defaultProject =>
         (parquetNames(java.nio.file.Paths.get(root))
@@ -111,7 +162,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only")
 
   // ---- namespaces = projects ----
-  override def listNamespaces(): Array[Array[String]] = {
+  override def listNamespaces(): Array[Array[String]] = metastore match {
+    case Some(ms) => ms.listProjects.map(Array(_)).toArray
+    case None => listFixtureNamespaces()
+  }
+
+  private def listFixtureNamespaces(): Array[Array[String]] = {
     val nested = graft.util.Fs.listDir(java.nio.file.Paths.get(root)) {
       _.filter(java.nio.file.Files.isDirectory(_))
         .map(_.getFileName.toString)

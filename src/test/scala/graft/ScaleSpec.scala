@@ -46,6 +46,15 @@ class ScaleSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("q40: spark.sql _offset predicate is pushed into the DSv2 log scan as pruned ranges") {
+    val p = plan("q40_sql_offset_pushdown")
+    // the scan node itself advertises the accepted offset filters AND the
+    // pruned range the OffsetRangePlanner translated them into
+    assert(p.contains("GreaterThanOrEqual(_offset,2000)")
+      && p.contains("LessThan(_offset,7000)"), p)
+    assert(p.contains("ranges=[2000,7000)"), p)
+  }
+
   test("p14 IVF assignment is map-side: one window (final top-k), no 16N shuffle") {
     val p = plan("p14_similarity_ivf")
     // exactly one Window — the final per-query top-5 rank; the

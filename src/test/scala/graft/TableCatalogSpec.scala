@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 class TableCatalogSpec extends SparkTestBase {
 
   private def withCatalog[T](f: => T): T = {
@@ -38,6 +40,58 @@ class TableCatalogSpec extends SparkTestBase {
       assert(msg.contains("namespace") || msg.contains("not found")
         || msg.contains("cannot be found"), e.getMessage)
       intercept[Exception](spark.sql("SHOW TABLES IN graft.a.b").collect())
+    }
+  }
+
+  private def withMetastoreCatalog[T](source: String = "parquet")(f: => T): T = {
+    val ms = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    val store = new graft.catalog.FileMetastore(ms)
+    val eventsSchema = Tables.load(spark, sfDir, "events").schema
+    store.createCollection("tpch", "events",
+      graft.catalog.SchemaField.fromStructType(eventsSchema))
+    spark.conf.set("spark.sql.catalog.graftms", "graft.catalog.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftms.metastore", ms)
+    spark.conf.set("spark.sql.catalog.graftms.source", source)
+    spark.conf.set("spark.sql.catalog.graftms.sourceRoot", sfDir)
+    f
+  }
+
+  test("metastore mode: spark.sql gets _offset pushdown through the DSv2 scan") {
+    withMetastoreCatalog() {
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM graftms.tpch.events WHERE _offset >= 2000 AND _offset < 7000")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(_offset,2000)")
+        && plan.contains("LessThan(_offset,7000)"), plan)
+      assert(plan.contains("ranges=[2000,7000)"), plan)
+      val expected = Tables.load(spark, sfDir, "events")
+        .filter(col("event_id") >= 2000 && col("event_id") < 7000).count()
+      assert(q.head().getLong(0) == expected)
+    }
+  }
+
+  test("metastore mode resolves a NON-parquet (json) collection") {
+    withMetastoreCatalog() {
+      // declare a json-backed collection next to the parquet fixtures
+      val dataDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+      val docs = Tables.load(spark, sfDir, "documents").limit(20)
+      docs.coalesce(1).write.mode("overwrite").json(s"$dataDir/documents_json_tmp")
+      val part = new java.io.File(s"$dataDir/documents_json_tmp").listFiles()
+        .find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$dataDir/documents.json"))
+      val ms = java.nio.file.Files.createTempDirectory("graft-ms-json").toString
+      new graft.catalog.FileMetastore(ms).createCollection("tpch", "documents",
+        graft.catalog.SchemaField.fromStructType(docs.schema))
+      spark.conf.set("spark.sql.catalog.graftjs", "graft.catalog.GraftTableCatalog")
+      spark.conf.set("spark.sql.catalog.graftjs.metastore", ms)
+      spark.conf.set("spark.sql.catalog.graftjs.source", "json")
+      spark.conf.set("spark.sql.catalog.graftjs.sourceRoot", dataDir)
+      assert(spark.sql("SELECT count(*) AS n FROM graftjs.tpch.documents").head().getLong(0) == 20L)
+      // _offset synthesizes from doc_id and pushes down on the json read too
+      val q = spark.sql("SELECT doc_id FROM graftjs.tpch.documents WHERE _offset < 5")
+      assert(q.queryExecution.executedPlan.toString.contains("LessThan(_offset,5)"))
+      assert(q.collect().map(_.getLong(0)).toSet ==
+        docs.filter(col("doc_id") < 5).collect().map(_.getLong(0)).toSet)
     }
   }
 
