@@ -102,6 +102,64 @@ object QueriesPipeline {
     * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
     * division — bit-identical cross-engine.
     */
+  /** p03's full MinHash→LSH→verify pipeline, factored out so p17's keeper
+    * selection consumes the IDENTICAL pair set. Returns (id_a, id_b, jac)
+    * with id_a < id_b, jac ≥ 0.6, ordered.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import MinHashParams._
+    // NOTE: the shingle index feeds 4 subtrees; .persist() was tried and
+    // is a net LOSS here (materialization blocks pipelining and the
+    // recomputed branches are scan-light after column pruning)
+    val sh = shingleHashes(Corpus.docs(s, dir))
+    val sigCols = (0 until K).map(i =>
+      min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until Bands).map(bd =>
+      concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardOf(cand, sh, 0.6)
+  }
+
+  /** Oracle twin of [[minhashPairs]], split as (CTE chain, final SELECT) so
+    * p17 can extend the chain with its recursive reachability CTEs.
+    */
+  private val sqlMinhashCtes: String = {
+    import MinHashParams._
+    val sigExprs = (0 until K)
+      .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { bd =>
+      val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$sqlShingleCtes,
+       sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+          AND a.doc_id < b.doc_id),
+       inter AS (
+         SELECT id_a, id_b, count(*) AS ni
+         FROM cand
+         JOIN sh sa ON sa.doc_id = id_a
+         JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
+         GROUP BY id_a, id_b)"""
+  }
+
+  private val sqlMinhashPairsSelect: String =
+    s"""SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
+       FROM inter
+       JOIN sz za ON za.doc_id = id_a
+       JOIN sz zb ON zb.doc_id = id_b
+       WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6"""
+
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -213,56 +271,11 @@ object QueriesPipeline {
     // MinHash signatures (K=16) over shingle hashes; LSH banding (4×4) makes
     // candidates; exact Jaccard verifies. The scale path: signatures are one
     // groupBy over the inverted index, banding is a map, the candidate join
-    // touches only band-bucket collisions.
+    // touches only band-bucket collisions. (Pipeline shared with p17's
+    // keeper selection via [[minhashPairs]].)
     NamedQuery("p03_dedup_minhash_lsh",
-      (s, dir) => {
-        import MinHashParams._
-        // NOTE: the shingle index feeds 4 subtrees; .persist() was tried and
-        // is a net LOSS here (materialization blocks pipelining and the
-        // recomputed branches are scan-light after column pruning)
-        val sh = shingleHashes(Corpus.docs(s, dir))
-        val sigCols = (0 until K).map(i =>
-          min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
-        val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        val bandKeys = (0 until Bands).map(bd =>
-          concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-        val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-          .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
-            Seq("band", "key"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        jaccardOf(cand, sh, 0.6)
-      },
-      Some {
-        import MinHashParams._
-        val sigExprs = (0 until K)
-          .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
-        val bandSelects = (0 until Bands).map { bd =>
-          val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
-          s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $sqlShingleCtes,
-           sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
-           bands AS ($bandSelects),
-           cand AS (
-             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-              AND a.doc_id < b.doc_id),
-           inter AS (
-             SELECT id_a, id_b, count(*) AS ni
-             FROM cand
-             JOIN sh sa ON sa.doc_id = id_a
-             JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
-             GROUP BY id_a, id_b)
-           SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
-           FROM inter
-           JOIN sz za ON za.doc_id = id_a
-           JOIN sz zb ON zb.doc_id = id_b
-           WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
-           ORDER BY id_a, id_b"""
-      }),
+      (s, dir) => minhashPairs(s, dir),
+      Some(s"WITH ${sqlMinhashCtes} ${sqlMinhashPairsSelect} ORDER BY id_a, id_b")),
 
     // --------------------------------------------------------- p04 SimHash
     // SimHash: 32 independent ±1 votes per distinct shingle → 32-bit
@@ -737,5 +750,30 @@ object QueriesPipeline {
         .groupBy(col("event_type"))
         .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type")),
-      None))
+      None),
+
+    // ------------------------------------------------ p17 keeper selection
+    // Pair lists (p01-p04) aren't a dedup DECISION: duplicates chain
+    // (a~b, b~c but not a~c directly), so dropping one of each pair either
+    // over- or under-deletes. The real operator is connected components over
+    // the pair graph with keeper = min doc_id per component —
+    // [[graft.operators.Dedup.connectedComponents]] (iterative min-label
+    // propagation; scale notes there), fed by the IDENTICAL pair set as p03.
+    NamedQuery("p17_dedup_keeper",
+      (s, dir) => graft.operators.Dedup
+        .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS id, dst AS r FROM edges
+               UNION
+               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+             labels AS (
+               SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id)
+             SELECT id AS doc_id, keeper_id, (id = keeper_id) AS kept
+             FROM labels ORDER BY doc_id""")))
 }

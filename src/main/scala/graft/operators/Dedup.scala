@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup decision operators: turn near-duplicate PAIR lists (the output
+  * shape of the p01-p04 dedup family) into per-document keep/drop
+  * decisions.
+  *
+  * Duplicates chain — a~b and b~c without a~c — so pairwise dropping either
+  * over- or under-deletes; the correct operator is connected components
+  * over the pair graph with a deterministic keeper per component.
+  */
+object Dedup {
+
+  /** Connected components by iterative min-label propagation (Pregel-style).
+    *
+    * Input: `pairs(id_a, id_b)` — undirected duplicate pairs (any order,
+    * duplicates tolerated). Output: `(doc_id, keeper_id, kept)` — one row
+    * per id appearing in any pair; `keeper_id` = min id of the component,
+    * `kept` = this id is the keeper.
+    *
+    * Each round is one edges⋈labels join plus a min-aggregate, converging
+    * in O(diameter) rounds; dedup components are small and dense, so the
+    * diameter is tiny in practice. Lineage is truncated per round with
+    * `localCheckpoint`. At 100 TB the loop runs with edges bucketed by
+    * `src` (the join key never changes); for adversarial long-chain graphs
+    * the alternating large-star/small-star variant bounds rounds at
+    * O(log n) with the identical join shape.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("id_a", "id_b")
+    val edges = p
+      .unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("keeper"))
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("keeper")), "dst")
+        .select(col("src").as("id"), col("keeper"))
+      val next = labels.unionAll(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("keeper")).as("keeper"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("keeper").as("old")), "id")
+        .filter(col("keeper") =!= col("old")).isEmpty
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("keeper").as("keeper_id"),
+      (col("id") === col("keeper")).as("kept"))
+  }
+}
