@@ -48,18 +48,33 @@ object Corpus {
        SELECT doc_id + $ExactIdOffset AS doc_id, text
        FROM documents WHERE doc_id % 7 = 0"""
 
-  /** embeddings ∪ exact copies (vec_id%10=0) — cosine-1 planted pairs. */
+  /** embeddings ∪ exact copies (vec_id%10=0, cosine-1 planted pairs) ∪
+    * near copies (vec_id%10=5, coordinate 0 scaled by 1.1 → cos ≈ 0.9999
+    * but NOT bit-identical — the recall probe for the similarity family:
+    * a merely-close pair can land in a different LSH bucket, which is
+    * exactly what multi-probe must recover).
+    */
   def vecs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val dup = e.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + ExactIdOffset).as("vec_id"), col("embedding"))
-    e.unionAll(dup)
+    val near = e.filter(col("vec_id") % 10 === 5)
+      .select((col("vec_id") + NearIdOffset).as("vec_id"),
+        concat(
+          array(col("embedding")(0) * lit(1.1)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+    e.unionAll(dup).unionAll(near)
   }
 
   val vecsSql: String =
     s"""SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
        UNION ALL
        SELECT vec_id + $ExactIdOffset AS vec_id, embedding::DOUBLE[] AS embedding
-       FROM embeddings WHERE vec_id % 10 = 0"""
+       FROM embeddings WHERE vec_id % 10 = 0
+       UNION ALL
+       SELECT vec_id + $NearIdOffset AS vec_id,
+              list_concat([(embedding::DOUBLE[])[1] * 1.1],
+                          (embedding::DOUBLE[])[2:]) AS embedding
+       FROM embeddings WHERE vec_id % 10 = 5"""
 }

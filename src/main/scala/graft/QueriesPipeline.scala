@@ -330,18 +330,26 @@ object QueriesPipeline {
       }),
 
     // ------------------------------------------- p05 embedding near-dup LSH
-    // Near-duplicate vectors via sign-LSH bucketing + exact cosine verify.
-    // Identical vectors always share a bucket, so planted dups can't be
-    // missed; candidate pairs are per-bucket, never all-pairs. At 100 TB:
-    // bucket is a shuffle key; multi-probe or band-OR raises recall for
-    // merely-close (non-identical) vectors.
+    // Near-duplicate vectors via sign-LSH bucketing + MULTI-PROBE (hamming
+    // distance ≤ 1 on the bucket) + exact cosine verify. Identical vectors
+    // always share a bucket; merely-close pairs (the planted 1.1-scaled
+    // copies, cos ≈ 0.9994-0.9999) can straddle one hyperplane — the probe
+    // side therefore also emits every 1-bit-flipped bucket, recovering every
+    // distance-1 pair exactly once (a dist-0 pair matches only exact=exact,
+    // a dist-1 pair matches only the single flip of the differing plane).
+    // Cost model at 100 TB: index side stays N rows; probe side is
+    // (planes+1)·N — the recall/shuffle knob (band-OR is the alternative
+    // when the probe blow-up dominates).
     NamedQuery("p05_embedding_neardup",
       (s, dir) => {
-        val v = withNorm(withBucket(Corpus.vecs(s, dir), HyperplaneParams.NearDupPlanes))
+        val planes = HyperplaneParams.NearDupPlanes
+        val v = withNorm(withBucket(Corpus.vecs(s, dir), planes))
         val a = v.select(col("bucket"), col("vec_id").as("id_a"),
           col("embedding").as("ea"), col("norm").as("na"))
-        val b = v.select(col("bucket"), col("vec_id").as("id_b"),
-          col("embedding").as("eb"), col("norm").as("nb"))
+        val probeKeys = col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+        val b = v.select(explode(array(probeKeys: _*)).as("bucket"),
+          col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb"))
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
@@ -349,18 +357,26 @@ object QueriesPipeline {
           .filter(col("cos") >= 0.999)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
-             bucketed AS (SELECT vec_id, embedding,
-                                 ${sqlBucket(HyperplaneParams.NearDupPlanes)} AS bucket,
-                                 $sqlNorm AS norm
-                          FROM vecs),
-             cand AS (
-               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                      ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
-               FROM bucketed a JOIN bucketed b
-                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-             SELECT id_a, id_b, cos FROM cand
-             WHERE cos >= 0.999 ORDER BY id_a, id_b""")),
+      Some {
+        val planes = HyperplaneParams.NearDupPlanes
+        val probeSelects = ("bucket" +:
+          (0 until planes).map(j => s"xor(bucket, ${1L << j})"))
+          .map(e => s"SELECT vec_id, embedding, norm, $e AS bucket FROM bucketed")
+          .mkString(" UNION ALL ")
+        s"""WITH vecs AS (${Corpus.vecsSql}),
+           bucketed AS (SELECT vec_id, embedding,
+                               ${sqlBucket(planes)} AS bucket,
+                               $sqlNorm AS norm
+                        FROM vecs),
+           probes AS ($probeSelects),
+           cand AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
+             FROM bucketed a JOIN probes b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           SELECT id_a, id_b, cos FROM cand
+           WHERE cos >= 0.999 ORDER BY id_a, id_b"""
+      }),
 
     // ------------------------------------------------ p06 brute-force top-k
     // Exact k-NN baseline: broadcast the (small) query set against the full
@@ -407,10 +423,17 @@ object QueriesPipeline {
     NamedQuery("p07_similarity_ann_lsh",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val v = withNorm(withBucket(Corpus.vecs(s, dir), HyperplaneParams.AnnPlanes))
+        val planes = HyperplaneParams.AnnPlanes
+        val v = withNorm(withBucket(Corpus.vecs(s, dir), planes))
+        // multi-probe on the QUERY side only (queries are few): each query
+        // probes its own bucket plus every 1-bit flip, so a neighbor across
+        // one hyperplane is still scored. Probe cost: (planes+1)/2^planes of
+        // the corpus per query instead of 1/2^planes — the recall knob.
+        val probeKeys = col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
         val q = v.filter(col("vec_id") < 10)
-          .select(col("bucket"), col("vec_id").as("q_id"),
-            col("embedding").as("qe"), col("norm").as("qn"))
+          .select(explode(array(probeKeys: _*)).as("bucket"),
+            col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
         v.select(col("bucket"), col("vec_id").as("n_id"),
           col("embedding").as("ne"), col("norm").as("nn"))
@@ -423,23 +446,30 @@ object QueriesPipeline {
           .select(col("q_id"), col("rank"), col("n_id"), col("score"))
           .orderBy(col("q_id"), col("rank"))
       },
-      Some(s"""WITH vecs AS (${Corpus.vecsSql}),
-             bucketed AS (SELECT vec_id, embedding,
-                                 ${sqlBucket(HyperplaneParams.AnnPlanes)} AS bucket,
-                                 $sqlNorm AS norm
-                          FROM vecs),
-             q AS (SELECT bucket, vec_id AS q_id, embedding AS qe, norm AS qn
-                   FROM bucketed WHERE vec_id < 10),
-             scored AS (
-               SELECT q_id, v.vec_id AS n_id,
-                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
-               FROM q JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
-             ranked AS (
-               SELECT q_id, n_id, score,
-                      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
-               FROM scored)
-             SELECT q_id, rank, n_id, score FROM ranked
-             WHERE rank <= 5 ORDER BY q_id, rank""")),
+      Some {
+        val planes = HyperplaneParams.AnnPlanes
+        val probeSelects = ("bucket" +:
+          (0 until planes).map(j => s"xor(bucket, ${1L << j})"))
+          .map(e => s"SELECT vec_id, embedding, norm, $e AS bucket FROM bucketed WHERE vec_id < 10")
+          .mkString(" UNION ALL ")
+        s"""WITH vecs AS (${Corpus.vecsSql}),
+           bucketed AS (SELECT vec_id, embedding,
+                               ${sqlBucket(planes)} AS bucket,
+                               $sqlNorm AS norm
+                        FROM vecs),
+           q AS (SELECT bucket, vec_id AS q_id, embedding AS qe, norm AS qn
+                 FROM ($probeSelects)),
+           scored AS (
+             SELECT q_id, v.vec_id AS n_id,
+                    ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
+             FROM q JOIN bucketed v ON v.bucket = q.bucket AND v.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, n_id, score,
+                    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+             FROM scored)
+           SELECT q_id, rank, n_id, score FROM ranked
+           WHERE rank <= 5 ORDER BY q_id, rank"""
+      }),
 
     // ----------------------------------------------------- p08 language ID
     // Stopword-ratio n-gram heuristic → confusion matrix against the
@@ -611,11 +641,15 @@ object QueriesPipeline {
     // shuffle key — scan cost per query drops to corpus/n_seeds.
     //
     // The assignment argmax is a codegen fold over ONE broadcast row holding
-    // the (seed_id-sorted) seeds array: strict `>` keeps the first maximum,
-    // i.e. the lowest seed_id on ties — identical to the oracle's
-    // row_number() OVER (ORDER BY score DESC, seed_id). Zero exchange: the
-    // corpus is never widened to 16N rows and never shuffled for assignment
-    // (a window argmax would shuffle+sort 16N rows on vec_id).
+    // the (seed_id-sorted) seeds array, tracking the TWO nearest centroids:
+    // strict `>` keeps the first maximum per slot, i.e. the lowest seed_id
+    // on ties — identical to the oracle's row_number() OVER (ORDER BY score
+    // DESC, seed_id) at rn=1/rn=2. Zero exchange: the corpus is never
+    // widened to 16N rows and never shuffled for assignment (a window
+    // argmax would shuffle+sort 16N rows on vec_id). Queries probe BOTH
+    // nearest partitions (nprobe=2): a neighbor just across the Voronoi
+    // boundary — the classic IVF recall failure — is still scored, at 2×
+    // the probe cost (corpus/8 instead of corpus/16 per query).
     NamedQuery("p14_similarity_ivf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -624,19 +658,26 @@ object QueriesPipeline {
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
         val seedArr = seeds.agg(
           array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
-        val assigned = v.crossJoin(broadcast(seedArr))
-          .withColumn("part", aggregate(
+        val assignedBoth = v.crossJoin(broadcast(seedArr))
+          .withColumn("best", aggregate(
             col("sarr"),
-            struct(lit(Double.NegativeInfinity).as("score"), lit(-1L).as("seed")),
+            struct(lit(Double.NegativeInfinity).as("s1"), lit(-1L).as("d1"),
+              lit(Double.NegativeInfinity).as("s2"), lit(-1L).as("d2")),
             (acc, sd) => {
               val sc = pairScore(col("embedding"), sd.getField("se"), col("norm"), sd.getField("sn"))
-              when(sc > acc.getField("score"),
-                struct(sc.as("score"), sd.getField("seed_id").as("seed")))
+              when(sc > acc.getField("s1"),
+                struct(sc.as("s1"), sd.getField("seed_id").as("d1"),
+                  acc.getField("s1").as("s2"), acc.getField("d1").as("d2")))
+                .when(sc > acc.getField("s2"),
+                  struct(acc.getField("s1").as("s1"), acc.getField("d1").as("d1"),
+                    sc.as("s2"), sd.getField("seed_id").as("d2")))
                 .otherwise(acc)
-            }).getField("seed"))
-          .select(col("part"), col("vec_id"), col("embedding"), col("norm"))
-        val q = assigned.filter(col("vec_id") < 10)
-          .select(col("part"), col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+            }))
+        val assigned = assignedBoth
+          .select(col("best.d1").as("part"), col("vec_id"), col("embedding"), col("norm"))
+        val q = assignedBoth.filter(col("vec_id") < 10)
+          .select(explode(array(col("best.d1"), col("best.d2"))).as("part"),
+            col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
         assigned.select(col("part"), col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))
           .join(broadcast(q), Seq("part"))
@@ -656,13 +697,15 @@ object QueriesPipeline {
                SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
                       ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
                FROM vecs v CROSS JOIN seeds s),
+             ranked_seeds AS (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, seed_id) AS rn
+               FROM scoredseeds),
              assigned AS (
-               SELECT seed_id AS part, vec_id, embedding, norm FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
-                   ORDER BY score DESC, seed_id) AS rn
-                 FROM scoredseeds) WHERE rn = 1),
-             q AS (SELECT part, vec_id AS q_id, embedding AS qe, norm AS qn
-                   FROM assigned WHERE vec_id < 10),
+               SELECT seed_id AS part, vec_id, embedding, norm
+               FROM ranked_seeds WHERE rn = 1),
+             q AS (SELECT seed_id AS part, vec_id AS q_id, embedding AS qe, norm AS qn
+                   FROM ranked_seeds WHERE rn <= 2 AND vec_id < 10),
              scored AS (
                SELECT q_id, v.vec_id AS n_id,
                       ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score

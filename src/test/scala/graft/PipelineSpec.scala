@@ -48,13 +48,42 @@ class PipelineSpec extends SparkTestBase {
         s"exact pair $id not at hamming 0"))
   }
 
-  test("p05 finds exactly the planted identical vectors") {
+  test("p05 finds every planted pair: identical AND merely-close (multi-probe recall)") {
     val nVecs = Tables.load(spark, sfDir, "embeddings").count()
-    val planted = (0L until nVecs).count(_ % 10 == 0)
+    val exactIds = (0L until nVecs).filter(_ % 10 == 0)
+    val nearIds = (0L until nVecs).filter(_ % 10 == 5)
     val rows = run("p05_embedding_neardup").collect()
-    assert(rows.length == planted)
-    assert(rows.forall(r => r.getLong(1) == r.getLong(0) + Corpus.ExactIdOffset))
-    assert(rows.forall(_.getDouble(2) > 0.999))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    exactIds.foreach(id =>
+      assert(pairs.contains((id, id + Corpus.ExactIdOffset)), s"missing exact pair $id"))
+    // the 1.1-scaled copies are NOT bit-identical — some straddle an LSH
+    // hyperplane; single-probe missed those, multi-probe must find them all
+    nearIds.foreach(id =>
+      assert(pairs.contains((id, id + Corpus.NearIdOffset)), s"missing near pair $id"))
+    assert(rows.forall(_.getDouble(2) >= 0.999))
+  }
+
+  test("p05 multi-probe does real work: a planted near pair straddles buckets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GraftFunctions => GF}
+    // recompute the sign-LSH buckets exactly as p05 does and check the
+    // planted near pairs are NOT all co-bucketed — i.e. the single-probe
+    // join provably misses at least one pair that p05 (above) finds
+    val bucket = (0 until QueriesPipeline.HyperplaneParams.NearDupPlanes).map { j =>
+      val planeCol = array(
+        QueriesPipeline.HyperplaneParams.plane(j).map(x => lit(x.toDouble)): _*)
+      when(GF.dotDecimal(col("embedding"), planeCol) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    val v = Corpus.vecs(spark, sfDir).withColumn("bucket", bucket)
+    val a = v.select(col("vec_id").as("ida"), col("bucket").as("ba"))
+    val b = v.select(col("vec_id").as("idb"), col("bucket").as("bb"))
+    val straddlers = a.join(b, col("idb") === col("ida") + Corpus.NearIdOffset)
+      .filter(col("ba") =!= col("bb"))
+      .withColumn("dist", bit_count(col("ba").bitwiseXOR(col("bb"))))
+      .collect()
+    assert(straddlers.nonEmpty, "no planted pair straddles buckets - lever untestable")
+    // and all straddlers are within multi-probe's reach (hamming 1)
+    assert(straddlers.forall(_.getAs[Int]("dist") == 1))
   }
 
   test("p06 exact top-k: planted twin ranks first for its query") {
@@ -71,11 +100,21 @@ class PipelineSpec extends SparkTestBase {
     val ann = run("p07_similarity_ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ann.contains((0L, Corpus.ExactIdOffset)))
+    // query 5's merely-close twin (1.1-scaled) can sit one hyperplane away;
+    // query-side multi-probe still reaches it and it ranks in the top-5
+    assert(ann.contains((5L, 5L + Corpus.NearIdOffset)))
     val exact = run("p06_similarity_topk").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = ann.count(exact.contains).toDouble / exact.size
     info(f"ANN recall@5 vs exact baseline: $recall%.2f")
     assert(recall > 0.1)
+  }
+
+  test("p14 IVF nprobe=2: near twin retrieved even across a Voronoi boundary") {
+    val ivf = run("p14_similarity_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.contains((0L, Corpus.ExactIdOffset)))
+    assert(ivf.contains((5L, 5L + Corpus.NearIdOffset)))
   }
 
   test("p11 fingerprint groups == exact dup groups (normalization is identity here)") {
