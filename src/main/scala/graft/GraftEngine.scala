@@ -48,12 +48,24 @@ final class GraftEngine(
     table(project, collection)
       .createOrReplaceTempView(SystemColumns.topicFor(project, collection))
 
+  /** Generation at which [[sql]] last registered views; None = never (or
+    * the metastore can't track generations — negative — so always refresh).
+    */
+  @volatile private var registeredGeneration: Option[Long] = None
+
   /** Register every collection the metastore lists and run a SQL query over
     * the `<project>_<collection>` views — discovery-driven, which the
     * reference could never do (its listTables was empty by design,
     * `KafkaMetadata.java:69-74,91-97`; SURVEY.md §4 known bugs).
+    *
+    * Registration is CACHED on [[Metastore.generation]]: with thousands of
+    * collections, re-resolving every schema per query is O(#collections)
+    * driver latency — when the generation is unchanged the previous temp
+    * views are still exact, so the query planning starts immediately.
     */
   def sql(query: String): DataFrame = {
+    val gen = metastore.generation
+    if (gen >= 0 && registeredGeneration.contains(gen)) return spark.sql(query)
     val all = for {
       p <- metastore.listProjects
       c <- metastore.listCollections(p)
@@ -75,6 +87,7 @@ final class GraftEngine(
         logWarning(s"skipping unreadable collection $p.$c: ${e.getMessage}")
       }
     }
+    registeredGeneration = if (gen >= 0) Some(gen) else None
     spark.sql(query)
   }
 

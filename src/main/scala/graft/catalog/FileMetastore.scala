@@ -46,6 +46,25 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
     _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
   }
 
+  /** Fingerprint of (path, mtime) over every schema file — a control-plane
+    * directory walk, far cheaper than re-reading and re-registering every
+    * schema. Non-negative by construction (see [[Metastore.generation]]).
+    */
+  override def generation: Long = {
+    var h = 17L
+    for {
+      p <- listProjects.sorted
+      c <- listCollections(p).sorted
+    } {
+      val f = file(p, c)
+      val m = try Files.getLastModifiedTime(f).toMillis catch { case _: Exception => -1L }
+      h = h * 31 + p.hashCode
+      h = h * 31 + c.hashCode
+      h = h * 31 + m
+    }
+    h & Long.MaxValue
+  }
+
   override def listCollections(project: String): Seq[String] =
     graft.util.Fs.listDir(dir(project)) {
       _.map(_.getFileName.toString).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))

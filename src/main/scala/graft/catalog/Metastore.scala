@@ -25,6 +25,14 @@ trait Metastore {
 
   def listCollections(project: String): Seq[String]
 
+  /** Change fingerprint: equal values ⇒ the set of collections and their
+    * schemas is unchanged, so derived registrations (e.g.
+    * [[graft.GraftEngine.sql]]'s temp views) can be reused instead of
+    * re-resolved per query. A NEGATIVE value means "unknown — always assume
+    * changed" (the safe default for impls that can't track it cheaply).
+    */
+  def generation: Long
+
   /** User-visible schema (lowercased names, reference `KafkaMetadata.java:171`). */
   final def schemaOf(project: String, collection: String): Option[StructType] =
     getCollection(project, collection).map(fs => StructType(fs.map(_.toStructField)))
@@ -40,21 +48,28 @@ trait Metastore {
 /** Thread-safe in-memory metastore; the default for tests and fixtures. */
 final class InMemoryMetastore extends Metastore {
   private val store = TrieMap.empty[(String, String), Seq[SchemaField]]
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def createCollection(project: String, collection: String, fields: Seq[SchemaField]): Unit =
+  override def generation: Long = gen.get()
+
+  def createCollection(project: String, collection: String, fields: Seq[SchemaField]): Unit = {
     store.put((project, collection), fields)
+    gen.incrementAndGet()
+  }
 
   /** Additive schema evolution: append fields not yet present (by
     * normalized name). Mirrors how Rakam's metastore grows collections as
     * new event attributes appear.
     */
-  def addFields(project: String, collection: String, fields: Seq[SchemaField]): Unit =
+  def addFields(project: String, collection: String, fields: Seq[SchemaField]): Unit = {
     store.updateWith((project, collection)) {
       case Some(existing) =>
         val have = existing.map(_.normalizedName).toSet
         Some(existing ++ fields.filterNot(f => have(f.normalizedName)))
       case None => Some(fields)
     }
+    gen.incrementAndGet()
+  }
 
   override def getCollection(project: String, collection: String): Option[Seq[SchemaField]] =
     store.get((project, collection))

@@ -47,6 +47,39 @@ class EngineWiringSpec extends SparkTestBase {
     intercept[Exception](spark.sql("SELECT _offset FROM tpch_events").collect())
   }
 
+  test("engine.sql caches registration on metastore generation") {
+    import graft.catalog.{InMemoryMetastore, Metastore, SchemaField}
+    final class CountingMetastore(inner: InMemoryMetastore) extends Metastore {
+      var schemaLookups = 0
+      var listCalls = 0
+      override def getCollection(p: String, c: String): Option[Seq[SchemaField]] = {
+        schemaLookups += 1; inner.getCollection(p, c)
+      }
+      override def listProjects: Seq[String] = { listCalls += 1; inner.listProjects }
+      override def listCollections(p: String): Seq[String] = inner.listCollections(p)
+      override def generation: Long = inner.generation
+    }
+    val inner = new InMemoryMetastore
+    val ordersSchema = Tables.load(spark, sfDir, "orders").schema
+    inner.createCollection("genproj", "orders", SchemaField.fromStructType(ordersSchema))
+    val ms = new CountingMetastore(inner)
+    val eng = new GraftEngine(spark, ms, ParquetEventSource(sfDir))
+
+    assert(eng.sql("SELECT count(*) AS n FROM genproj_orders").head().getLong(0) > 0)
+    val afterFirst = (ms.schemaLookups, ms.listCalls)
+    assert(afterFirst._1 > 0 && afterFirst._2 > 0)
+
+    // unchanged generation: second query does NO metastore work at all
+    eng.sql("SELECT count(*) AS n FROM genproj_orders").head()
+    assert((ms.schemaLookups, ms.listCalls) == afterFirst)
+
+    // a new collection bumps the generation -> re-registration picks it up
+    inner.createCollection("genproj", "customer",
+      SchemaField.fromStructType(Tables.load(spark, sfDir, "customer").schema))
+    assert(eng.sql("SELECT count(*) AS n FROM genproj_customer").head().getLong(0) > 0)
+    assert(ms.schemaLookups > afterFirst._1 && ms.listCalls > afterFirst._2)
+  }
+
   test("KafkaEventSink shapes (topic, 8-byte big-endian key, avro value)") {
     val s0 = spark
     import s0.implicits._
