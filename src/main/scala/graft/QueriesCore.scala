@@ -340,10 +340,18 @@ object QueriesCore {
     // HLL sketch (approx_count_distinct / HyperLogLog++): a Rakam staple for
     // event analytics. No oracle — DuckDB's HLL differs bit-for-bit; the
     // spec asserts relative error instead (rows-only driver check).
+    // Self-checking: each group carries exact vs approx and is FILTERED to
+    // rel_err < 0.05 — a broken sketch returns 0 rows, so the driver's
+    // rows-only record of this no_oracle query becomes a real assertion.
     NamedQuery("q18_approx_distinct",
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .withColumn("rel_err",
+          abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+        .filter(col("rel_err") < 0.05)
         .orderBy(col("event_type")),
       None),
 

@@ -98,10 +98,6 @@ object QueriesPipeline {
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
   }
 
-  /** Jaccard over shingle sets for given candidate pairs; emits
-    * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
-    * division — bit-identical cross-engine.
-    */
   /** p03's full MinHash→LSH→verify pipeline, factored out so p17's keeper
     * selection consumes the IDENTICAL pair set. Returns (id_a, id_b, jac)
     * with id_a < id_b, jac ≥ 0.6, ordered.
@@ -160,6 +156,10 @@ object QueriesPipeline {
        JOIN sz zb ON zb.doc_id = id_b
        WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6"""
 
+  /** Jaccard over shingle sets for given candidate pairs; emits
+    * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
+    * division — bit-identical cross-engine.
+    */
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -788,10 +788,18 @@ object QueriesPipeline {
     // pre-aggregated event-analytics pattern. No oracle (sketch estimates
     // are algorithm-specific); HllSketchSpec pins accuracy and losslessness
     // of merge, the driver records a rows-only check.
+    // Self-checking like q18: rel_err < 0.05 filter — a broken sketch
+    // empties the result, turning the driver's rows-only record into a
+    // real assertion (HllSketchSpec pins accuracy + merge losslessness).
     NamedQuery("p13_hll_sketch_udaf",
       (s, dir) => Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+        .withColumn("rel_err",
+          abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+        .filter(col("rel_err") < 0.05)
         .orderBy(col("event_type")),
       None),
 
