@@ -819,5 +819,49 @@ object QueriesCore {
       Some("""SELECT event_type, count(*) AS n,
              min(event_id) AS min_off, max(event_id) AS max_off
              FROM events WHERE event_id >= 2000 AND event_id < 7000
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // --------------------------------------------- full Kafka-path log scan
+    // The ONE line the reference's defining tests exercised end-to-end with
+    // an embedded broker (TestManySegments.java:64-108): a multi-range,
+    // many-split log read must deliver exactly the windowed rows. Runs the
+    // COMPLETE KafkaEventSource.read() path (offset JSON handoff, per-range
+    // union, minPartitions splitting, JSON decode, system columns) against
+    // the broker-free FakeKafka DSv2 source, whose content is a closed-form
+    // function of (partition, offset) — so DuckDB replays it exactly with
+    // generate_series, no broker on either side.
+    NamedQuery("q41_kafka_log_scan",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("user_id", LongType, nullable = true),
+          StructField("event_type", StringType, nullable = true)))
+        val src = graft.sources.KafkaEventSource("fake:9092",
+          codec = graft.sources.JsonPayloadCodec,
+          offsetRanges = Seq(
+            graft.plans.OffsetRange(1000, Some(3000)),
+            graft.plans.OffsetRange(5000, Some(6000))),
+          partitionsOf = _ => 4,
+          minPartitions = Some(64),
+          extraOptions = Map("fake.latest" -> "25000", "fake.partitions" -> "4"),
+          format = "graft.sources.FakeKafka")
+        src.read(s, "tpch", "events", schema)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH offs AS (
+               SELECT unnest(generate_series(1000, 2999)) AS o
+               UNION ALL
+               SELECT unnest(generate_series(5000, 5999)) AS o),
+             parts AS (SELECT unnest(generate_series(0, 3)) AS p),
+             rows AS (
+               SELECT o, p,
+                      (['click','view','purchase','scroll'])[(o % 4) + 1] AS event_type,
+                      o * 4 + p AS user_id
+               FROM offs CROSS JOIN parts)
+             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nu,
+                    min(o) AS min_off, max(o) AS max_off
+             FROM rows GROUP BY event_type ORDER BY event_type""")))
 }

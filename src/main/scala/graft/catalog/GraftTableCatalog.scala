@@ -51,7 +51,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       eventSource = Some(Option(options.get("source")).getOrElse("parquet") match {
         case "parquet" => graft.sources.ParquetEventSource(required(options, "sourceRoot"))
         case f @ ("json" | "csv") => graft.sources.FileEventSource(required(options, "sourceRoot"), f)
-        case "kafka" => graft.sources.KafkaEventSource(required(options, "bootstrap"))
+        case "kafka" =>
+          // knobs: codec (avro|json), sourceFormat (swap in FakeKafka for
+          // broker-free tests), sourcePartitions, minPartitions, and
+          // arbitrary source options via the "source.option." prefix
+          import scala.jdk.CollectionConverters._
+          val extra = options.asScala.collect {
+            case (k, v) if k.startsWith("source.option.") =>
+              k.stripPrefix("source.option.") -> v
+          }.toMap
+          graft.sources.KafkaEventSource(
+            required(options, "bootstrap"),
+            codec = Option(options.get("codec")).getOrElse("avro") match {
+              case "avro" => graft.sources.AvroPayloadCodec
+              case "json" => graft.sources.JsonPayloadCodec
+              case other => throw new IllegalArgumentException(s"unknown codec '$other'")
+            },
+            partitionsOf = _ => options.getInt("sourcePartitions", 1),
+            minPartitions = Option(options.get("minPartitions")).map(_.toInt),
+            extraOptions = extra,
+            format = Option(options.get("sourceFormat")).getOrElse("kafka"))
         case other => throw new IllegalArgumentException(s"unknown source '$other'")
       })
       root = options.get("sourceRoot") // may be null for kafka; unused then

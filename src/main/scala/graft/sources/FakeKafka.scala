@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Broker-free stand-in for Spark's Kafka batch source, used to exercise
+  * the FULL [[KafkaEventSource.read]] path (offset-JSON parsing, per-range
+  * union, minPartitions splitting, decode, malformed-drop) in the sandbox —
+  * the role the reference's `EmbeddedKafka.java:38-173` +
+  * `TestManySegments.java:64-108` played for its connector, without a JVM
+  * broker.
+  *
+  * Frame shape matches the Kafka connector exactly (key, value, topic,
+  * partition, offset, timestamp, timestampType). Content is a DETERMINISTIC
+  * function of (partition, offset), so any aggregate over a read is
+  * predictable in closed form — the DuckDB oracle replays it with
+  * `generate_series`:
+  *
+  *  - each of `fake.partitions` partitions holds offsets `[0, fake.latest)`
+  *  - `value` = JSON `{"user_id": offset * P + partition,
+  *    "event_type": EventTypes(offset % 4)}` — unless `fake.corruptEvery`
+  *    divides the offset, in which case the payload is garbage (exercising
+  *    the drop-malformed path)
+  *  - `startingOffsets`/`endingOffsets` accept the connector's per-partition
+  *    JSON (`{"topic":{"0":100,...}}`) or `"latest"`
+  *  - `minPartitions` splits each partition's range into chunks, the
+  *    connector's segment-granular parallelism (reference C4/O3)
+  *
+  * Usage: `KafkaEventSource(..., format = "graft.sources.FakeKafka",
+  * extraOptions = Map("fake.latest" -> "25000", "fake.partitions" -> "4"))`.
+  */
+class FakeKafka extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FakeKafka.frameSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FakeKafkaTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FakeKafka {
+  /** The Kafka connector's fixed frame schema. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  val EventTypes: IndexedSeq[String] = IndexedSeq("click", "view", "purchase", "scroll")
+
+  def userIdFor(offset: Long, partition: Int, numPartitions: Int): Long =
+    offset * numPartitions + partition
+
+  def payloadFor(offset: Long, partition: Int, numPartitions: Int,
+                 corruptEvery: Long): Array[Byte] = {
+    val s =
+      if (corruptEvery > 0 && offset % corruptEvery == 0) "!! not json !!"
+      else {
+        val uid = userIdFor(offset, partition, numPartitions)
+        s"""{"user_id":$uid,"event_type":"${EventTypes((offset % 4).toInt)}"}"""
+      }
+    s.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Parse the connector's per-partition offset JSON: `{"t":{"0":100}}`.
+    * Returns partition → offset; None for the `"latest"`/`"earliest"`
+    * string forms.
+    */
+  def parseOffsetJson(json: String, topic: String): Option[Map[Int, Long]] = {
+    val t = json.trim
+    if (!t.startsWith("{")) return None
+    val node = new ObjectMapper().readTree(t).get(topic)
+    if (node == null) return Some(Map.empty)
+    val it = node.fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) {
+      val e = it.next()
+      m += (e.getKey.toInt -> e.getValue.asLong())
+    }
+    Some(m.result())
+  }
+}
+
+final class FakeKafkaTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  private val topic = Option(options.get("subscribe")).getOrElse(
+    throw new IllegalArgumentException("fake kafka needs 'subscribe'"))
+
+  override def name(): String = s"fake-kafka:$topic"
+  override def schema(): StructType = FakeKafka.frameSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new FakeKafkaScan(topic, options)
+}
+
+final class FakeKafkaScan(topic: String, options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  private val numPartitions = options.getInt("fake.partitions", 1)
+  private val latest = options.getLong("fake.latest", 1000L)
+  private val corruptEvery = options.getLong("fake.corruptEvery", 0L)
+  private val minPartitions = options.getInt("minPartitions", 0)
+
+  override def readSchema(): StructType = FakeKafka.frameSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FakeKafkaScan $topic partitions=$numPartitions latest=$latest"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val starts = Option(options.get("startingOffsets"))
+      .flatMap(FakeKafka.parseOffsetJson(_, topic)).getOrElse(Map.empty[Int, Long])
+    val ends = Option(options.get("endingOffsets"))
+      .flatMap(FakeKafka.parseOffsetJson(_, topic)).getOrElse(Map.empty[Int, Long])
+    // minPartitions: split each partition's range into chunks (the Kafka
+    // connector's offset-range splitting, our C4 segment analogue)
+    val chunksPerPartition = math.max(1,
+      (minPartitions + numPartitions - 1) / numPartitions)
+    (0 until numPartitions).flatMap { p =>
+      val s = math.max(0L, starts.getOrElse(p, 0L))
+      val e = math.min(latest, ends.getOrElse(p, latest))
+      if (e <= s) Nil
+      else {
+        val span = e - s
+        val chunk = math.max(1L, (span + chunksPerPartition - 1) / chunksPerPartition)
+        Iterator.iterate(s)(_ + chunk).takeWhile(_ < e).map { cs =>
+          FakeKafkaPartition(topic, p, numPartitions, cs, math.min(cs + chunk, e),
+            corruptEvery): InputPartition
+        }.toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FakeKafkaReaderFactory
+}
+
+final case class FakeKafkaPartition(topic: String, partition: Int,
+    numPartitions: Int, start: Long, end: Long, corruptEvery: Long)
+    extends InputPartition
+
+final class FakeKafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FakeKafkaPartition]
+    new PartitionReader[InternalRow] {
+      private var offset = p.start - 1
+      override def next(): Boolean = { offset += 1; offset < p.end }
+      override def get(): InternalRow =
+        InternalRow(
+          null, // key
+          FakeKafka.payloadFor(offset, p.partition, p.numPartitions, p.corruptEvery),
+          UTF8String.fromString(p.topic),
+          p.partition,
+          offset,
+          offset * 1000L, // timestamp micros — deterministic, unused by decode
+          0)
+      override def close(): Unit = ()
+    }
+  }
+}

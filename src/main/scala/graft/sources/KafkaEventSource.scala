@@ -70,7 +70,11 @@ final case class KafkaEventSource(
     offsetRanges: Seq[OffsetRange] = OffsetRangePlanner.Full,
     partitionsOf: String => Int = _ => 1,
     minPartitions: Option[Int] = None,
-    extraOptions: Map[String, String] = Map.empty)
+    extraOptions: Map[String, String] = Map.empty,
+    // the batch source format; production default is Spark's Kafka
+    // connector, tests swap in [[FakeKafka]] to drive the FULL read path
+    // (per-range union, offset JSON, minPartitions) without a broker
+    format: String = "kafka")
     extends EventSource {
 
   override def withOffsetRanges(ranges: Seq[OffsetRange]): EventSource =
@@ -103,7 +107,7 @@ final case class KafkaEventSource(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
       val raw = offsetRanges
-        .map(r => spark.read.format("kafka").options(readOptions(topic, r)).load())
+        .map(r => spark.read.format(format).options(readOptions(topic, r)).load())
         .reduce(_ unionAll _)
       KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
     }
@@ -130,7 +134,7 @@ final case class KafkaEventSource(
       s"predicate prunes every offset of $topic - nothing to stream")
     val start = offsetRanges.head
     val opts = readOptions(topic, OffsetRange(start.start, None)) - "endingOffsets"
-    val raw = spark.readStream.format("kafka").options(opts).load()
+    val raw = spark.readStream.format(format).options(opts).load()
     val decoded = KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
     decoded.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), offsetRanges))
   }

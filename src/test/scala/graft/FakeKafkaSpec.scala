@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.OffsetRange
+import graft.sources.{FakeKafka, JsonPayloadCodec, KafkaEventSource}
+
+/** Drives the FULL [[KafkaEventSource.read]] path — offset-JSON handoff,
+  * per-range union, minPartitions splitting, decode, malformed-drop —
+  * against the broker-free [[FakeKafka]] DSv2 source. Reproduces the
+  * reference's exact-count-across-many-splits invariant
+  * (`TestManySegments.java:102-108`: many segments/splits must neither lose
+  * nor duplicate a single row).
+  */
+class FakeKafkaSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true)))
+
+  private def source(ranges: Seq[OffsetRange],
+                     minParts: Option[Int] = Some(400),
+                     corruptEvery: Long = 0L) =
+    KafkaEventSource("fake:9092",
+      codec = JsonPayloadCodec,
+      offsetRanges = ranges,
+      partitionsOf = _ => 4,
+      minPartitions = minParts,
+      extraOptions = Map(
+        "fake.latest" -> "25000",
+        "fake.partitions" -> "4") ++
+        (if (corruptEvery > 0) Map("fake.corruptEvery" -> corruptEvery.toString) else Map.empty),
+      format = "graft.sources.FakeKafka")
+
+  test("TestManySegments invariant: 100k rows exact across hundreds of splits") {
+    val df = source(Seq(OffsetRange(0, None))).read(spark, "proj", "events", schema)
+    // minPartitions=400 over 4 partitions -> 100 chunks each = 400 splits
+    assert(df.rdd.getNumPartitions >= 400)
+    // exact count: no split loses or duplicates rows
+    assert(df.count() == 100000L)
+    assert(df.agg(countDistinct(col("user_id"))).head().getLong(0) == 100000L)
+    // offsets span the full log on every partition
+    val Array(mn, mx) = df.agg(min(col("_offset")), max(col("_offset"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(mn == 0L && mx == 24999L)
+  }
+
+  test("multi-range window reads as a union of per-range scans, exactly") {
+    val ranges = Seq(OffsetRange(1000, Some(3000)), OffsetRange(5000, Some(6000)))
+    val df = source(ranges, minParts = Some(16)).read(spark, "proj", "events", schema)
+    assert(df.count() == (2000L + 1000L) * 4)
+    // no row outside the requested windows (gap offsets excluded)
+    assert(df.filter(col("_offset") >= 3000 && col("_offset") < 5000).count() == 0)
+    assert(df.filter(col("_offset") < 1000 || col("_offset") >= 6000).count() == 0)
+  }
+
+  test("contradictory predicate (no ranges) yields an empty typed relation") {
+    val df = source(Nil).read(spark, "proj", "events", schema)
+    assert(df.columns.toSeq == Seq("_offset", "project", "collection", "user_id", "event_type"))
+    assert(df.count() == 0)
+  }
+
+  test("unbounded-high range clamps to the live log head (latest)") {
+    val df = source(Seq(OffsetRange(24990, None)), minParts = None)
+      .read(spark, "proj", "events", schema)
+    assert(df.count() == 10L * 4)
+  }
+
+  test("malformed payloads drop without poisoning the scan (C6 semantics)") {
+    val df = source(Seq(OffsetRange(0, None)), corruptEvery = 100L)
+      .read(spark, "proj", "events", schema)
+    // offsets divisible by 100 are garbage: 250 per partition x 4
+    assert(df.count() == 100000L - 250L * 4)
+  }
+
+  test("offset JSON parser handles per-partition maps and keyword forms") {
+    assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
+      == Some(Map(0 -> 100L, 1 -> 200L)))
+    assert(FakeKafka.parseOffsetJson("latest", "t").isEmpty)
+    assert(FakeKafka.parseOffsetJson("""{"other":{"0":1}}""", "t") == Some(Map.empty))
+  }
+}

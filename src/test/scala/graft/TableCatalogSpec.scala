@@ -95,6 +95,32 @@ class TableCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("metastore mode resolves a KAFKA-sourced collection: SQL over a topic with offset pruning") {
+    // the reference's primary surface end-to-end: catalog.schema.table over
+    // a topic, offset predicate pruned into the broker read — driven here
+    // against the broker-free FakeKafka source through the REAL path
+    import org.apache.spark.sql.types._
+    val ms = java.nio.file.Files.createTempDirectory("graft-ms-kafka").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    new graft.catalog.FileMetastore(ms).createCollection("proj", "events",
+      graft.catalog.SchemaField.fromStructType(schema))
+    spark.conf.set("spark.sql.catalog.graftkf", "graft.catalog.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftkf.metastore", ms)
+    spark.conf.set("spark.sql.catalog.graftkf.source", "kafka")
+    spark.conf.set("spark.sql.catalog.graftkf.bootstrap", "fake:9092")
+    spark.conf.set("spark.sql.catalog.graftkf.codec", "json")
+    spark.conf.set("spark.sql.catalog.graftkf.sourceFormat", "graft.sources.FakeKafka")
+    spark.conf.set("spark.sql.catalog.graftkf.sourcePartitions", "2")
+    spark.conf.set("spark.sql.catalog.graftkf.source.option.fake.partitions", "2")
+    spark.conf.set("spark.sql.catalog.graftkf.source.option.fake.latest", "5000")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM graftkf.proj.events WHERE _offset >= 100 AND _offset < 600")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ranges=[100,600)"), plan)
+    assert(q.head().getLong(0) == 500L * 2) // 500 offsets x 2 partitions
+  }
+
   test("catalog is read-only (reference parity)") {
     withCatalog {
       intercept[Exception](
