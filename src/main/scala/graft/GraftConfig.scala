@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.catalog.{FileMetastore, InMemoryMetastore, Metastore}
+import graft.catalog.{FileMetastore, InMemoryMetastore, JdbcMetastore, Metastore}
 import graft.sources.{AvroPayloadCodec, EventSource, JsonPayloadCodec, KafkaEventSource, ParquetEventSource, PayloadCodec}
 
 /** Engine configuration (reference C8, `KafkaConnectorConfig.java:32-117` —
@@ -17,6 +17,10 @@ final case class GraftConfig(
     codec: String = "avro",
     /** Metastore location: None = in-memory; Some(dir) = file-backed. */
     metastoreRoot: Option[String] = None,
+    /** JDBC metastore URL (reference parity: Postgres-backed registry,
+      * `MetastoreModule.java:37-42`); takes precedence over metastoreRoot.
+      */
+    metastoreJdbcUrl: Option[String] = None,
     /** Default project when unqualified — the reference's `kafka.default-schema`. */
     defaultProject: String = "default",
     /** Segment-granular parallelism hint (reference O3). */
@@ -28,9 +32,10 @@ final case class GraftConfig(
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }
 
-  def metastore(): Metastore = metastoreRoot match {
-    case Some(dir) => new FileMetastore(dir)
-    case None => new InMemoryMetastore
+  def metastore(): Metastore = (metastoreJdbcUrl, metastoreRoot) match {
+    case (Some(url), _) => new JdbcMetastore(url)
+    case (None, Some(dir)) => new FileMetastore(dir)
+    case _ => new InMemoryMetastore
   }
 }
 

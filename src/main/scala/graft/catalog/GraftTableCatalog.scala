@@ -46,7 +46,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    metastore = Option(options.get("metastore")).map(new FileMetastore(_))
+    metastore = Option(options.get("metastore")).map(new FileMetastore(_): Metastore)
+      .orElse(Option(options.get("metastoreJdbc")).map(new JdbcMetastore(_): Metastore))
     if (metastore.isDefined) {
       eventSource = Some(Option(options.get("source")).getOrElse("parquet") match {
         case "parquet" => graft.sources.ParquetEventSource(required(options, "sourceRoot"))

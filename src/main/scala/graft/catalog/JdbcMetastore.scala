@@ -1,0 +1,128 @@
+package graft.catalog
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.util.Retry
+
+/** JDBC-backed metastore — reference parity with Rakam's Postgres-backed
+  * schema registry (`MetastoreModule.java:37-42` binding `JDBCMetastore`,
+  * Postgres driver in `pom.xml:167-171`). The rebuild keeps the identical
+  * [[Metastore]] contract over any JDBC database; tests run it against
+  * embedded Derby (bundled with Spark), production points `url` at
+  * Postgres/MySQL.
+  *
+  * Layout: one row per collection in `graft_schema(project, collection,
+  * schema_json)` holding the Spark DDL-JSON of the user schema (same
+  * serialization as [[FileMetastore]]), plus a single-row
+  * `graft_meta(generation)` counter bumped on every DDL — the cheap change
+  * fingerprint [[Metastore.generation]] requires.
+  *
+  * Control-plane calls go through [[Retry]] like the reference wrapped its
+  * metastore access (`RetryDriver` use at
+  * `KafkaConnectorPageSource.java:202-204`). Connections are per-call:
+  * metastore traffic is a handful of driver-side lookups per registration
+  * generation, not a hot path; correctness over pooling.
+  */
+final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAttempts = 3))
+    extends Metastore {
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  // idempotent bootstrap: Derby has no CREATE TABLE IF NOT EXISTS; probe
+  // with a query and swallow the already-exists failure on races
+  locally {
+    withConn { c =>
+      def tryDdl(sql: String): Unit =
+        try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      tryDdl("""CREATE TABLE graft_schema (
+                  project VARCHAR(255) NOT NULL,
+                  collection VARCHAR(255) NOT NULL,
+                  schema_json CLOB NOT NULL,
+                  PRIMARY KEY (project, collection))""")
+      tryDdl("CREATE TABLE graft_meta (generation BIGINT NOT NULL)")
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM graft_meta")
+      rs.next()
+      if (rs.getLong(1) == 0L) {
+        val st = c.createStatement()
+        try st.execute("INSERT INTO graft_meta VALUES (0)") finally st.close()
+      }
+    }
+  }
+
+  def createCollection(project: String, collection: String, fields: Seq[SchemaField]): Unit =
+    Retry(s"createCollection $project.$collection", retry) {
+      withConn { c =>
+        c.setAutoCommit(false)
+        val json = StructType(fields.map(_.toStructField)).json
+        val del = c.prepareStatement(
+          "DELETE FROM graft_schema WHERE project = ? AND collection = ?")
+        try { del.setString(1, project); del.setString(2, collection); del.executeUpdate() }
+        finally del.close()
+        val ins = c.prepareStatement(
+          "INSERT INTO graft_schema (project, collection, schema_json) VALUES (?, ?, ?)")
+        try {
+          ins.setString(1, project); ins.setString(2, collection); ins.setString(3, json)
+          ins.executeUpdate()
+        } finally ins.close()
+        val bump = c.createStatement()
+        try bump.execute("UPDATE graft_meta SET generation = generation + 1")
+        finally bump.close()
+        c.commit()
+      }
+    }
+
+  override def getCollection(project: String, collection: String): Option[Seq[SchemaField]] =
+    Retry(s"getCollection $project.$collection", retry) {
+      withConn { c =>
+        val ps = c.prepareStatement(
+          "SELECT schema_json FROM graft_schema WHERE project = ? AND collection = ?")
+        try {
+          ps.setString(1, project); ps.setString(2, collection)
+          val rs = ps.executeQuery()
+          if (!rs.next()) None
+          else Some(SchemaField.fromStructType(
+            DataType.fromJson(rs.getString(1)).asInstanceOf[StructType]))
+        } finally ps.close()
+      }
+    }
+
+  override def listProjects: Seq[String] =
+    Retry("listProjects", retry) {
+      withConn { c =>
+        val rs = c.createStatement().executeQuery(
+          "SELECT DISTINCT project FROM graft_schema ORDER BY project")
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString(1)
+        b.result()
+      }
+    }
+
+  override def listCollections(project: String): Seq[String] =
+    Retry(s"listCollections $project", retry) {
+      withConn { c =>
+        val ps = c.prepareStatement(
+          "SELECT collection FROM graft_schema WHERE project = ? ORDER BY collection")
+        try {
+          ps.setString(1, project)
+          val rs = ps.executeQuery()
+          val b = Seq.newBuilder[String]
+          while (rs.next()) b += rs.getString(1)
+          b.result()
+        } finally ps.close()
+      }
+    }
+
+  override def generation: Long =
+    Retry("generation", retry) {
+      withConn { c =>
+        val rs = c.createStatement().executeQuery("SELECT generation FROM graft_meta")
+        rs.next(); rs.getLong(1)
+      }
+    }
+}

@@ -22,6 +22,37 @@ class CatalogSpec extends SparkTestBase {
     assert(ms.getCollection("demo", "nope").isEmpty)
   }
 
+  test("JdbcMetastore (embedded Derby): same contract as InMemory/File") {
+    val db = Files.createTempDirectory("graft-derby").resolve("ms").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val ms = new graft.catalog.JdbcMetastore(url)
+    val g0 = ms.generation
+    ms.createCollection("demo", "clicks",
+      Seq(SchemaField("UserId", FieldType.LONG), SchemaField("Tags", FieldType.ARRAY(FieldType.STRING))))
+    ms.createCollection("demo", "views", Seq(SchemaField("x", FieldType.DOUBLE)))
+    assert(ms.listProjects == Seq("demo"))
+    assert(ms.listCollections("demo") == Seq("clicks", "views"))
+    val st = ms.schemaOf("demo", "clicks").get
+    assert(st.fieldNames.toSeq == Seq("userid", "tags"))
+    assert(ms.getCollection("demo", "nope").isEmpty)
+    // DDL bumps the generation (registration-cache contract)
+    assert(ms.generation > g0)
+    // re-create (schema evolution) replaces and bumps again
+    val g1 = ms.generation
+    ms.createCollection("demo", "clicks", Seq(SchemaField("UserId", FieldType.LONG)))
+    assert(ms.schemaOf("demo", "clicks").get.fieldNames.toSeq == Seq("userid"))
+    assert(ms.generation > g1)
+    // a second instance over the same database sees the same state (durability)
+    val ms2 = new graft.catalog.JdbcMetastore(url)
+    assert(ms2.schemaOf("demo", "views").isDefined)
+    assert(ms2.generation == ms.generation)
+    // and the engine runs on it end-to-end
+    val eng = new GraftEngine(spark, ms, graft.sources.ParquetEventSource(sfDir))
+    ms.createCollection("jdbcproj", "orders",
+      SchemaField.fromStructType(Tables.load(spark, sfDir, "orders").schema))
+    assert(eng.sql("SELECT count(*) AS n FROM jdbcproj_orders").head().getLong(0) > 0)
+  }
+
   test("Retry: backs off with the reference's schedule, honors stopOn") {
     var calls = 0
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
