@@ -343,11 +343,18 @@ object QueriesCore {
     // Self-checking: each group carries exact vs approx and is FILTERED to
     // rel_err < 0.05 — a broken sketch returns 0 rows, so the driver's
     // rows-only record of this no_oracle query becomes a real assertion.
+    // Plan note: pre-distinct (event_type, user_id) FIRST, then count rows
+    // for the exact figure and sketch the already-distinct ids for the
+    // approximation (HLL is duplicate-insensitive, so registers — and the
+    // estimate — are identical). One shuffle of N rows instead of
+    // countDistinct+approx side by side, which EXPANDs the input 2×.
     NamedQuery("q18_approx_distinct",
       (s, dir) => t(s, dir, "events")
+        .filter(col("user_id").isNotNull) // countDistinct semantics: nulls don't count
+        .groupBy(col("event_type"), col("user_id")).agg(lit(1))
         .groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .withColumn("rel_err",
           abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))

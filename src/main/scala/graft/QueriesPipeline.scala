@@ -84,6 +84,23 @@ object QueriesPipeline {
       .distinct()
   }
 
+  /** The shingle inverted index, MATERIALIZED once per (session, corpus
+    * dir) and shared across the whole dedup family. p02/p03/p04/p17
+    * together reference the index ~9× (signatures, candidate joins, size
+    * counts, verify); recomputing the tokenize→shingle→hash→distinct scan
+    * each time is the family's dominant cost at scale. One
+    * MEMORY_AND_DISK materialization amortizes it — the local analogue of
+    * the 100 TB design (a bucketed write of the index, shared by every
+    * downstream consumer). The index is (doc_id, h) longs only: tiny
+    * relative to the corpus text it replaces.
+    */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
+    shCache.getOrElseUpdate((s, dir),
+      shingleHashes(Corpus.docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
     * corpus: `corpus`, `sh` (doc_id, h), `sz` (doc_id, n).
     */
@@ -102,26 +119,29 @@ object QueriesPipeline {
     * selection consumes the IDENTICAL pair set. Returns (id_a, id_b, jac)
     * with id_a < id_b, jac ≥ 0.6, ordered.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import MinHashParams._
-    // NOTE: the shingle index feeds 4 subtrees; .persist() was tried and
-    // is a net LOSS here (materialization blocks pipelining and the
-    // recomputed branches are scan-light after column pruning)
-    val sh = shingleHashes(Corpus.docs(s, dir))
-    val sigCols = (0 until K).map(i =>
-      min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandKeys = (0 until Bands).map(bd =>
-      concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-    val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-      .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
-        Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    jaccardOf(cand, sh, 0.6)
-  }
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // the pair set is shared verbatim by p03 (emits it) and p17 (clusters
+    // it); it is tiny (one row per near-dup pair), so materialize once
+    pairsCache.getOrElseUpdate((s, dir), {
+      import MinHashParams._
+      val sh = sharedShingleHashes(s, dir)
+      val sigCols = (0 until K).map(i =>
+        min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandKeys = (0 until Bands).map(bd =>
+        concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+        .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
+          Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      jaccardOf(cand, sh, 0.6).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Oracle twin of [[minhashPairs]], split as (CTE chain, final SELECT) so
     * p17 can extend the chain with its recursive reachability CTEs.
@@ -240,7 +260,7 @@ object QueriesPipeline {
         // no candidate-distinct + re-join round trip (that tripled the
         // shuffle volume; at 100 TB the inverted-index join is the whole
         // cost, so it must run exactly once).
-        val sh = shingleHashes(Corpus.docs(s, dir))
+        val sh = sharedShingleHashes(s, dir)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = sh.select(col("doc_id").as("id_a"), col("h"))
           .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
@@ -285,7 +305,7 @@ object QueriesPipeline {
     NamedQuery("p04_dedup_simhash",
       (s, dir) => {
         import SimHashParams._
-        val toks = shingleHashes(Corpus.docs(s, dir))
+        val toks = sharedShingleHashes(s, dir)
         val bitCols = (0 until Bits).map { j =>
           sum(when(GF.affineHash(col("h"), a(j), b(j)) > Half, 1).otherwise(-1)).as(s"w$j")
         }
@@ -352,6 +372,12 @@ object QueriesPipeline {
           col("vec_id").as("id_b"), col("embedding").as("eb"), col("norm").as("nb"))
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
+          // fast-double PREFILTER: discard the ~99.9% of candidates far from
+          // the threshold with a zero-allocation double dot, then re-score
+          // survivors with the exact decimal dot that DECIDES membership.
+          // |double - decimal| ≤ 64·5e-13 + fp-sum error ≪ the 5e-4 margin,
+          // so no pair with exact cos ≥ 0.999 can be discarded.
+          .filter(GF.dotDouble(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.9985)
           .select(col("id_a"), col("id_b"),
             pairScore(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
           .filter(col("cos") >= 0.999)
@@ -659,24 +685,11 @@ object QueriesPipeline {
         val seedArr = seeds.agg(
           array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
         val assignedBoth = v.crossJoin(broadcast(seedArr))
-          .withColumn("best", aggregate(
-            col("sarr"),
-            struct(lit(Double.NegativeInfinity).as("s1"), lit(-1L).as("d1"),
-              lit(Double.NegativeInfinity).as("s2"), lit(-1L).as("d2")),
-            (acc, sd) => {
-              val sc = pairScore(col("embedding"), sd.getField("se"), col("norm"), sd.getField("sn"))
-              when(sc > acc.getField("s1"),
-                struct(sc.as("s1"), sd.getField("seed_id").as("d1"),
-                  acc.getField("s1").as("s2"), acc.getField("d1").as("d2")))
-                .when(sc > acc.getField("s2"),
-                  struct(acc.getField("s1").as("s1"), acc.getField("d1").as("d1"),
-                    sc.as("s2"), sd.getField("seed_id").as("d2")))
-                .otherwise(acc)
-            }))
+          .withColumn("best", GF.nearestSeeds(col("sarr"), col("embedding"), col("norm")))
         val assigned = assignedBoth
-          .select(col("best.d1").as("part"), col("vec_id"), col("embedding"), col("norm"))
+          .select(col("best")(0).as("part"), col("vec_id"), col("embedding"), col("norm"))
         val q = assignedBoth.filter(col("vec_id") < 10)
-          .select(explode(array(col("best.d1"), col("best.d2"))).as("part"),
+          .select(explode(col("best")).as("part"),
             col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val wr = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
         assigned.select(col("part"), col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))

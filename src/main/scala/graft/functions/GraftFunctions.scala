@@ -66,6 +66,19 @@ object GraftFunctions {
   def dotDecimal(a: Column, b: Column): Column =
     Bridge.column(DotDecimal(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Fast inexact double dot — prefilter only, never decides a result
+    * (see [[DotDouble]]).
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Two nearest seed centroids `[best, second]` by exact-decimal cosine
+    * (see [[NearestSeeds]]).
+    */
+  def nearestSeeds(seeds: Column, embedding: Column, norm: Column): Column =
+    Bridge.column(NearestSeeds(
+      Bridge.expression(seeds), Bridge.expression(embedding), Bridge.expression(norm)))
+
   /** Reference implementation of [[dotDecimal]] as a builtin lambda fold —
     * kept for the property test pinning the native expression's semantics.
     */

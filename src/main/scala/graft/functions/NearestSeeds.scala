@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** IVF coarse assignment: the ids of the TWO nearest seed centroids by
+  * exact-decimal cosine, as `array<long>` `[best, second]` — a native,
+  * whole-stage-codegen'd replacement for the interpreted
+  * `aggregate(...)` lambda fold (HigherOrderFunctions are not codegen'd;
+  * the per-row fold over 16 seeds with struct churn was p14's dominant
+  * cost).
+  *
+  * Semantics are an EXACT twin of the fold it replaces (and of the oracle's
+  * `row_number() OVER (ORDER BY score DESC, seed_id)` at rn=1/rn=2):
+  * seeds are visited in array order (callers pass a seed_id-sorted array),
+  * score = `DotDecimal.dot(v, seed).toDouble / (norm * seedNorm)` — the
+  * same decimal-exact dot, the same double division — and strict `>`
+  * comparisons keep the FIRST (lowest seed_id) maximum per slot on ties.
+  *
+  * Children: (seeds `array<struct<seed_id long, se array<double>,
+  * sn double>>`, embedding `array<double>`, norm `double`).
+  */
+case class NearestSeeds(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_seeds"
+
+  override protected def nullSafeEval(seeds: Any, emb: Any, norm: Any): Any =
+    NearestSeeds.twoBest(seeds.asInstanceOf[ArrayData], emb.asInstanceOf[ArrayData],
+      norm.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, e, n) =>
+      s"""
+         |${ev.value} = graft.functions.NearestSeeds.twoBest($s, $e, $n);
+         |${ev.isNull} = (${ev.value} == null);
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestSeeds =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object NearestSeeds {
+  /** Static so generated code can call it directly. Seeds with a
+    * length-mismatched vector (null dot) are skipped, like the fold's
+    * null-propagating `>` comparison.
+    */
+  def twoBest(seeds: ArrayData, emb: ArrayData, norm: Double): ArrayData = {
+    var s1 = Double.NegativeInfinity; var d1 = -1L
+    var s2 = Double.NegativeInfinity; var d2 = -1L
+    val n = seeds.numElements()
+    var i = 0
+    while (i < n) {
+      val seed = seeds.getStruct(i, 3)
+      val dec = DotDecimal.dot(emb, seed.getArray(1))
+      if (dec != null) {
+        val score = dec.toDouble / (norm * seed.getDouble(2))
+        if (score > s1) {
+          s2 = s1; d2 = d1
+          s1 = score; d1 = seed.getLong(0)
+        } else if (score > s2) {
+          s2 = score; d2 = seed.getLong(0)
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(d1, d2))
+  }
+}

@@ -30,9 +30,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("id_a", "id_b")
+    // materialize the edge set ONCE: every propagation round joins against
+    // it, and without this the (possibly expensive) pair-producing pipeline
+    // upstream would re-execute per round
     val edges = p
       .unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("keeper"))
     var converged = false
