@@ -79,15 +79,21 @@ final class GraftEngine(
     byView.filter(_._2.size > 1).foreach { case (view, colls) =>
       logWarning(s"skipping ambiguous view $view (collides: $colls)")
     }
+    var anyFailure = false
     byView.filter(_._2.size == 1).values.flatten.foreach { case (p, c) =>
       // a stale metastore entry (missing backing data) must not take down
       // queries that never touch it
       try register(p, c)
       catch { case e: Exception =>
+        anyFailure = true
         logWarning(s"skipping unreadable collection $p.$c: ${e.getMessage}")
       }
     }
-    registeredGeneration = if (gen >= 0) Some(gen) else None
+    // cache only a COMPLETE registration: a transiently-unreadable
+    // collection must be retried on the next call, not frozen out until
+    // the next metastore DDL (ambiguous-name skips are deterministic and
+    // harmless to cache)
+    registeredGeneration = if (gen >= 0 && !anyFailure) Some(gen) else None
     spark.sql(query)
   }
 

@@ -809,8 +809,16 @@ object QueriesCore {
     // the engine API (offsetWindow); this covers the SQL surface.
     NamedQuery("q40_sql_offset_pushdown",
       (s, dir) => {
-        val cat = "graftsql"
-        val msDir = s"/tmp/graft_ms_${Integer.toHexString(dir.hashCode)}"
+        // catalog name and metastore dir are both derived from the corpus
+        // dir: Spark caches catalog instances by NAME per session, so a
+        // fixed name would silently keep serving the first dir's sourceRoot
+        // if one session ran two scale factors. UUIDv3 of the full path
+        // also avoids 32-bit hashCode collisions between workers.
+        val tag = java.util.UUID
+          .nameUUIDFromBytes(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toString.replace("-", "").take(12)
+        val cat = s"graftsql_$tag"
+        val msDir = s"/tmp/graft_ms_$tag"
         new graft.catalog.FileMetastore(msDir).createCollection("tpch", "events",
           graft.catalog.SchemaField.fromStructType(t(s, dir, "events").schema))
         s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")

@@ -84,22 +84,52 @@ object QueriesPipeline {
       .distinct()
   }
 
-  /** The shingle inverted index, MATERIALIZED once per (session, corpus
-    * dir) and shared across the whole dedup family. p02/p03/p04/p17
-    * together reference the index ~9× (signatures, candidate joins, size
-    * counts, verify); recomputing the tokenize→shingle→hash→distinct scan
-    * each time is the family's dominant cost at scale. One
-    * MEMORY_AND_DISK materialization amortizes it — the local analogue of
-    * the 100 TB design (a bucketed write of the index, shared by every
-    * downstream consumer). The index is (doc_id, h) longs only: tiny
-    * relative to the corpus text it replaces.
+  /** The shingle inverted index, shared across the whole dedup family.
+    * p02/p03/p04/p17 together reference the index ~9× (signatures,
+    * candidate joins, size counts, verify); recomputing the
+    * tokenize→shingle→hash→distinct scan each time is the family's
+    * dominant cost at scale. The local analogue of the 100 TB design (a
+    * bucketed write of the index shared by every downstream consumer) is a
+    * MEMORY_AND_DISK persist — applied only from the SECOND access on, so
+    * a standalone single-query run never pays a materialization it can't
+    * amortize (persist was measured a net loss for lone p03). The index is
+    * (doc_id, h) longs only: tiny relative to the corpus text it replaces.
     */
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shCache = new SharedPlanCache
   private def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((s, dir),
-      shingleHashes(Corpus.docs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shCache.get(s, dir, () => shingleHashes(Corpus.docs(s, dir)))
+
+  /** Per-(session, dir) plan cache with persist-on-second-access and a
+    * bounded size (eldest entry unpersisted on eviction, so cached blocks
+    * can't accumulate across many sessions/corpora in one JVM).
+    */
+  private final class SharedPlanCache(maxEntries: Int = 8) {
+    private final class Entry(val df: DataFrame) {
+      var hits = 0
+      var persisted = false
+    }
+    private val entries =
+      new java.util.LinkedHashMap[(SparkSession, String), Entry](16, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), Entry]): Boolean = {
+          val evict = size() > maxEntries
+          if (evict && e.getValue.persisted) {
+            try e.getValue.df.unpersist(blocking = false) catch { case _: Exception => () }
+          }
+          evict
+        }
+      }
+    def get(s: SparkSession, dir: String, build: () => DataFrame): DataFrame =
+      entries.synchronized {
+        val e = entries.computeIfAbsent((s, dir), _ => new Entry(build()))
+        e.hits += 1
+        if (e.hits >= 2 && !e.persisted) {
+          e.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e.persisted = true
+        }
+        e.df
+      }
+  }
 
   /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
     * corpus: `corpus`, `sh` (doc_id, h), `sz` (doc_id, n).
@@ -119,13 +149,13 @@ object QueriesPipeline {
     * selection consumes the IDENTICAL pair set. Returns (id_a, id_b, jac)
     * with id_a < id_b, jac ≥ 0.6, ordered.
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = new SharedPlanCache
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     // the pair set is shared verbatim by p03 (emits it) and p17 (clusters
-    // it); it is tiny (one row per near-dup pair), so materialize once
-    pairsCache.getOrElseUpdate((s, dir), {
+    // it); it is tiny (one row per near-dup pair) and persists only once a
+    // second consumer actually shows up (same policy as the shingle index)
+    pairsCache.get(s, dir, () => {
       import MinHashParams._
       val sh = sharedShingleHashes(s, dir)
       val sigCols = (0 until K).map(i =>
@@ -140,7 +170,7 @@ object QueriesPipeline {
           Seq("band", "key"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-      jaccardOf(cand, sh, 0.6).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jaccardOf(cand, sh, 0.6)
     })
 
   /** Oracle twin of [[minhashPairs]], split as (CTE chain, final SELECT) so

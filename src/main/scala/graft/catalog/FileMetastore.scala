@@ -46,9 +46,13 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
     _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
   }
 
-  /** Fingerprint of (path, mtime) over every schema file — a control-plane
-    * directory walk, far cheaper than re-reading and re-registering every
-    * schema. Non-negative by construction (see [[Metastore.generation]]).
+  /** Fingerprint of (path, size, nanosecond mtime) over every schema file —
+    * a control-plane directory walk, far cheaper than re-reading and
+    * re-registering every schema. Size + nano mtime catch a same-millisecond
+    * rewrite on filesystems with fine timestamps; on coarse-timestamp
+    * filesystems a same-tick same-size rewrite is still invisible — callers
+    * needing hard guarantees use [[JdbcMetastore]]'s transactional counter.
+    * Non-negative by construction (see [[Metastore.generation]]).
     */
   override def generation: Long = {
     var h = 17L
@@ -57,10 +61,16 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
       c <- listCollections(p).sorted
     } {
       val f = file(p, c)
-      val m = try Files.getLastModifiedTime(f).toMillis catch { case _: Exception => -1L }
+      val (sz, sec, nano) =
+        try {
+          val t = Files.getLastModifiedTime(f).toInstant
+          (Files.size(f), t.getEpochSecond, t.getNano.toLong)
+        } catch { case _: Exception => (-1L, -1L, -1L) }
       h = h * 31 + p.hashCode
       h = h * 31 + c.hashCode
-      h = h * 31 + m
+      h = h * 31 + sz
+      h = h * 31 + sec
+      h = h * 31 + nano
     }
     h & Long.MaxValue
   }

@@ -67,8 +67,17 @@ final class GraftLogScanBuilder(
     */
   private def toColumn(f: Filter): Option[Column] = {
     val off = col(SystemColumns.Offset)
+    // integral values only: a fractional literal truncated via longValue()
+    // would prune UNDER-inclusively (LessThan(_offset, 2.5) -> [0,2) drops
+    // offset 2) — exactly the unsoundness the planner's cast guard exists
+    // to prevent. Non-integral shapes fall through to the plain residual.
     def num(v: Any): Option[Column] = v match {
-      case n: java.lang.Number => Some(lit(n.longValue()))
+      case n: java.lang.Long => Some(lit(n.longValue()))
+      case n: java.lang.Integer => Some(lit(n.longValue()))
+      case n: java.lang.Short => Some(lit(n.longValue()))
+      case n: java.lang.Byte => Some(lit(n.longValue()))
+      case d: java.math.BigDecimal if d.stripTrailingZeros.scale <= 0 =>
+        try Some(lit(d.longValueExact())) catch { case _: ArithmeticException => None }
       case _ => None
     }
     f match {

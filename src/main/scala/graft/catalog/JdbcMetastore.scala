@@ -33,25 +33,29 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
     try f(c) finally c.close()
   }
 
-  // idempotent bootstrap: Derby has no CREATE TABLE IF NOT EXISTS; probe
-  // with a query and swallow the already-exists failure on races
+  // idempotent bootstrap: Derby has no CREATE TABLE IF NOT EXISTS; swallow
+  // the already-exists state on races. The meta row is keyed (id=1 PRIMARY
+  // KEY) so two concurrent bootstraps can't seed it twice — the loser's
+  // INSERT fails with a duplicate-key violation and is swallowed too.
   locally {
     withConn { c =>
-      def tryDdl(sql: String): Unit =
-        try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
-        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
-      tryDdl("""CREATE TABLE graft_schema (
-                  project VARCHAR(255) NOT NULL,
-                  collection VARCHAR(255) NOT NULL,
-                  schema_json CLOB NOT NULL,
-                  PRIMARY KEY (project, collection))""")
-      tryDdl("CREATE TABLE graft_meta (generation BIGINT NOT NULL)")
-      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM graft_meta")
-      rs.next()
-      if (rs.getLong(1) == 0L) {
+      def tryStmt(sql: String, swallow: Set[String]): Unit = {
         val st = c.createStatement()
-        try st.execute("INSERT INTO graft_meta VALUES (0)") finally st.close()
+        try st.execute(sql)
+        catch { case e: java.sql.SQLException if swallow(e.getSQLState) => () }
+        finally st.close()
       }
+      val tableExists = Set("X0Y32")
+      val duplicateKey = Set("23505")
+      tryStmt("""CREATE TABLE graft_schema (
+                   project VARCHAR(255) NOT NULL,
+                   collection VARCHAR(255) NOT NULL,
+                   schema_json CLOB NOT NULL,
+                   PRIMARY KEY (project, collection))""", tableExists)
+      tryStmt("""CREATE TABLE graft_meta (
+                   id INT NOT NULL PRIMARY KEY,
+                   generation BIGINT NOT NULL)""", tableExists)
+      tryStmt("INSERT INTO graft_meta (id, generation) VALUES (1, 0)", duplicateKey)
     }
   }
 
@@ -71,7 +75,7 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
           ins.executeUpdate()
         } finally ins.close()
         val bump = c.createStatement()
-        try bump.execute("UPDATE graft_meta SET generation = generation + 1")
+        try bump.execute("UPDATE graft_meta SET generation = generation + 1 WHERE id = 1")
         finally bump.close()
         c.commit()
       }
@@ -121,7 +125,7 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
   override def generation: Long =
     Retry("generation", retry) {
       withConn { c =>
-        val rs = c.createStatement().executeQuery("SELECT generation FROM graft_meta")
+        val rs = c.createStatement().executeQuery("SELECT generation FROM graft_meta WHERE id = 1")
         rs.next(); rs.getLong(1)
       }
     }

@@ -50,6 +50,14 @@ object NearestSeeds {
     * length-mismatched vector (null dot) are skipped, like the fold's
     * null-propagating `>` comparison.
     */
+  /** SQL DESC-sort "greater": NaN ranks above every number (Spark's sort
+    * and DuckDB's ORDER BY DESC both put NaN first) — Java's `>` would
+    * silently skip NaN scores (e.g. a zero-norm vector ⇒ 0/0) and diverge
+    * from the window argmax this expression replaces.
+    */
+  private def sqlGreater(a: Double, b: Double): Boolean =
+    a > b || (a.isNaN && !b.isNaN)
+
   def twoBest(seeds: ArrayData, emb: ArrayData, norm: Double): ArrayData = {
     var s1 = Double.NegativeInfinity; var d1 = -1L
     var s2 = Double.NegativeInfinity; var d2 = -1L
@@ -60,10 +68,10 @@ object NearestSeeds {
       val dec = DotDecimal.dot(emb, seed.getArray(1))
       if (dec != null) {
         val score = dec.toDouble / (norm * seed.getDouble(2))
-        if (score > s1) {
+        if (sqlGreater(score, s1)) {
           s2 = s1; d2 = d1
           s1 = score; d1 = seed.getLong(0)
-        } else if (score > s2) {
+        } else if (sqlGreater(score, s2)) {
           s2 = score; d2 = seed.getLong(0)
         }
       }
