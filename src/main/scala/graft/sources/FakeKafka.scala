@@ -102,7 +102,7 @@ final class FakeKafkaTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"fake-kafka:$topic"
   override def schema(): StructType = FakeKafka.frameSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new FakeKafkaScan(topic, options)
@@ -147,6 +147,77 @@ final class FakeKafkaScan(topic: String, options: CaseInsensitiveStringMap)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FakeKafkaReaderFactory
+
+  /** Streaming variant: the same closed-form log as an unbounded source.
+    * The log head starts at `fake.latest` and (optionally) advances by
+    * `fake.advancePerBatch` offsets per micro-batch up to `fake.maxLatest`
+    * — enough to exercise readStream's start-offset handoff, the decoded
+    * stream's residual `_offset` filter, and multi-batch progression,
+    * broker-free.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FakeKafkaMicroBatchStream(topic, options)
+}
+
+final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  private val numPartitions = options.getInt("fake.partitions", 1)
+  private val initialLatest = options.getLong("fake.latest", 1000L)
+  private val advancePerBatch = options.getLong("fake.advancePerBatch", 0L)
+  private val maxLatest = options.getLong("fake.maxLatest", initialLatest)
+  private val corruptEvery = options.getLong("fake.corruptEvery", 0L)
+
+  private var head = initialLatest
+
+  private def offsetOf(m: Map[Int, Long]): StreamOffset = new StreamOffset {
+    override def json(): String =
+      s"""{${m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }.mkString(",")}}"""
+  }
+
+  override def initialOffset(): StreamOffset = {
+    val starts = Option(options.get("startingOffsets"))
+      .flatMap(FakeKafka.parseOffsetJson(_, topic)).getOrElse(Map.empty[Int, Long])
+    offsetOf((0 until numPartitions).map(p => p -> math.max(0L, starts.getOrElse(p, 0L))).toMap)
+  }
+
+  override def latestOffset(): StreamOffset = {
+    val h = head
+    head = math.min(maxLatest, head + advancePerBatch)
+    offsetOf((0 until numPartitions).map(p => p -> h).toMap)
+  }
+
+  override def deserializeOffset(json: String): StreamOffset = {
+    val node = new ObjectMapper().readTree(json)
+    val it = node.fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
+    offsetOf(m.result())
+  }
+
+  private def toMap(o: StreamOffset): Map[Int, Long] = {
+    val node = new ObjectMapper().readTree(o.json())
+    val it = node.fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
+    m.result()
+  }
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val s = toMap(start); val e = toMap(end)
+    (0 until numPartitions).flatMap { p =>
+      val from = s.getOrElse(p, 0L); val to = e.getOrElse(p, 0L)
+      if (to <= from) Nil
+      else Seq(FakeKafkaPartition(topic, p, numPartitions, from, to, corruptEvery): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new FakeKafkaReaderFactory
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class FakeKafkaPartition(topic: String, partition: Int,

@@ -74,6 +74,46 @@ class FakeKafkaSpec extends SparkTestBase {
     assert(df.count() == 100000L - 250L * 4)
   }
 
+  test("readStream delivers exactly the multi-range window (residual filter end-to-end)") {
+    // the broker only receives the coarse start offset; the decoded stream
+    // must re-apply the pruned ranges so gaps and the tail are excluded
+    val ranges = Seq(OffsetRange(100, Some(200)), OffsetRange(500, Some(600)))
+    val df = source(ranges, minParts = None)
+      .readStream(spark, "proj", "events", schema)
+    val q = df.writeStream.format("memory").queryName("fkstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT _offset, user_id FROM fkstream").collect()
+      val offsets = rows.map(_.getLong(0)).toSet
+      assert(offsets == ((100L until 200L) ++ (500L until 600L)).toSet)
+      // every offset appears once per partition
+      assert(rows.length == 200 * 4)
+    } finally q.stop()
+  }
+
+  test("readStream advances across micro-batches as the log head grows") {
+    val src = KafkaEventSource("fake:9092",
+      codec = JsonPayloadCodec,
+      offsetRanges = Seq(OffsetRange(0, None)),
+      partitionsOf = _ => 2,
+      extraOptions = Map(
+        "fake.partitions" -> "2",
+        "fake.latest" -> "50",
+        "fake.advancePerBatch" -> "50",
+        "fake.maxLatest" -> "150"),
+      format = "graft.sources.FakeKafka")
+    val df = src.readStream(spark, "proj", "events", schema)
+    val q = df.writeStream.format("memory").queryName("fkgrow")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM fkgrow").head().getLong(0)
+      // head reaches maxLatest=150 after enough batches: 150 offsets x 2
+      assert(n == 300L)
+    } finally q.stop()
+  }
+
   test("offset JSON parser handles per-partition maps and keyword forms") {
     assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
       == Some(Map(0 -> 100L, 1 -> 200L)))
