@@ -210,6 +210,29 @@ object QueriesPipeline {
     * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
     * division — bit-identical cross-engine.
     */
+  /** p09's quality score over a `text` column, factored so p19's pipeline
+    * composition applies the IDENTICAL arithmetic (same op order ⇒ same
+    * bits). SQL twin below.
+    */
+  private def qualityScore: Column = {
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val toks = GF.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopRatio = size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks)
+    val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    least(lit(1.0), nTok / 100.0) * 0.5 +
+      (lit(1.0) - stopRatio) * 0.3 +
+      least(lit(1.0), meanLen / 8.0) * 0.2
+  }
+
+  private def sqlQualityScore: String = {
+    val toks = GF.sqlTokens("text")
+    s"""least(1.0, (len($toks)::BIGINT) / 100.0) * 0.5
+       + (1.0 - len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+           / len($toks)) * 0.3
+       + least(1.0, (list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks)) / 8.0) * 0.2"""
+  }
+
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -869,5 +892,69 @@ object QueriesPipeline {
              labels AS (
                SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id)
              SELECT id AS doc_id, keeper_id, (id = keeper_id) AS kept
-             FROM labels ORDER BY doc_id""")))
+             FROM labels ORDER BY doc_id""")),
+
+    // -------------------------------------------- p18 stratified sampling
+    // Deterministic per-stratum downsampling — the training-data mixing
+    // step (keep X% of each language). `sampleBy` is random; a reproducible
+    // pipeline wants CONTENT-HASH sampling: keep iff
+    // poly_hash(text) % 100 < quota(lang). Pure per-row map work, no
+    // shuffle, restart-stable, and the exact same rows on any cluster size
+    // — replayed verbatim in the oracle (same hash, same quotas).
+    NamedQuery("p18_stratified_sample",
+      (s, dir) => {
+        val quota = when(col("lang") === "en", 50)
+          .when(col("lang") === "zh", 35)
+          .otherwise(20)
+        Tables.load(s, dir, "documents")
+          .filter(pmod(GF.poly_hash(col("text")), lit(100)) < quota)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("doc_id")).as("first_kept"),
+            sum(col("doc_id")).as("sum_kept"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_kept, min(doc_id) AS first_kept,
+             sum(doc_id)::BIGINT AS sum_kept
+             FROM documents
+             WHERE ${PolyHash.oracleSql("text")} % 100 <
+               CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 35 ELSE 20 END
+             GROUP BY lang ORDER BY lang""")),
+
+    // ------------------------------------------- p19 clean-corpus pipeline
+    // The composition a real training-data pipeline runs end-to-end:
+    // near-dup detection (p03's pair set) → keeper selection (p17's
+    // connected components) → drop non-keepers → quality filter (p09's
+    // score) → the clean corpus. Each stage is the already-verified
+    // operator; this query pins that they COMPOSE (ids line up, no stage
+    // drops or duplicates rows it shouldn't).
+    NamedQuery("p19_clean_corpus",
+      (s, dir) => {
+        val docs = Corpus.docs(s, dir)
+        val dropped = graft.operators.Dedup
+          .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b")))
+          .filter(!col("kept")).select(col("doc_id"))
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), qualityScore.as("score"))
+          .filter(col("score") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS id, dst AS r FROM edges
+               UNION
+               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+             labels AS (
+               SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id),
+             dropped AS (SELECT id AS doc_id FROM labels WHERE id <> keeper_id),
+             quality AS (
+               SELECT doc_id, ${sqlQualityScore} AS score FROM corpus)
+             SELECT q.doc_id, q.score FROM quality q
+             WHERE q.score >= 0.5
+               AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
+             ORDER BY q.doc_id""")))
 }
