@@ -121,6 +121,48 @@ class TableCatalogSpec extends SparkTestBase {
     assert(q.head().getLong(0) == 500L * 2) // 500 offsets x 2 partitions
   }
 
+  test("metastore mode resolves a CSV collection with header validation") {
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dataDir/events.csv"),
+      "event_id,event_type\n1,click\n2,view\n3,click\n".getBytes)
+    val ms = java.nio.file.Files.createTempDirectory("graft-ms-csv").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    new graft.catalog.FileMetastore(ms).createCollection("proj", "events",
+      graft.catalog.SchemaField.fromStructType(schema))
+    spark.conf.set("spark.sql.catalog.graftcsv", "graft.catalog.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftcsv.metastore", ms)
+    spark.conf.set("spark.sql.catalog.graftcsv.source", "csv")
+    spark.conf.set("spark.sql.catalog.graftcsv.sourceRoot", dataDir)
+    val rows = spark.sql(
+      "SELECT event_type, count(*) AS n FROM graftcsv.proj.events GROUP BY event_type ORDER BY event_type")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("click", 2L), ("view", 1L)))
+    // _offset synthesizes from event_id and prunes the csv-backed scan
+    val q = spark.sql("SELECT event_id FROM graftcsv.proj.events WHERE _offset >= 2")
+    assert(q.queryExecution.executedPlan.toString.contains("ranges=[2,"))
+    assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("metastore mode over the JDBC (Derby) metastore resolves through spark.sql") {
+    val db = java.nio.file.Files.createTempDirectory("graft-catderby").resolve("ms").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val eventsSchema = Tables.load(spark, sfDir, "events").schema
+    new graft.catalog.JdbcMetastore(url).createCollection("tpch", "events",
+      graft.catalog.SchemaField.fromStructType(eventsSchema))
+    spark.conf.set("spark.sql.catalog.graftdb", "graft.catalog.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.graftdb.metastoreJdbc", url)
+    spark.conf.set("spark.sql.catalog.graftdb.source", "parquet")
+    spark.conf.set("spark.sql.catalog.graftdb.sourceRoot", sfDir)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graftdb.tpch.events WHERE _offset < 500").head().getLong(0)
+    val expected = Tables.load(spark, sfDir, "events").filter(col("event_id") < 500).count()
+    assert(n == expected)
+    val tables = spark.sql("SHOW TABLES IN graftdb.tpch").collect().map(_.getString(1)).toSet
+    assert(tables == Set("events"))
+  }
+
   test("catalog is read-only (reference parity)") {
     withCatalog {
       intercept[Exception](
