@@ -53,6 +53,13 @@ final class GraftEngine(
     */
   @volatile private var registeredGeneration: Option[Long] = None
 
+  /** Collections whose registration failed at [[registeredGeneration]] —
+    * retried (alone) on each call so a transient failure heals without
+    * paying the full O(#collections) walk, and a PERMANENT failure
+    * doesn't disable the cache for everyone else.
+    */
+  @volatile private var failedRegistrations: Set[(String, String)] = Set.empty
+
   /** Register every collection the metastore lists and run a SQL query over
     * the `<project>_<collection>` views — discovery-driven, which the
     * reference could never do (its listTables was empty by design,
@@ -61,11 +68,20 @@ final class GraftEngine(
     * Registration is CACHED on [[Metastore.generation]]: with thousands of
     * collections, re-resolving every schema per query is O(#collections)
     * driver latency — when the generation is unchanged the previous temp
-    * views are still exact, so the query planning starts immediately.
+    * views are still exact, so the query planning starts immediately (only
+    * previously-FAILED collections are retried, see
+    * [[failedRegistrations]]).
     */
   def sql(query: String): DataFrame = {
     val gen = metastore.generation
-    if (gen >= 0 && registeredGeneration.contains(gen)) return spark.sql(query)
+    if (gen >= 0 && registeredGeneration.contains(gen)) {
+      if (failedRegistrations.nonEmpty) {
+        failedRegistrations = failedRegistrations.filterNot { case (p, c) =>
+          tryRegister(p, c)
+        }
+      }
+      return spark.sql(query)
+    }
     val all = for {
       p <- metastore.listProjects
       c <- metastore.listCollections(p)
@@ -79,23 +95,21 @@ final class GraftEngine(
     byView.filter(_._2.size > 1).foreach { case (view, colls) =>
       logWarning(s"skipping ambiguous view $view (collides: $colls)")
     }
-    var anyFailure = false
-    byView.filter(_._2.size == 1).values.flatten.foreach { case (p, c) =>
-      // a stale metastore entry (missing backing data) must not take down
-      // queries that never touch it
-      try register(p, c)
-      catch { case e: Exception =>
-        anyFailure = true
-        logWarning(s"skipping unreadable collection $p.$c: ${e.getMessage}")
-      }
-    }
-    // cache only a COMPLETE registration: a transiently-unreadable
-    // collection must be retried on the next call, not frozen out until
-    // the next metastore DDL (ambiguous-name skips are deterministic and
-    // harmless to cache)
-    registeredGeneration = if (gen >= 0 && !anyFailure) Some(gen) else None
+    failedRegistrations = byView.filter(_._2.size == 1).values.flatten
+      .filterNot { case (p, c) => tryRegister(p, c) }.toSet
+    registeredGeneration = if (gen >= 0) Some(gen) else None
     spark.sql(query)
   }
+
+  /** True if registered; a stale metastore entry (missing backing data)
+    * must not take down queries that never touch it.
+    */
+  private def tryRegister(p: String, c: String): Boolean =
+    try { register(p, c); true }
+    catch { case e: Exception =>
+      logWarning(s"skipping unreadable collection $p.$c: ${e.getMessage}")
+      false
+    }
 
   private def logWarning(msg: String): Unit =
     org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)

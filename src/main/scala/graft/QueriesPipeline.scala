@@ -109,7 +109,9 @@ object QueriesPipeline {
       var persisted = false
     }
     private val entries =
-      new java.util.LinkedHashMap[(SparkSession, String), Entry](16, 0.75f, false) {
+      // accessOrder = true: eviction is least-RECENTLY-used — FIFO would
+      // evict the hottest (first-inserted, many-hit) index first
+      new java.util.LinkedHashMap[(SparkSession, String), Entry](16, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(SparkSession, String), Entry]): Boolean = {
           val evict = size() > maxEntries
@@ -121,7 +123,13 @@ object QueriesPipeline {
       }
     def get(s: SparkSession, dir: String, build: () => DataFrame): DataFrame =
       entries.synchronized {
-        val e = entries.computeIfAbsent((s, dir), _ => new Entry(build()))
+        // explicit get-then-put (not computeIfAbsent) so the access is
+        // recorded in the LRU order for existing entries
+        var e = entries.get((s, dir))
+        if (e == null) {
+          e = new Entry(build())
+          entries.put((s, dir), e)
+        }
         e.hits += 1
         if (e.hits >= 2 && !e.persisted) {
           e.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -210,9 +218,11 @@ object QueriesPipeline {
     * (id_a, id_b, jac) with jac ≥ threshold. Integer counts and one double
     * division — bit-identical cross-engine.
     */
-  /** p09's quality score over a `text` column, factored so p19's pipeline
-    * composition applies the IDENTICAL arithmetic (same op order ⇒ same
-    * bits). SQL twin below.
+  /** The quality score over a `text` column — THE single definition used by
+    * both p09 (standalone scoring) and p19 (pipeline composition), in both
+    * dialects, so the "identical arithmetic ⇒ same bits" invariant is
+    * structural, not copy-paste. Zero-token documents score 0.0 (the CASE
+    * guard also keeps the divisions from tripping ANSI divide-by-zero).
     */
   private def qualityScore: Column = {
     val stop = Seq("the", "a", "of", "and", "in", "to")
@@ -220,17 +230,21 @@ object QueriesPipeline {
     val nTok = size(toks).cast("long")
     val stopRatio = size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks)
     val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)
-    least(lit(1.0), nTok / 100.0) * 0.5 +
-      (lit(1.0) - stopRatio) * 0.3 +
-      least(lit(1.0), meanLen / 8.0) * 0.2
+    when(size(toks) > 0,
+      least(lit(1.0), nTok / 100.0) * 0.5 +
+        (lit(1.0) - stopRatio) * 0.3 +
+        least(lit(1.0), meanLen / 8.0) * 0.2)
+      .otherwise(lit(0.0))
   }
 
   private def sqlQualityScore: String = {
     val toks = GF.sqlTokens("text")
-    s"""least(1.0, (len($toks)::BIGINT) / 100.0) * 0.5
-       + (1.0 - len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
-           / len($toks)) * 0.3
-       + least(1.0, (list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks)) / 8.0) * 0.2"""
+    s"""CASE WHEN len($toks) > 0 THEN
+         least(1.0, (len($toks)::BIGINT) / 100.0) * 0.5
+         + (1.0 - len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+             / len($toks)) * 0.3
+         + least(1.0, (list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks)) / 8.0) * 0.2
+       ELSE 0.0 END"""
   }
 
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -591,33 +605,33 @@ object QueriesPipeline {
       (s, dir) => {
         val stop = Seq("the", "a", "of", "and", "in", "to")
         val toks = GF.tokens(col("text"))
+        val nonEmpty = size(toks) > 0
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text"),
+          .select(col("doc_id"),
             size(toks).cast("long").as("n_tok"),
-            (size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks)).as("stop_ratio"),
-            (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)).as("mean_len"),
-            regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("n_punct"))
-          .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("mean_len"), col("n_punct"),
-            (least(lit(1.0), col("n_tok") / 100.0) * 0.5
-              + (lit(1.0) - col("stop_ratio")) * 0.3
-              + least(lit(1.0), col("mean_len") / 8.0) * 0.2).as("score"))
+            when(nonEmpty, size(filter(toks, t => t.isin(stop: _*))).cast("double") / size(toks))
+              .otherwise(0.0).as("stop_ratio"),
+            when(nonEmpty, aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
+              .otherwise(0.0).as("mean_len"),
+            regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long").as("n_punct"),
+            // score comes from the SHARED helper (same definition p19
+            // composes), computed straight from text — identical arithmetic
+            qualityScore.as("score"))
           .orderBy(col("doc_id"))
       },
       Some {
         val toks = GF.sqlTokens("text")
-        s"""WITH f AS (
-             SELECT doc_id,
+        s"""SELECT doc_id,
                len($toks)::BIGINT AS n_tok,
-               len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
-                 / len($toks) AS stop_ratio,
-               list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks) AS mean_len,
-               len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT AS n_punct
-             FROM documents)
-           SELECT doc_id, n_tok, stop_ratio, mean_len, n_punct,
-                  least(1.0, n_tok / 100.0) * 0.5
-                  + (1.0 - stop_ratio) * 0.3
-                  + least(1.0, mean_len / 8.0) * 0.2 AS score
-           FROM f ORDER BY doc_id"""
+               CASE WHEN len($toks) > 0 THEN
+                 len(list_filter($toks, t -> t IN ('the','a','of','and','in','to')))::DOUBLE
+                   / len($toks) ELSE 0.0 END AS stop_ratio,
+               CASE WHEN len($toks) > 0 THEN
+                 list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks)
+                 ELSE 0.0 END AS mean_len,
+               len(regexp_extract_all(text, '[^a-z0-9 ]'))::BIGINT AS n_punct,
+               ${sqlQualityScore} AS score
+           FROM documents ORDER BY doc_id"""
       }),
 
     // --------------------------------------------------- p10 token counting

@@ -71,24 +71,28 @@ final class GraftLogScanBuilder(
     // would prune UNDER-inclusively (LessThan(_offset, 2.5) -> [0,2) drops
     // offset 2) — exactly the unsoundness the planner's cast guard exists
     // to prevent. Non-integral shapes fall through to the plain residual.
-    def num(v: Any): Option[Column] = v match {
-      case n: java.lang.Long => Some(lit(n.longValue()))
-      case n: java.lang.Integer => Some(lit(n.longValue()))
-      case n: java.lang.Short => Some(lit(n.longValue()))
-      case n: java.lang.Byte => Some(lit(n.longValue()))
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Long => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
       case d: java.math.BigDecimal if d.stripTrailingZeros.scale <= 0 =>
-        try Some(lit(d.longValueExact())) catch { case _: ArithmeticException => None }
+        try Some(d.longValueExact()) catch { case _: ArithmeticException => None }
       case _ => None
     }
     f match {
-      case sources.EqualTo(SystemColumns.Offset, v) => num(v).map(off === _)
-      case sources.GreaterThan(SystemColumns.Offset, v) => num(v).map(off > _)
-      case sources.GreaterThanOrEqual(SystemColumns.Offset, v) => num(v).map(off >= _)
-      case sources.LessThan(SystemColumns.Offset, v) => num(v).map(off < _)
-      case sources.LessThanOrEqual(SystemColumns.Offset, v) => num(v).map(off <= _)
+      case sources.EqualTo(SystemColumns.Offset, v) => num(v).map(off === lit(_))
+      case sources.GreaterThan(SystemColumns.Offset, v) => num(v).map(off > lit(_))
+      case sources.GreaterThanOrEqual(SystemColumns.Offset, v) => num(v).map(off >= lit(_))
+      case sources.LessThan(SystemColumns.Offset, v) => num(v).map(off < lit(_))
+      case sources.LessThanOrEqual(SystemColumns.Offset, v) => num(v).map(off <= lit(_))
       case sources.In(SystemColumns.Offset, vs) =>
         val ls = vs.toSeq.map(num)
-        if (ls.nonEmpty && ls.forall(_.isDefined)) Some(off.isin(vs.toSeq.map(_.asInstanceOf[Any]): _*))
+        // the CONVERTED longs must feed isin — raw values (e.g. integral
+        // BigDecimals) would wrap _offset in a decimal cast the planner
+        // conservatively refuses, silently disabling the pruning this
+        // branch just claimed via pushedFilters()
+        if (ls.nonEmpty && ls.forall(_.isDefined)) Some(off.isin(ls.flatten: _*))
         else None
       case sources.And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
       case sources.Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b

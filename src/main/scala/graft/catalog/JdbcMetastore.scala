@@ -55,6 +55,28 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
       tryStmt("""CREATE TABLE graft_meta (
                    id INT NOT NULL PRIMARY KEY,
                    generation BIGINT NOT NULL)""", tableExists)
+      // migrate a legacy keyless graft_meta(generation) in place: probing
+      // for the id column fails with 42X04 (column not in any table) there;
+      // rebuild the table preserving the counter
+      val legacy =
+        try {
+          val st = c.createStatement()
+          try { st.executeQuery("SELECT id FROM graft_meta").close(); false }
+          finally st.close()
+        } catch { case e: java.sql.SQLException if e.getSQLState == "42X04" => true }
+      if (legacy) {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery("SELECT generation FROM graft_meta")
+          val g = if (rs.next()) rs.getLong(1) else 0L
+          rs.close()
+          st.execute("DROP TABLE graft_meta")
+          st.execute("""CREATE TABLE graft_meta (
+                          id INT NOT NULL PRIMARY KEY,
+                          generation BIGINT NOT NULL)""")
+          st.execute(s"INSERT INTO graft_meta (id, generation) VALUES (1, $g)")
+        } finally st.close()
+      }
       tryStmt("INSERT INTO graft_meta (id, generation) VALUES (1, 0)", duplicateKey)
     }
   }

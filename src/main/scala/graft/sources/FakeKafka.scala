@@ -173,9 +173,25 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
 
   private var head = initialLatest
 
+  /** The head never regresses below offsets the engine already knows
+    * (checkpointed start offsets arrive via [[deserializeOffset]]/[[commit]]
+    * on restart): a fresh stream instance re-reading `fake.latest` must not
+    * re-deliver rows a previous run committed past.
+    */
+  private def observe(m: Map[Int, Long]): Unit =
+    if (m.nonEmpty) head = math.max(head, m.values.max)
+
   private def offsetOf(m: Map[Int, Long]): StreamOffset = new StreamOffset {
     override def json(): String =
       s"""{${m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }.mkString(",")}}"""
+  }
+
+  private def parse(json: String): Map[Int, Long] = {
+    val node = new ObjectMapper().readTree(json)
+    val it = node.fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
+    m.result()
   }
 
   override def initialOffset(): StreamOffset = {
@@ -186,28 +202,20 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
 
   override def latestOffset(): StreamOffset = {
     val h = head
-    head = math.min(maxLatest, head + advancePerBatch)
+    // monotone: even a restored offset beyond this run's maxLatest config
+    // must not shrink (max BEFORE the clamp)
+    head = math.max(head, math.min(maxLatest, head + advancePerBatch))
     offsetOf((0 until numPartitions).map(p => p -> h).toMap)
   }
 
   override def deserializeOffset(json: String): StreamOffset = {
-    val node = new ObjectMapper().readTree(json)
-    val it = node.fields()
-    val m = Map.newBuilder[Int, Long]
-    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
-    offsetOf(m.result())
-  }
-
-  private def toMap(o: StreamOffset): Map[Int, Long] = {
-    val node = new ObjectMapper().readTree(o.json())
-    val it = node.fields()
-    val m = Map.newBuilder[Int, Long]
-    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
-    m.result()
+    val m = parse(json)
+    observe(m)
+    offsetOf(m)
   }
 
   override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
-    val s = toMap(start); val e = toMap(end)
+    val s = parse(start.json()); val e = parse(end.json())
     (0 until numPartitions).flatMap { p =>
       val from = s.getOrElse(p, 0L); val to = e.getOrElse(p, 0L)
       if (to <= from) Nil
@@ -216,7 +224,7 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new FakeKafkaReaderFactory
-  override def commit(end: StreamOffset): Unit = ()
+  override def commit(end: StreamOffset): Unit = observe(parse(end.json()))
   override def stop(): Unit = ()
 }
 

@@ -53,6 +53,23 @@ class CatalogSpec extends SparkTestBase {
     assert(eng.sql("SELECT count(*) AS n FROM jdbcproj_orders").head().getLong(0) > 0)
   }
 
+  test("JdbcMetastore migrates a legacy keyless graft_meta preserving the counter") {
+    val db = Files.createTempDirectory("graft-derby-legacy").resolve("ms").toString
+    val url = s"jdbc:derby:$db;create=true"
+    // fabricate the pre-migration shape by hand
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE graft_meta (generation BIGINT NOT NULL)")
+      st.execute("INSERT INTO graft_meta VALUES (7)")
+      st.close()
+    } finally c.close()
+    val ms = new graft.catalog.JdbcMetastore(url)
+    assert(ms.generation == 7L)
+    ms.createCollection("p", "c", Seq(SchemaField("x", FieldType.LONG)))
+    assert(ms.generation == 8L)
+  }
+
   test("Retry: backs off with the reference's schedule, honors stopOn") {
     var calls = 0
     val delays = scala.collection.mutable.ArrayBuffer.empty[Long]

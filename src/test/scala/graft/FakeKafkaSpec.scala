@@ -114,6 +114,23 @@ class FakeKafkaSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("micro-batch stream never regresses past a checkpointed offset on restart") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+      "subscribe", "t", "fake.partitions", "1",
+      "fake.latest", "50", "fake.advancePerBatch", "50", "fake.maxLatest", "150"))
+    val restarted = new graft.sources.FakeKafkaMicroBatchStream("t", opts)
+    // the engine restores the committed offset through deserializeOffset —
+    // a fresh instance must adopt it instead of re-announcing head=50
+    restarted.deserializeOffset("""{"0":150}""")
+    val latest = restarted.latestOffset().json()
+    assert(latest == """{"0":150}""", latest)
+    // and a maxLatest below the restored offset must not shrink it either
+    val shrunk = new graft.sources.FakeKafkaMicroBatchStream("t", opts)
+    shrunk.commit(shrunk.deserializeOffset("""{"0":400}"""))
+    assert(shrunk.latestOffset().json() == """{"0":400}""")
+  }
+
   test("offset JSON parser handles per-partition maps and keyword forms") {
     assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
       == Some(Map(0 -> 100L, 1 -> 200L)))
