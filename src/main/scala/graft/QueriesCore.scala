@@ -878,5 +878,23 @@ object QueriesCore {
                FROM offs CROSS JOIN parts)
              SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nu,
                     min(o) AS min_off, max(o) AS max_off
-             FROM rows GROUP BY event_type ORDER BY event_type""")))
+             FROM rows GROUP BY event_type ORDER BY event_type""")),
+
+    // -------------------------------------------- approximate percentiles
+    // The sketch companion to q37's exact percentiles (Presto's
+    // approx_percentile was the event-analytics staple). Like q18/p13 the
+    // t-digest estimate is engine-specific, so the query SELF-CHECKS:
+    // exact vs approx per group with a rel_err < 0.05 filter — a broken
+    // sketch empties the result and fails the driver's rows check.
+    NamedQuery("q42_approx_percentile",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"))
+        .withColumn("rel_err",
+          abs(col("approx_p50") - col("exact_p50")) / greatest(abs(col("exact_p50")), lit(1e-9)))
+        .filter(col("rel_err") < 0.05)
+        .orderBy(col("event_type")),
+      None))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => GF, PolyHash}
+import NamedQuery.{decAvg, sqlDecAvg}
 
 /** LLM-data-pipeline operator inventory: deduplication, similarity search,
   * text analysis, multimodal plumbing — the operations a 100 TB
@@ -970,5 +971,50 @@ object QueriesPipeline {
              SELECT q.doc_id, q.score FROM quality q
              WHERE q.score >= 0.5
                AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
-             ORDER BY q.doc_id""")))
+             ORDER BY q.doc_id""")),
+
+    // ---------------------------------------------------- p20 k-means step
+    // One spherical k-means iteration over the embedding corpus — the
+    // clustering primitive an embedding pipeline runs between IVF rebuilds:
+    // assignment reuses the codegen'd NearestSeeds kernel (zero-exchange,
+    // same decimal cosine as p14), the centroid update is ONE shuffle keyed
+    // on (cluster, dimension) with map-side partial aggregation. Emitted as
+    // (part, pos, cx, n) rows — the update matrix — with the exact-decimal
+    // average so the oracle (same assignment CTE + per-dimension decAvg)
+    // matches bit-for-bit. A full k-means is this plan iterated with the
+    // driver swapping new centroids into the broadcast side.
+    NamedQuery("p20_kmeans_step",
+      (s, dir) => {
+        val v = withNorm(Corpus.vecs(s, dir))
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
+        val seedArr = seeds.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        v.crossJoin(broadcast(seedArr))
+          .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"),
+            col("embedding"))
+          .select(col("part"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("part"), col("pos"))
+          .agg(decAvg(col("x")).as("cx"), count(lit(1)).as("n"))
+          .orderBy(col("part"), col("pos"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             scoredseeds AS (
+               SELECT v.vec_id, v.embedding, s.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM vecs v CROSS JOIN seeds s),
+             assigned AS (
+               SELECT seed_id AS part, vec_id, embedding FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, seed_id) AS rn
+                 FROM scoredseeds) WHERE rn = 1),
+             expanded AS (
+               SELECT part, g.pos, embedding[g.pos + 1] AS x
+               FROM assigned
+               CROSS JOIN (SELECT unnest(generate_series(0, ${HyperplaneParams.Dims - 1})) AS pos) g)
+             SELECT part, pos, ${sqlDecAvg("x")} AS cx, count(*) AS n
+             FROM expanded GROUP BY part, pos ORDER BY part, pos""")))
 }
