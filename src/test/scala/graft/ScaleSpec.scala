@@ -65,6 +65,13 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
   }
 
+  test("p20 k-means step: assignment map-side, one hash shuffle for the centroid update") {
+    val p = plan("p20_kmeans_step")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning(part")) == 1, p)
+    assert(!p.contains("Window ["), p) // no window argmax anywhere
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // explicit paths → external tables; the (static) warehouse dir is unused
     val wh = Files.createTempDirectory("graft-wh").toString
