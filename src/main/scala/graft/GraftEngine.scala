@@ -73,31 +73,41 @@ final class GraftEngine(
     * [[failedRegistrations]]).
     */
   def sql(query: String): DataFrame = {
+    // lock-free fast path for the common steady state; anything that
+    // MUTATES the cache state runs under the lock (with the generation
+    // re-read inside) so a concurrent DDL-triggered full walk and a
+    // failed-subset retry can't interleave their read-modify-writes and
+    // lose a failure that then would never be retried
     val gen = metastore.generation
-    if (gen >= 0 && registeredGeneration.contains(gen)) {
-      if (failedRegistrations.nonEmpty) {
-        failedRegistrations = failedRegistrations.filterNot { case (p, c) =>
-          tryRegister(p, c)
+    if (!(gen >= 0 && registeredGeneration.contains(gen)) ||
+        failedRegistrations.nonEmpty) {
+      this.synchronized {
+        val g = metastore.generation
+        if (g >= 0 && registeredGeneration.contains(g)) {
+          if (failedRegistrations.nonEmpty) {
+            failedRegistrations =
+              failedRegistrations.filterNot { case (p, c) => tryRegister(p, c) }
+          }
+        } else {
+          val all = for {
+            p <- metastore.listProjects
+            c <- metastore.listCollections(p)
+          } yield (p, c)
+          // topic naming is ambiguous under underscores (a.b_c and a_b.c
+          // both map to view a_b_c) — skip ONLY the colliding group (silent
+          // shadowing would return wrong data; failing everything would
+          // take down queries that never touch the ambiguous name, same
+          // principle as the stale-entry branch below)
+          val byView = all.groupBy { case (p, c) => SystemColumns.topicFor(p, c) }
+          byView.filter(_._2.size > 1).foreach { case (view, colls) =>
+            logWarning(s"skipping ambiguous view $view (collides: $colls)")
+          }
+          failedRegistrations = byView.filter(_._2.size == 1).values.flatten
+            .filterNot { case (p, c) => tryRegister(p, c) }.toSet
+          registeredGeneration = if (g >= 0) Some(g) else None
         }
       }
-      return spark.sql(query)
     }
-    val all = for {
-      p <- metastore.listProjects
-      c <- metastore.listCollections(p)
-    } yield (p, c)
-    // topic naming is ambiguous under underscores (a.b_c and a_b.c both map
-    // to view a_b_c) — skip ONLY the colliding group (silent shadowing would
-    // return wrong data; failing everything would take down queries that
-    // never touch the ambiguous name, same principle as the stale-entry
-    // branch below)
-    val byView = all.groupBy { case (p, c) => SystemColumns.topicFor(p, c) }
-    byView.filter(_._2.size > 1).foreach { case (view, colls) =>
-      logWarning(s"skipping ambiguous view $view (collides: $colls)")
-    }
-    failedRegistrations = byView.filter(_._2.size == 1).values.flatten
-      .filterNot { case (p, c) => tryRegister(p, c) }.toSet
-    registeredGeneration = if (gen >= 0) Some(gen) else None
     spark.sql(query)
   }
 

@@ -882,10 +882,14 @@ object QueriesCore {
 
     // -------------------------------------------- approximate percentiles
     // The sketch companion to q37's exact percentiles (Presto's
-    // approx_percentile was the event-analytics staple). Like q18/p13 the
-    // t-digest estimate is engine-specific, so the query SELF-CHECKS:
-    // exact vs approx per group with a rel_err < 0.05 filter — a broken
-    // sketch empties the result and fails the driver's rows check.
+    // approx_percentile was the event-analytics staple). The estimate is
+    // engine-specific AND merge-order dependent (unlike HLL, which is
+    // order-invariant), so exact value bits may vary across parallelism —
+    // which is why the check is a SELF-CHECK, not an oracle: exact vs
+    // approx per group filtered to rel_err < 0.05, ~50x the expected error
+    // at accuracy=1000, so merge nondeterminism cannot realistically flip
+    // a group. A broken sketch empties the result; the gate treats zero
+    // rows on a no-oracle query as failure.
     NamedQuery("q42_approx_percentile",
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"))

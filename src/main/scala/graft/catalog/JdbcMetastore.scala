@@ -33,6 +33,11 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
     try f(c) finally c.close()
   }
 
+  private val MetaDdl =
+    """CREATE TABLE graft_meta (
+         id INT NOT NULL PRIMARY KEY,
+         generation BIGINT NOT NULL)"""
+
   // idempotent bootstrap: Derby has no CREATE TABLE IF NOT EXISTS; swallow
   // the already-exists state on races. The meta row is keyed (id=1 PRIMARY
   // KEY) so two concurrent bootstraps can't seed it twice — the loser's
@@ -52,30 +57,37 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
                    collection VARCHAR(255) NOT NULL,
                    schema_json CLOB NOT NULL,
                    PRIMARY KEY (project, collection))""", tableExists)
-      tryStmt("""CREATE TABLE graft_meta (
-                   id INT NOT NULL PRIMARY KEY,
-                   generation BIGINT NOT NULL)""", tableExists)
+      tryStmt(MetaDdl, tableExists)
       // migrate a legacy keyless graft_meta(generation) in place: probing
       // for the id column fails with 42X04 (column not in any table) there;
-      // rebuild the table preserving the counter
-      val legacy =
+      // rebuild the table preserving the counter. The rebuild runs in ONE
+      // transaction (Derby DDL is transactional), so a crash mid-migration
+      // can't lose the counter; a concurrent loser's failure is tolerated
+      // by re-probing — if the winner already migrated, proceed.
+      def hasIdColumn: Boolean =
         try {
           val st = c.createStatement()
-          try { st.executeQuery("SELECT id FROM graft_meta").close(); false }
+          try { st.executeQuery("SELECT id FROM graft_meta").close(); true }
           finally st.close()
-        } catch { case e: java.sql.SQLException if e.getSQLState == "42X04" => true }
-      if (legacy) {
-        val st = c.createStatement()
+        } catch { case e: java.sql.SQLException if e.getSQLState == "42X04" => false }
+      if (!hasIdColumn) {
         try {
-          val rs = st.executeQuery("SELECT generation FROM graft_meta")
-          val g = if (rs.next()) rs.getLong(1) else 0L
-          rs.close()
-          st.execute("DROP TABLE graft_meta")
-          st.execute("""CREATE TABLE graft_meta (
-                          id INT NOT NULL PRIMARY KEY,
-                          generation BIGINT NOT NULL)""")
-          st.execute(s"INSERT INTO graft_meta (id, generation) VALUES (1, $g)")
-        } finally st.close()
+          c.setAutoCommit(false)
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery("SELECT generation FROM graft_meta")
+            val g = if (rs.next()) rs.getLong(1) else 0L
+            rs.close()
+            st.execute("DROP TABLE graft_meta")
+            st.execute(MetaDdl)
+            st.execute(s"INSERT INTO graft_meta (id, generation) VALUES (1, $g)")
+          } finally st.close()
+          c.commit()
+        } catch {
+          case e: java.sql.SQLException =>
+            try c.rollback() catch { case _: Exception => () }
+            if (!hasIdColumn) throw e // a concurrent winner migrated: fine
+        } finally c.setAutoCommit(true)
       }
       tryStmt("INSERT INTO graft_meta (id, generation) VALUES (1, 0)", duplicateKey)
     }

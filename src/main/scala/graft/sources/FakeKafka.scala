@@ -74,6 +74,20 @@ object FakeKafka {
     s.getBytes(StandardCharsets.UTF_8)
   }
 
+  /** `{"0":100,"1":200}`-shaped JSON node → partition map; shared by the
+    * batch option parser and the stream's offset (de)serialization so the
+    * two can't drift.
+    */
+  private[sources] def fieldsToMap(node: com.fasterxml.jackson.databind.JsonNode): Map[Int, Long] = {
+    val it = node.fields()
+    val m = Map.newBuilder[Int, Long]
+    while (it.hasNext) {
+      val e = it.next()
+      m += (e.getKey.toInt -> e.getValue.asLong())
+    }
+    m.result()
+  }
+
   /** Parse the connector's per-partition offset JSON: `{"t":{"0":100}}`.
     * Returns partition → offset; None for the `"latest"`/`"earliest"`
     * string forms.
@@ -83,13 +97,7 @@ object FakeKafka {
     if (!t.startsWith("{")) return None
     val node = new ObjectMapper().readTree(t).get(topic)
     if (node == null) return Some(Map.empty)
-    val it = node.fields()
-    val m = Map.newBuilder[Int, Long]
-    while (it.hasNext) {
-      val e = it.next()
-      m += (e.getKey.toInt -> e.getValue.asLong())
-    }
-    Some(m.result())
+    Some(fieldsToMap(node))
   }
 }
 
@@ -186,13 +194,8 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
       s"""{${m.toSeq.sortBy(_._1).map { case (p, o) => s""""$p":$o""" }.mkString(",")}}"""
   }
 
-  private def parse(json: String): Map[Int, Long] = {
-    val node = new ObjectMapper().readTree(json)
-    val it = node.fields()
-    val m = Map.newBuilder[Int, Long]
-    while (it.hasNext) { val e = it.next(); m += (e.getKey.toInt -> e.getValue.asLong()) }
-    m.result()
-  }
+  private def parse(json: String): Map[Int, Long] =
+    FakeKafka.fieldsToMap(new ObjectMapper().readTree(json))
 
   override def initialOffset(): StreamOffset = {
     val starts = Option(options.get("startingOffsets"))

@@ -87,13 +87,18 @@ for name in sorted(oracles):
         if not is_exact:
             print(f"  ~ {name}: rows match only approximately (driver hash would FAIL)")
 
-# queries without oracle: rows-only
+# queries without oracle: rows-only — and those queries are built to be
+# SELF-CHECKING (q18/q42/p13 filter on rel_err < 0.05), so ZERO rows means
+# the sketch broke and must FAIL the gate, not just print
 no_oracle = [d.split("/")[-1] for d in glob.glob(f"{OUT}/*")
              if "/" + "oracle_sql.json" not in d and not d.endswith(".json")]
 for name in sorted(set(no_oracle) - set(oracles)):
     try:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
-        print(f"  . {name}: no oracle, rows={n}")
+        if n == 0:
+            fails.append((name, "NO-ORACLE: 0 rows (self-check filter emptied the result)"))
+        else:
+            print(f"  . {name}: no oracle, rows={n}")
     except Exception as e:
         fails.append((name, f"NO-ORACLE EXEC: {e}"))
 
