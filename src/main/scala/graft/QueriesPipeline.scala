@@ -32,6 +32,9 @@ object QueriesPipeline {
   /** MinHash: K hash functions in [[GF.affineHash]]'s universal family,
     * banded Bands × Rows for LSH candidate generation.
     */
+  /** p21's hot-shingle document-frequency cap (index-side only). */
+  val JaccardDfCap = 6
+
   object MinHashParams {
     val K = 16; val Bands = 4; val Rows = 4
     def a(i: Int): Long = ((i + 1) * 97003L + 7) % P
@@ -1016,5 +1019,46 @@ object QueriesPipeline {
                FROM assigned
                CROSS JOIN (SELECT unnest(generate_series(0, ${HyperplaneParams.Dims - 1})) AS pos) g)
              SELECT part, pos, ${sqlDecAvg("x")} AS cx, count(*) AS n
-             FROM expanded GROUP BY part, pos ORDER BY part, pos""")))
+             FROM expanded GROUP BY part, pos ORDER BY part, pos""")),
+
+    // --------------------------------------------- p21 df-capped Jaccard
+    // p02's scale knob made real: a document-frequency cap drops HOT
+    // shingles (boilerplate) from the inverted index BEFORE the self-join —
+    // at 100 TB the join's worst case is sum(df²) over hot keys, and the
+    // cap bounds it — while exact-Jaccard verification still runs over the
+    // FULL shingle sets, so surviving pairs score identically to p02.
+    // Cost: candidate recall only through rare shingles (a pair sharing
+    // ONLY hot shingles is missed — by construction boilerplate-only
+    // overlap, which dedup wants to ignore anyway). Oracle replays the
+    // identical cap.
+    NamedQuery("p21_dedup_jaccard_dfcap",
+      (s, dir) => {
+        val sh = sharedShingleHashes(s, dir)
+        val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= JaccardDfCap).select(col("h"))
+        val idx = sh.join(rare, "h")
+        val cand = idx.select(col("doc_id").as("id_a"), col("h"))
+          .join(idx.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        jaccardOf(cand, sh, 0.6)
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $JaccardDfCap),
+             idx AS (SELECT doc_id, h FROM sh WHERE h IN (SELECT h FROM rare)),
+             cand AS (
+               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+             inter AS (
+               SELECT id_a, id_b, count(*) AS ni
+               FROM cand
+               JOIN sh sa ON sa.doc_id = id_a
+               JOIN sh sb ON sb.doc_id = id_b AND sb.h = sa.h
+               GROUP BY id_a, id_b)
+             SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
+             FROM inter
+             JOIN sz za ON za.doc_id = id_a
+             JOIN sz zb ON zb.doc_id = id_b
+             WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
+             ORDER BY id_a, id_b""")))
 }

@@ -40,6 +40,31 @@ class PipelineSpec extends SparkTestBase {
       assert(mh.contains((id, id + Corpus.ExactIdOffset)), s"minhash missed exact pair $id"))
   }
 
+  test("p21 df-cap: subset of p02, planted pairs survive, cap actually bites") {
+    import org.apache.spark.sql.functions._
+    val jac = run("p02_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run("p21_dedup_jaccard_dfcap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates only shrink under the cap; verification is identical
+    assert(capped.subsetOf(jac))
+    // planted duplicates share plenty of RARE shingles — none is lost
+    (0L until nDocs).filter(_ % 7 == 0).foreach(id =>
+      assert(capped.contains((id, id + Corpus.ExactIdOffset)), s"cap lost exact pair $id"))
+    (0L until nDocs).filter(_ % 5 == 0).foreach(id =>
+      assert(capped.contains((id, id + Corpus.NearIdOffset)), s"cap lost near pair $id"))
+    // and the cap is not a no-op: some shingles really are hot
+    val toks = split(lower(col("text")), " ")
+    val docs = Corpus.docs(spark, sfDir)
+    val shingles = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))).as("s")).distinct()
+    val hot = shingles.groupBy("s").count()
+      .filter(col("count") > QueriesPipeline.JaccardDfCap).count()
+    assert(hot > 0, "fixture has no hot shingles - cap untestable")
+  }
+
   test("p04 simhash: exact copies at hamming 0") {
     val byPair = run("p04_dedup_simhash").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
