@@ -1021,6 +1021,72 @@ object QueriesPipeline {
              SELECT part, pos, ${sqlDecAvg("x")} AS cx, count(*) AS n
              FROM expanded GROUP BY part, pos ORDER BY part, pos""")),
 
+    // ------------------------------------------- p22 k-means, two steps
+    // The ITERATED clustering loop end-to-end: assign (NearestSeeds) →
+    // rebuild centroids (p20's exact-decimal update matrix reassembled
+    // into vectors) → re-assign against the NEW centroids → cluster sizes.
+    // Demonstrates that the broadcast side of the assignment kernel can be
+    // swapped per iteration with everything staying declarative and
+    // bit-checkable: the oracle rebuilds the same centroids (list(cx ORDER
+    // BY pos)) and replays the second assignment with the same tie-break.
+    NamedQuery("p22_kmeans_two_steps",
+      (s, dir) => {
+        val v = withNorm(Corpus.vecs(s, dir))
+        val seeds0 = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
+        val arr0 = seeds0.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        val a1 = v.crossJoin(broadcast(arr0))
+          .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"),
+            col("embedding"))
+        val cents = a1
+          .select(col("part"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("part"), col("pos")).agg(decAvg(col("x")).as("cx"))
+          .groupBy(col("part"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            sc => sc.getField("cx")).as("se"))
+          .select(col("part").as("seed_id"), col("se"),
+            sqrt(GF.dotDecimal(col("se"), col("se")).cast("double")).as("sn"))
+        val arr1 = cents.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        v.crossJoin(broadcast(arr1))
+          .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n"))
+          .orderBy(col("part"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             s1 AS (
+               SELECT v.vec_id, v.embedding, s.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM vecs v CROSS JOIN seeds s),
+             a1 AS (
+               SELECT seed_id AS part, vec_id, embedding FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, seed_id) AS rn FROM s1) WHERE rn = 1),
+             cmat AS (
+               SELECT part, g.pos, ${sqlDecAvg("embedding[g.pos + 1]")} AS cx
+               FROM a1
+               CROSS JOIN (SELECT unnest(generate_series(0, ${HyperplaneParams.Dims - 1})) AS pos) g
+               GROUP BY part, g.pos),
+             cent AS (
+               SELECT part AS seed_id, list(cx ORDER BY pos) AS se FROM cmat GROUP BY part),
+             cent2 AS (
+               SELECT seed_id, se,
+                      sqrt(CAST(${GF.sqlDotDecimal("se", "se")} AS DOUBLE)) AS sn
+               FROM cent),
+             s2 AS (
+               SELECT v.vec_id, c.seed_id,
+                      ${sqlPairScore("v.embedding", "c.se", "v.norm", "c.sn")} AS score
+               FROM vecs v CROSS JOIN cent2 c),
+             a2 AS (
+               SELECT seed_id AS part FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, seed_id) AS rn FROM s2) WHERE rn = 1)
+             SELECT part, count(*) AS n FROM a2 GROUP BY part ORDER BY part""")),
+
     // --------------------------------------------- p21 df-capped Jaccard
     // p02's scale knob made real: a document-frequency cap drops HOT
     // shingles (boilerplate) from the inverted index BEFORE the self-join —
