@@ -103,11 +103,17 @@ object QueriesPipeline {
   private def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
     shCache.get(s, dir, () => shingleHashes(Corpus.docs(s, dir)))
 
-  /** Per-(session, dir) plan cache with persist-on-second-access and a
+  /** Per-(session, dir) plan cache with persist-on-Nth-access and a
     * bounded size (eldest entry unpersisted on eviction, so cached blocks
     * can't accumulate across many sessions/corpora in one JVM).
+    *
+    * `persistAtHit = 2` (default) suits MID-PIPELINE intermediates whose
+    * materialization has real cost a lone consumer can't amortize;
+    * `persistAtHit = 1` suits tiny RESULT sets (persisting them is free —
+    * the first consumer executes the plan anyway and the blocks are a few
+    * rows) so the second consumer reuses the first's execution.
     */
-  private final class SharedPlanCache(maxEntries: Int = 8) {
+  private final class SharedPlanCache(maxEntries: Int = 8, persistAtHit: Int = 2) {
     private final class Entry(val df: DataFrame) {
       var hits = 0
       var persisted = false
@@ -135,7 +141,7 @@ object QueriesPipeline {
           entries.put((s, dir), e)
         }
         e.hits += 1
-        if (e.hits >= 2 && !e.persisted) {
+        if (e.hits >= persistAtHit && !e.persisted) {
           e.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           e.persisted = true
         }
@@ -161,12 +167,13 @@ object QueriesPipeline {
     * selection consumes the IDENTICAL pair set. Returns (id_a, id_b, jac)
     * with id_a < id_b, jac ≥ 0.6, ordered.
     */
-  private val pairsCache = new SharedPlanCache
+  private val pairsCache = new SharedPlanCache(persistAtHit = 1)
 
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    // the pair set is shared verbatim by p03 (emits it) and p17 (clusters
-    // it); it is tiny (one row per near-dup pair) and persists only once a
-    // second consumer actually shows up (same policy as the shingle index)
+    // the pair set is shared verbatim by p03 (emits it), p17 (clusters it)
+    // and p19; it is tiny (one row per near-dup pair), so persist from the
+    // FIRST access — the first consumer executes the pipeline anyway and
+    // later consumers reuse that execution instead of re-running it
     pairsCache.get(s, dir, () => {
       import MinHashParams._
       val sh = sharedShingleHashes(s, dir)
