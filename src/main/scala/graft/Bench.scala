@@ -34,11 +34,18 @@ object Bench {
       // a failed query must not masquerade as a fast one: record -1
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE compact JSON line, printed LAST (after spark.stop() so no late log
+    // line can trail it). The harness captures only the tail of stdout, so
+    // the line must stay short as the registry grows: per-query keys are the
+    // unique qNN/pNN prefixes (the driver contract's own "q1":sec style) and
+    // values are rounded to milliseconds. Full names remain in
+    // SparkEntry.queries; prefix → name is a trivial lookup.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
   }
 }

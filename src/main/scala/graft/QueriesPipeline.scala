@@ -133,6 +133,10 @@ object QueriesPipeline {
       }
     def get(s: SparkSession, dir: String, build: () => DataFrame): DataFrame =
       entries.synchronized {
+        // entries of stopped sessions are dead weight (their blocks are gone
+        // with the context; unpersist would throw) — drop them eagerly so
+        // they don't occupy LRU slots or pin session objects
+        entries.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
         // explicit get-then-put (not computeIfAbsent) so the access is
         // recorded in the LRU order for existing entries
         var e = entries.get((s, dir))
@@ -883,10 +887,16 @@ object QueriesPipeline {
     // empties the result, turning the driver's rows-only record into a
     // real assertion (HllSketchSpec pins accuracy + merge losslessness).
     NamedQuery("p13_hll_sketch_udaf",
+      // pre-distinct (event_type, user_id) ONCE and feed the already-unique
+      // ids to both the exact count and the sketch — countDistinct alongside
+      // another aggregate would otherwise expand every input row twice
+      // (the same shape q18 avoids the same way)
       (s, dir) => Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .distinct()
         .groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("exact_users"),
+          count(col("user_id")).as("exact_users"),
           graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
         .withColumn("rel_err",
           abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))

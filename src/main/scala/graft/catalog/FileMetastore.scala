@@ -24,12 +24,35 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
   private def dir(project: String): Path = Paths.get(root, project)
   private def file(project: String, collection: String): Path =
     dir(project).resolve(s"$collection.json")
+  private def counterFile: Path = Paths.get(root, ".graft_generation")
 
   def createCollection(project: String, collection: String, fields: Seq[SchemaField]): Unit = {
     Files.createDirectories(dir(project))
     val st = StructType(fields.map(_.toStructField))
     Files.write(file(project, collection), st.json.getBytes(StandardCharsets.UTF_8))
+    bumpCounter()
   }
+
+  /** Monotonic DDL counter (mirrors [[JdbcMetastore]]'s `graft_meta` row):
+    * bumped on every mutation through this API, so even a same-size rewrite
+    * within one mtime tick changes [[generation]]. Written via temp-file +
+    * ATOMIC_MOVE so readers never observe a torn value.
+    */
+  private def bumpCounter(): Unit = FileMetastore.lock.synchronized {
+    val next = readCounter() + 1
+    val tmp = Files.createTempFile(Paths.get(root), ".graft_generation", ".tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, counterFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readCounter(): Long =
+    try {
+      if (Files.exists(counterFile))
+        new String(Files.readAllBytes(counterFile), StandardCharsets.UTF_8).trim.toLong
+      else 0L
+    } catch { case _: Exception => 0L }
 
   override def getCollection(project: String, collection: String): Option[Seq[SchemaField]] =
     Retry(s"getCollection $project.$collection", retry) {
@@ -46,16 +69,15 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
     _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
   }
 
-  /** Fingerprint of (path, size, nanosecond mtime) over every schema file —
-    * a control-plane directory walk, far cheaper than re-reading and
-    * re-registering every schema. Size + nano mtime catch a same-millisecond
-    * rewrite on filesystems with fine timestamps; on coarse-timestamp
-    * filesystems a same-tick same-size rewrite is still invisible — callers
-    * needing hard guarantees use [[JdbcMetastore]]'s transactional counter.
-    * Non-negative by construction (see [[Metastore.generation]]).
+  /** Change fingerprint = monotonic DDL counter (bumped by every mutation
+    * through this API — immune to same-size same-tick rewrites and mtime
+    * granularity) mixed with a (path, size, nanosecond mtime) walk of every
+    * schema file, which additionally catches out-of-band edits made behind
+    * the API's back. Non-negative by construction (see
+    * [[Metastore.generation]]).
     */
   override def generation: Long = {
-    var h = 17L
+    var h = 17L * 31 + readCounter()
     for {
       p <- listProjects.sorted
       c <- listCollections(p).sorted
@@ -79,4 +101,9 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
     graft.util.Fs.listDir(dir(project)) {
       _.map(_.getFileName.toString).filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
     }
+}
+
+object FileMetastore {
+  /** JVM-wide mutation lock for the counter file's read-modify-write. */
+  private[catalog] val lock = new Object
 }

@@ -133,11 +133,16 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
   override def listProjects: Seq[String] =
     Retry("listProjects", retry) {
       withConn { c =>
-        val rs = c.createStatement().executeQuery(
-          "SELECT DISTINCT project FROM graft_schema ORDER BY project")
-        val b = Seq.newBuilder[String]
-        while (rs.next()) b += rs.getString(1)
-        b.result()
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(
+            "SELECT DISTINCT project FROM graft_schema ORDER BY project")
+          try {
+            val b = Seq.newBuilder[String]
+            while (rs.next()) b += rs.getString(1)
+            b.result()
+          } finally rs.close()
+        } finally st.close()
       }
     }
 
@@ -156,11 +161,32 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
       }
     }
 
+  /** Dedicated long-lived connection for the generation probe: it runs on
+    * EVERY `GraftEngine.sql` call (including the cached fast path), so a
+    * fresh connection per probe is the one place per-call connections hurt.
+    * Recreated on failure (the retry loop reconnects); statement and result
+    * set are closed per probe.
+    */
+  private var probeConn: Connection = null
+
   override def generation: Long =
     Retry("generation", retry) {
-      withConn { c =>
-        val rs = c.createStatement().executeQuery("SELECT generation FROM graft_meta WHERE id = 1")
-        rs.next(); rs.getLong(1)
+      this.synchronized {
+        if (probeConn == null || probeConn.isClosed) probeConn = DriverManager.getConnection(url)
+        try {
+          val st = probeConn.createStatement()
+          try {
+            val rs = st.executeQuery("SELECT generation FROM graft_meta WHERE id = 1")
+            try { rs.next(); rs.getLong(1) } finally rs.close()
+          } finally st.close()
+        } catch {
+          case e: java.sql.SQLException =>
+            // a broken/stale connection must not poison every later probe:
+            // drop it so the retry attempt reconnects
+            try probeConn.close() catch { case _: Exception => () }
+            probeConn = null
+            throw e
+        }
       }
     }
 }

@@ -39,6 +39,7 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("keeper"))
+    var labelBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     while (!converged) {
       val viaNeighbor = edges
@@ -50,9 +51,28 @@ object Dedup {
       converged = next
         .join(labels.select(col("id"), col("keeper").as("old")), "id")
         .filter(col("keeper") =!= col("old")).isEmpty
+      // `next` is materialized (eager localCheckpoint) and the convergence
+      // check above has consumed the previous round — its cached blocks are
+      // dead from here on; drop them instead of letting rounds accumulate
+      labelBlocks.foreach(_.unpersist(blocking = false))
+      labelBlocks = checkpointBlocks(next)
       labels = next
     }
+    // the edge set is only needed during propagation, not by the result
+    checkpointBlocks(edges).foreach(_.unpersist(blocking = false))
     labels.select(col("id").as("doc_id"), col("keeper").as("keeper_id"),
       (col("id") === col("keeper")).as("kept"))
   }
+
+  /** The cached blocks behind an eager `localCheckpoint()`: its plan is a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] wrapping the persisted
+    * RDD. Checkpoint caching is RDD-level, so `Dataset.unpersist()` (which
+    * only consults the SQL cache manager) cannot release it — the RDD
+    * handle can.
+    */
+  private def checkpointBlocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
