@@ -99,9 +99,26 @@ object QueriesPipeline {
     * amortize (persist was measured a net loss for lone p03). The index is
     * (doc_id, h) longs only: tiny relative to the corpus text it replaces.
     */
-  private val shCache = new SharedPlanCache
+  // persist-at-1st-access: the index is (doc_id, h) longs only — blocks are
+  // tiny relative to the tokenize→shingle→hash scan they replace, and five
+  // family members (p02/p03/p04/p17/p19/p21) hit it, so even the first
+  // consumer's materialization cost is amortized immediately
+  private val shCache = new SharedPlanCache(persistAtHit = 1)
   private def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
     shCache.get(s, dir, () => shingleHashes(Corpus.docs(s, dir)))
+
+  /** Norm-annotated corpus vectors, shared by the whole embedding family
+    * (p05/p06/p07/p14/p20/p22): the exact-decimal self-dot behind `norm` is
+    * the one genuinely expensive per-row kernel, and every member needs the
+    * identical (vec_id, embedding, norm) base. Persist-at-1st-access — the
+    * result is small (corpus × (vector + one double)) and the first
+    * consumer executes the scan anyway, so every later member reads blocks
+    * instead of re-scanning parquet and re-folding norms. The 100 TB
+    * analogue is a bucketed norms-annotated materialization of the corpus.
+    */
+  private val vecCache = new SharedPlanCache(persistAtHit = 1)
+  private def sharedNormVecs(s: SparkSession, dir: String): DataFrame =
+    vecCache.get(s, dir, () => withNorm(Corpus.vecs(s, dir)))
 
   /** Per-(session, dir) plan cache with persist-on-Nth-access and a
     * bounded size (eldest entry unpersisted on eviction, so cached blocks
@@ -284,7 +301,7 @@ object QueriesPipeline {
   private def withBucket(vecs: DataFrame, nPlanes: Int): DataFrame = {
     val bucket = (0 until nPlanes).map { j =>
       val planeCol = array(HyperplaneParams.plane(j).map(v => lit(v.toDouble)): _*)
-      when(GF.dotDecimal(col("embedding"), planeCol) > 0, 1L << j).otherwise(0L)
+      when(GF.dotPositive(col("embedding"), planeCol), 1L << j).otherwise(0L)
     }.reduce(_ + _)
     vecs.withColumn("bucket", bucket)
   }
@@ -445,7 +462,7 @@ object QueriesPipeline {
     NamedQuery("p05_embedding_neardup",
       (s, dir) => {
         val planes = HyperplaneParams.NearDupPlanes
-        val v = withNorm(withBucket(Corpus.vecs(s, dir), planes))
+        val v = withBucket(sharedNormVecs(s, dir), planes)
         val a = v.select(col("bucket"), col("vec_id").as("id_a"),
           col("embedding").as("ea"), col("norm").as("na"))
         val probeKeys = col("bucket") +:
@@ -495,7 +512,7 @@ object QueriesPipeline {
     NamedQuery("p06_similarity_topk",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val v = withNorm(Corpus.vecs(s, dir))
+        val v = sharedNormVecs(s, dir)
         val q = v.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
@@ -532,7 +549,7 @@ object QueriesPipeline {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val planes = HyperplaneParams.AnnPlanes
-        val v = withNorm(withBucket(Corpus.vecs(s, dir), planes))
+        val v = withBucket(sharedNormVecs(s, dir), planes)
         // multi-probe on the QUERY side only (queries are few): each query
         // probes its own bucket plus every 1-bit flip, so a neighbor across
         // one hyperplane is still scored. Probe cost: (planes+1)/2^planes of
@@ -761,7 +778,7 @@ object QueriesPipeline {
     NamedQuery("p14_similarity_ivf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val v = withNorm(Corpus.vecs(s, dir))
+        val v = sharedNormVecs(s, dir)
         val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
         val seedArr = seeds.agg(
@@ -1005,7 +1022,7 @@ object QueriesPipeline {
     // driver swapping new centroids into the broadcast side.
     NamedQuery("p20_kmeans_step",
       (s, dir) => {
-        val v = withNorm(Corpus.vecs(s, dir))
+        val v = sharedNormVecs(s, dir)
         val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
         val seedArr = seeds.agg(
@@ -1048,7 +1065,7 @@ object QueriesPipeline {
     // BY pos)) and replays the second assignment with the same tie-break.
     NamedQuery("p22_kmeans_two_steps",
       (s, dir) => {
-        val v = withNorm(Corpus.vecs(s, dir))
+        val v = sharedNormVecs(s, dir)
         val seeds0 = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
         val arr0 = seeds0.agg(

@@ -47,6 +47,17 @@ object DotDecimal {
 
   private val Scale = 12
 
+  /** Rigorous bound on |exact-decimal dot − IEEE-double dot| for a
+    * dimension-`dim` pair whose double pass accumulated `absSum` = Σ|aᵢ·bᵢ|.
+    * Both paths multiply in double, so the only divergences are (a) the
+    * per-term HALF_UP quantization to scale 12, ≤ 0.5e-12 each (doubled here
+    * for slack), and (b) the double summation's rounding, ≤ (dim−1)·u·Σ|pᵢ|
+    * with u = 2⁻⁵³ (coefficient doubled likewise). Lets filter-and-verify
+    * callers certify comparisons from the cheap double pass alone.
+    */
+  def epsBound(dim: Int, absSum: Double): Double =
+    dim * 1e-12 + dim * 2.3e-16 * absSum
+
   /** Static so generated code can call it directly. Length mismatch ⇒ null,
     * matching the lambda-fold reference (zip_with null-pads, poisoning the
     * sum) — a wrong-length vector must not yield a silently-partial score.

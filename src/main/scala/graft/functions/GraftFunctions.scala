@@ -72,6 +72,12 @@ object GraftFunctions {
   def dotDouble(a: Column, b: Column): Column =
     Bridge.column(DotDouble(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `dotDecimal(a, b) > 0` decided at double speed with a certified exact
+    * fallback (see [[DotPositive]]) — bit-identical, ~100× cheaper.
+    */
+  def dotPositive(a: Column, b: Column): Column =
+    Bridge.column(DotPositive(Bridge.expression(a), Bridge.expression(b)))
+
   /** Two nearest seed centroids `[best, second]` by exact-decimal cosine
     * (see [[NearestSeeds]]).
     */

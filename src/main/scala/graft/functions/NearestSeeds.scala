@@ -46,10 +46,6 @@ case class NearestSeeds(first: Expression, second: Expression, third: Expression
 }
 
 object NearestSeeds {
-  /** Static so generated code can call it directly. Seeds with a
-    * length-mismatched vector (null dot) are skipped, like the fold's
-    * null-propagating `>` comparison.
-    */
   /** SQL DESC-sort "greater": NaN ranks above every number (Spark's sort
     * and DuckDB's ORDER BY DESC both put NaN first) — Java's `>` would
     * silently skip NaN scores (e.g. a zero-norm vector ⇒ 0/0) and diverge
@@ -58,7 +54,66 @@ object NearestSeeds {
   private def sqlGreater(a: Double, b: Double): Boolean =
     a > b || (a.isNaN && !b.isNaN)
 
+  /** Static so generated code can call it directly. Seeds with a
+    * length-mismatched vector (null dot) are skipped, like the fold's
+    * null-propagating `>` comparison.
+    *
+    * Filter-and-verify argmax: a first pass scores every seed with the
+    * plain IEEE-double dot plus a rigorous bound on its divergence from the
+    * exact-decimal score ([[DotDecimal.epsBound]]). When the double ranking
+    * separates best/second/third by more than the summed bounds, the exact
+    * ranking provably agrees and the ~100× dearer decimal pass is skipped;
+    * any ambiguity (or a NaN score) falls back to the exact loop, so the
+    * result is bit-identical to always-exact by construction.
+    */
   def twoBest(seeds: ArrayData, emb: ArrayData, norm: Double): ArrayData = {
+    val n = seeds.numElements()
+    // fast pass: track top-3 double scores and their error bounds
+    var s1 = Double.NegativeInfinity; var d1 = -1L; var e1 = 0.0
+    var s2 = Double.NegativeInfinity; var d2 = -1L; var e2 = 0.0
+    var s3 = Double.NegativeInfinity; var e3 = 0.0
+    var certain = true
+    var i = 0
+    while (i < n && certain) {
+      val seed = seeds.getStruct(i, 3)
+      val se = seed.getArray(1)
+      if (emb.numElements() == se.numElements()) {
+        val dim = emb.numElements()
+        var sum = 0.0; var absSum = 0.0
+        var j = 0
+        while (j < dim) {
+          val p = emb.getDouble(j) * se.getDouble(j)
+          sum += p; absSum += math.abs(p)
+          j += 1
+        }
+        val div = norm * seed.getDouble(2)
+        val score = sum / div
+        if (java.lang.Double.isNaN(score)) certain = false // exact path owns NaN ordering
+        else {
+          val eps = DotDecimal.epsBound(dim, absSum) / math.abs(div) +
+            4 * math.ulp(math.abs(score)) // division + toDouble rounding slack
+          if (score > s1) {
+            s3 = s2; e3 = e2; s2 = s1; d2 = d1; e2 = e1
+            s1 = score; d1 = seed.getLong(0); e1 = eps
+          } else if (score > s2) {
+            s3 = s2; e3 = e2
+            s2 = score; d2 = seed.getLong(0); e2 = eps
+          } else if (score > s3) {
+            s3 = score; e3 = eps
+          }
+        }
+      }
+      i += 1
+    }
+    // the double ranking is trusted only when exact scores provably rank the
+    // same way: gaps must exceed the summed divergence bounds (-inf slots —
+    // fewer than 3 scorable seeds — have bound 0 and an infinite gap)
+    if (certain && s1 - s2 > e1 + e2 && s2 - s3 > e2 + e3)
+      return new GenericArrayData(Array(d1, d2))
+    exactTwoBest(seeds, emb, norm)
+  }
+
+  private def exactTwoBest(seeds: ArrayData, emb: ArrayData, norm: Double): ArrayData = {
     var s1 = Double.NegativeInfinity; var d1 = -1L
     var s2 = Double.NegativeInfinity; var d2 = -1L
     val n = seeds.numElements()

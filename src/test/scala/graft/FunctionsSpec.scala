@@ -64,6 +64,75 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows.exists(r => !r.isNullAt(0) && r.getDouble(0) == 11.0))
   }
 
+  test("DotPositive agrees with dotDecimal > 0, including near-orthogonal pairs (property)") {
+    import graft.functions.{DotDecimal, DotPositive}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Seq[Double]) = ArrayData.toArrayData(xs.toArray)
+    val genVec = Gen.listOfN(8, Gen.choose(-1.0, 1.0))
+    val prop = Prop.forAll(genVec, genVec) { (a, b) =>
+      val exact = Option(DotDecimal.dot(arr(a), arr(b))).map(_.toBigDecimal.signum > 0)
+      val fast = Option(DotPositive.positive(arr(a), arr(b))).map(_.booleanValue)
+      exact == fast
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+    // adversarial: dots within the ambiguity band around zero must take the
+    // exact fallback and still agree (incl. an exactly-zero decimal dot)
+    for (tiny <- Seq(0.0, 1e-15, -1e-15, 5e-13, -5e-13, 1e-12, -1e-12)) {
+      val a = arr(Seq(1.0, 1.0)); val b = arr(Seq(tiny, 0.0))
+      val exact = DotDecimal.dot(a, b).toBigDecimal.signum > 0
+      assert(DotPositive.positive(a, b).booleanValue == exact, s"tiny=$tiny")
+    }
+  }
+
+  test("NearestSeeds fast path matches the exact argmax, including ties (property)") {
+    import graft.functions.{DotDecimal, NearestSeeds}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    def arr(xs: Seq[Double]) = ArrayData.toArrayData(xs.toArray)
+    def seedRow(id: Long, v: Seq[Double]): InternalRow = {
+      val dec = DotDecimal.dot(arr(v), arr(v))
+      InternalRow(id, arr(v), math.sqrt(dec.toDouble))
+    }
+    // exact reference: decimal scores ranked DESC with first-wins ties
+    def ref(seeds: Seq[(Long, Seq[Double])], emb: Seq[Double]): Seq[Long] = {
+      val e = arr(emb)
+      val n = math.sqrt(DotDecimal.dot(e, e).toDouble)
+      val scored = seeds.flatMap { case (id, v) =>
+        Option(DotDecimal.dot(e, arr(v))).map { d =>
+          val sv = arr(v)
+          (id, d.toDouble / (n * math.sqrt(DotDecimal.dot(sv, sv).toDouble)))
+        }
+      }
+      // stable sort: score DESC (NaN first, like SQL DESC), then input order
+      val ranked = scored.zipWithIndex.sortBy { case ((_, s), ix) =>
+        (if (s.isNaN) Double.NegativeInfinity else -s, ix)
+      }.map(_._1._1)
+      (ranked ++ Seq(-1L, -1L)).take(2)
+    }
+    val genVec = Gen.listOfN(6, Gen.choose(-1.0, 1.0))
+    val prop = Prop.forAll(Gen.listOfN(5, genVec), genVec) { (seedVecs, emb) =>
+      val seeds = seedVecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val sarr = new GenericArrayData(seeds.map { case (id, v) => seedRow(id, v) }.toArray)
+      val e = arr(emb)
+      val norm = math.sqrt(DotDecimal.dot(e, e).toDouble)
+      val got = NearestSeeds.twoBest(sarr, e, norm)
+      got.toLongArray().toSeq == ref(seeds, emb)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+    // adversarial: duplicate seed vectors force an exact tie — the fast
+    // path cannot certify and must fall back, keeping the LOWEST seed id
+    val tied = Seq(0L -> Seq(0.5, 0.5), 1L -> Seq(0.5, 0.5), 2L -> Seq(-0.5, 0.5))
+    val sarr = new GenericArrayData(tied.map { case (id, v) => seedRow(id, v) }.toArray)
+    val e = arr(Seq(1.0, 0.9))
+    val norm = math.sqrt(DotDecimal.dot(e, e).toDouble)
+    assert(NearestSeeds.twoBest(sarr, e, norm).toLongArray().toSeq == Seq(0L, 1L))
+    // zero-norm embedding ⇒ NaN scores ⇒ exact path owns the ordering
+    val z = arr(Seq(0.0, 0.0))
+    assert(NearestSeeds.twoBest(sarr, z, 0.0).toLongArray().toSeq == Seq(0L, 1L))
+  }
+
   test("dotDecimal/cosine are exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
