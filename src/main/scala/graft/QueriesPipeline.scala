@@ -190,6 +190,16 @@ object QueriesPipeline {
     */
   private val pairsCache = new SharedPlanCache(persistAtHit = 1)
 
+  /** Keeper decision over [[minhashPairs]] — the ITERATIVE
+    * connected-components loop runs real jobs per round, so its (tiny,
+    * one-row-per-paired-doc) result is shared: p17 emits it, p19 anti-joins
+    * it. Persist-at-1st-access like the pair set itself.
+    */
+  private val keeperCache = new SharedPlanCache(persistAtHit = 1)
+  private def sharedKeepers(s: SparkSession, dir: String): DataFrame =
+    keeperCache.get(s, dir, () => graft.operators.Dedup
+      .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b"))))
+
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     // the pair set is shared verbatim by p03 (emits it), p17 (clusters it)
     // and p19; it is tiny (one row per near-dup pair), so persist from the
@@ -702,7 +712,7 @@ object QueriesPipeline {
     NamedQuery("p11_text_fingerprint",
       (s, dir) => Corpus.docs(s, dir)
         .select(col("doc_id"),
-          GF.poly_hash(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fp"))
+          GF.poly_hash(GF.normalize_alnum(col("text"))).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
@@ -929,9 +939,7 @@ object QueriesPipeline {
     // [[graft.operators.Dedup.connectedComponents]] (iterative min-label
     // propagation; scale notes there), fed by the IDENTICAL pair set as p03.
     NamedQuery("p17_dedup_keeper",
-      (s, dir) => graft.operators.Dedup
-        .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b")))
-        .orderBy(col("doc_id")),
+      (s, dir) => sharedKeepers(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
              pairs AS (${sqlMinhashPairsSelect}),
              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -983,8 +991,7 @@ object QueriesPipeline {
     NamedQuery("p19_clean_corpus",
       (s, dir) => {
         val docs = Corpus.docs(s, dir)
-        val dropped = graft.operators.Dedup
-          .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b")))
+        val dropped = sharedKeepers(s, dir)
           .filter(!col("kept")).select(col("doc_id"))
         docs.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), qualityScore.as("score"))

@@ -15,6 +15,12 @@ object GraftFunctions {
   def poly_hash(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c.cast("string"))))
 
+  /** See [[NormalizeAlnum]]: `trim(regexp_replace(lower(s), "[^a-z0-9]+",
+    * " "))` as one native char loop.
+    */
+  def normalize_alnum(c: Column): Column =
+    Bridge.column(NormalizeAlnum(Bridge.expression(c.cast("string"))))
+
   /** See [[AvroDecode]]: decode Avro binary with writer/reader schema
     * resolution; reader defaults to the writer (full decode) and is pruned
     * automatically by [[graft.plans.PruneAvroDecode]] when only a subset of

@@ -37,8 +37,14 @@ object Dedup {
       .unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("keeper"))
+    // initial labels FUSE the first propagation round: keeper₀ =
+    // min(id, min(neighbors)) in one aggregation over the symmetric edge
+    // set (every id appears as src). Identity labels + a propagation round
+    // compute exactly this, so starting here saves one full round of
+    // join + aggregate + checkpoint
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("keeper"))
+      .select(col("src").as("id"), col("keeper"))
     var labelBlocks: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     while (!converged) {

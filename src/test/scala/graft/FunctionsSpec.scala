@@ -133,6 +133,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(NearestSeeds.twoBest(sarr, z, 0.0).toLongArray().toSeq == Seq(0L, 1L))
   }
 
+  test("NormalizeAlnum matches trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ')) (property)") {
+    import graft.functions.NormalizeAlnum
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(s: String): String =
+      UTF8String.fromString(s).toLowerCase.toString.replaceAll("[^a-z0-9]+", " ").trim
+    val gen = Gen.oneOf(Gen.asciiPrintableStr, Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const('\n'), Gen.const('É'),
+      Gen.const('ß'), Gen.const('中'))).map(_.mkString))
+    val prop = Prop.forAll(gen) { s =>
+      NormalizeAlnum.normalize(UTF8String.fromString(s)).toString == ref(s)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+    assert(NormalizeAlnum.normalize(UTF8String.fromString("  Héllo,  WORLD-42! ")).toString
+      == ref("  Héllo,  WORLD-42! "))
+  }
+
   test("dotDecimal/cosine are exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
