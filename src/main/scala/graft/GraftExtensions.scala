@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.plans.PruneAvroDecode
+import graft.plans.{PruneAvroDecode, StandardGroupingSets}
 
 /** Session extensions installing the engine's custom planner pieces.
   * Register with `.withExtensions(new GraftExtensions)` or
@@ -11,5 +11,6 @@ import graft.plans.PruneAvroDecode
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PruneAvroDecode)
+    ext.injectPostHocResolutionRule(s => new StandardGroupingSets(s))
   }
 }

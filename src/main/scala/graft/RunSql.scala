@@ -22,6 +22,11 @@ object RunSql {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ANSI-parity mode for the differential fuzzer: DuckDB (the comparison
+    // engine) follows the standard's empty-input grand-total rule, so the
+    // fuzzer exercises graft.plans.StandardGroupingSets on every random
+    // grouping-sets/rollup/cube shape instead of normalizing it away
+    spark.conf.set("spark.graft.sqlStandardGroupingSets", "true")
     Tables.registerAll(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // minimal JSON object parser for {"name": "sql", ...} with escaped strings

@@ -205,14 +205,14 @@ def gen_grouping_query(i):
             f"{rng.choice(['min', 'max'])}({rng.choice(spec['str'])}) AS a1"]
     where = f" WHERE {gen_pred(t)}" if rng.random() < 0.6 else ""
     gsel = [f"{g} AS g{k}" for k, g in enumerate(groups)]
-    # KNOWN cross-engine divergence (found by this fuzzer, seed 9999 sf0.001):
-    # on EMPTY input, the grand-total grouping set `()` (also implied by
+    # Cross-engine divergence found by this fuzzer (seed 9999 sf0.001): on
+    # EMPTY input the grand-total grouping set `()` (also implied by
     # ROLLUP/CUBE) yields one count=0 row in DuckDB/Postgres (SQL standard)
-    # but ZERO rows in Spark. HAVING cnt > 0 is a no-op on non-empty inputs
-    # (every real group has cnt >= 1) and normalizes the empty case.
+    # but ZERO rows in stock Spark. graft.plans.StandardGroupingSets now
+    # restores the standard row (RunSql turns the flag on), so the queries
+    # run UN-normalized — every generated shape exercises the rule.
     return (f"g{i:03d}",
-            f"SELECT {', '.join(gsel + aggs)} FROM {t}{where} GROUP BY {shape} "
-            f"HAVING count(*) > 0")
+            f"SELECT {', '.join(gsel + aggs)} FROM {t}{where} GROUP BY {shape}")
 
 
 def gen_query(i):
