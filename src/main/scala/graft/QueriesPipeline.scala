@@ -1167,5 +1167,195 @@ object QueriesPipeline {
              JOIN sz za ON za.doc_id = id_a
              JOIN sz zb ON zb.doc_id = id_b
              WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
-             ORDER BY id_a, id_b""")))
+             ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------- p23 contamination check
+    // Benchmark-contamination detection: which corpus documents share a
+    // significant fraction of their shingles with a designated benchmark
+    // set (every 50th base doc here)? The standard eval-leakage scan before
+    // training. Scale shape: the benchmark shingle set is tiny and
+    // BROADCASTS — the corpus-side probe is a map-side hash lookup, no
+    // corpus shuffle for candidate generation; only the per-doc hit count
+    // aggregates (one shuffle on doc_id). The planted near/exact copies of
+    // benchmark docs are exactly what it must (and does) flag.
+    NamedQuery("p23_contamination",
+      (s, dir) => {
+        val sh = sharedShingleHashes(s, dir)
+        val bench = sh
+          .filter(col("doc_id") % 50 === 3 && col("doc_id") < Corpus.NearIdOffset)
+          .select(col("h")).distinct()
+        val hits = sh.join(broadcast(bench), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        hits.join(sizes, "doc_id")
+          .select(col("doc_id"), col("n_hits"), col("n"),
+            (col("n_hits").cast("double") / col("n")).as("ratio"))
+          .filter(col("ratio") >= 0.3 &&
+            !(col("doc_id") % 50 === 3 && col("doc_id") < Corpus.NearIdOffset))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             bench AS (SELECT DISTINCT h FROM sh
+                       WHERE doc_id % 50 = 3 AND doc_id < ${Corpus.NearIdOffset}),
+             hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+                      WHERE h IN (SELECT h FROM bench) GROUP BY doc_id)
+             SELECT hits.doc_id, n_hits, n, CAST(n_hits AS DOUBLE) / n AS ratio
+             FROM hits JOIN sz ON sz.doc_id = hits.doc_id
+             WHERE CAST(n_hits AS DOUBLE) / n >= 0.3
+               AND NOT (hits.doc_id % 50 = 3 AND hits.doc_id < ${Corpus.NearIdOffset})
+             ORDER BY hits.doc_id""")),
+
+    // -------------------------------------------- p24 repetition ratio
+    // Within-document repetition (boilerplate/loop detection, a standard
+    // quality gate): 1 − distinct/total over 3-word shingles. Total count
+    // is per-row arithmetic off the token count; distinct comes from the
+    // shared shingle index — one aggregation, one join, no self-join.
+    NamedQuery("p24_repetition",
+      (s, dir) => {
+        val toks = GF.tokens(col("text"))
+        val totals = Corpus.docs(s, dir)
+          .select(col("doc_id"),
+            greatest(size(toks) - 2, lit(0)).cast("long").as("total"))
+          .filter(col("total") > 0)
+        val distincts = sharedShingleHashes(s, dir)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+        totals.join(distincts, "doc_id")
+          .select(col("doc_id"), col("total"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("total")).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             totals AS (
+               SELECT doc_id, greatest(len(${GF.sqlTokens("text")}) - 2, 0)::BIGINT AS total
+               FROM corpus)
+             SELECT t.doc_id, total, count(*) AS n_distinct,
+                    1.0 - CAST(count(*) AS DOUBLE) / total AS rep_ratio
+             FROM totals t JOIN sh ON sh.doc_id = t.doc_id
+             WHERE total > 0
+             GROUP BY t.doc_id, total
+             ORDER BY t.doc_id""")),
+
+    // ---------------------------------------- p25 weighted sampling
+    // Deterministic weighted sampling, stratified per source: priority =
+    // affine-hash(doc_id) / weight (hash-seeded, so reproducible across
+    // runs and engines; heavier docs get smaller priorities more often),
+    // keep the top 5 per stratum. The 100 TB shape: priorities are per-row
+    // map work; per-stratum top-k needs only a bounded heap per partition
+    // then per-stratum merge — no global sort of the corpus.
+    NamedQuery("p25_weighted_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pri = GF.affineHash(col("doc_id"), 48271L, 11L).cast("double") /
+          col("n_chars")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("priority"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("source"), col("doc_id"), col("n_chars"), pri.as("priority"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""WITH pri AS (
+               SELECT source, doc_id, n_chars,
+                      CAST(${GF.sqlAffineHash("doc_id", 48271L, 11L)} AS DOUBLE) / n_chars
+                        AS priority
+               FROM documents WHERE n_chars > 0),
+             ranked AS (
+               SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY priority, doc_id) AS rk
+               FROM pri)
+             SELECT source, doc_id, n_chars, priority, rk
+             FROM ranked WHERE rk <= 5 ORDER BY source, rk""")),
+
+    // ------------------------------------- p26 bloom-prefilter semi join
+    // The broadcast runtime-filter pattern made explicit: a selective
+    // dimension's keys compress into an 8 KiB Bloom filter
+    // (graft.functions.BloomAgg — mergeable bytes, map-side partial agg)
+    // that broadcasts to the fact scan and discards non-joining rows
+    // BEFORE any shuffle; the exact semi-join then runs over the tiny
+    // survivor set. No false negatives ⇒ results are exactly the plain
+    // semi-join's (the oracle), which is what makes a probabilistic
+    // structure safe to put in the hot path. At 100 TB this turns a
+    // fact-table shuffle into a broadcast of m/8 bytes.
+    NamedQuery("p26_bloom_semi_join",
+      (s, dir) => {
+        val dim = Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey"))
+        val bloom = dim.agg(graft.functions.BloomFilterOps.bloom_of(col("o_orderkey")).as("bf"))
+        Tables.load(s, dir, "lineitem")
+          .crossJoin(broadcast(bloom))
+          .filter(GF.bloomContains(col("bf"), col("l_orderkey")))
+          .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            NamedQuery.decSum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_items,
+                    ${NamedQuery.sqlDecSum("l_extendedprice")} AS revenue
+             FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                  WHERE o_totalprice > 300000)
+             GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --------------------------------------- p27 product quantization
+    // PQ code assignment — the compression half of a production ANN index
+    // (IVF-PQ): the 64-dim vector splits into 4 × 16-dim subvectors, each
+    // assigned to its nearest sub-centroid (same exact-decimal cosine and
+    // first-wins tie-break as p14's coarse assignment, via the codegen'd
+    // NearestSeeds kernel on slices). 16 centroids/subspace ⇒ a vector
+    // compresses to 4 nibbles. All four assignments happen in ONE map pass
+    // over the corpus against one broadcast row carrying the four
+    // sub-centroid arrays — zero shuffle; only the final tiny projection
+    // sorts. Sub-centroids derive from the same seed rows as p14.
+    NamedQuery("p27_pq_codes",
+      (s, dir) => {
+        val v = sharedNormVecs(s, dir)
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        val subSeedCols = (0 until 4).map { sub =>
+          val se = slice(col("embedding"), sub * 16 + 1, 16)
+          array_sort(collect_list(struct((col("vec_id") - 100).as("seed_id"),
+            se.as("se"),
+            sqrt(GF.dotDecimal(se, se).cast("double")).as("sn")))).as(s"sarr$sub")
+        }
+        val seedArr = seeds.agg(subSeedCols.head, subSeedCols.tail: _*)
+        val codeCols = (0 until 4).map { sub =>
+          val sv = slice(col("embedding"), sub * 16 + 1, 16)
+          GF.nearestSeeds(col(s"sarr$sub"), sv,
+            sqrt(GF.dotDecimal(sv, sv).cast("double")))(0).as(s"c$sub")
+        }
+        v.filter(col("vec_id") < 100)
+          .crossJoin(broadcast(seedArr))
+          .select(col("vec_id") +: codeCols: _*)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val subCtes = (0 until 4).map { sub =>
+          val lo = sub * 16 + 1
+          val hi = sub * 16 + 16
+          val vSub = s"v.embedding[$lo:$hi]"
+          val sSub = s"s.embedding[$lo:$hi]"
+          val score = s"CAST(${GF.sqlDotDecimal(vSub, sSub)} AS DOUBLE) / " +
+            s"(sqrt(CAST(${GF.sqlDotDecimal(vSub, vSub)} AS DOUBLE)) * " +
+            s"sqrt(CAST(${GF.sqlDotDecimal(sSub, sSub)} AS DOUBLE)))"
+          s"""a$sub AS (
+               SELECT vec_id, seed_id AS c$sub FROM (
+                 SELECT v.vec_id, s.vec_id - 100 AS seed_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY $score DESC, s.vec_id) AS rn
+                 FROM q v CROSS JOIN seeds s) WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH vecs AS (${Corpus.vecsSql}),
+           seeds AS (SELECT vec_id, embedding FROM vecs
+                     WHERE vec_id >= 100 AND vec_id < 116),
+           q AS (SELECT vec_id, embedding FROM vecs WHERE vec_id < 100),
+           $subCtes
+           SELECT a0.vec_id, c0, c1, c2, c3
+           FROM a0 JOIN a1 ON a1.vec_id = a0.vec_id
+                JOIN a2 ON a2.vec_id = a0.vec_id
+                JOIN a3 ON a3.vec_id = a0.vec_id
+           ORDER BY a0.vec_id"""
+      }))
 }

@@ -21,6 +21,10 @@ object GraftFunctions {
   def normalize_alnum(c: Column): Column =
     Bridge.column(NormalizeAlnum(Bridge.expression(c.cast("string"))))
 
+  /** See [[BloomContains]]: probe a [[BloomAgg]]-built filter. */
+  def bloomContains(filter: Column, key: Column): Column =
+    Bridge.column(BloomContains(Bridge.expression(filter), Bridge.expression(key.cast("long"))))
+
   /** See [[AvroDecode]]: decode Avro binary with writer/reader schema
     * resolution; reader defaults to the writer (full decode) and is pruned
     * automatically by [[graft.plans.PruneAvroDecode]] when only a subset of

@@ -72,6 +72,28 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("Window ["), p) // no window argmax anywhere
   }
 
+  test("p26 bloom prefilter runs at the scan side, before the exact semi join") {
+    val p = plan("p26_bloom_semi_join")
+    // the probe is a broadcast of the one-row filter (nested-loop on 1 row),
+    // applied BEFORE the semi join in the plan
+    assert(p.contains("bloom_contains"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val probeAt = p.indexOf("bloom_contains")
+    val semiAt = p.indexOf("LeftSemi")
+    assert(probeAt >= 0 && semiAt >= 0 && probeAt < semiAt,
+      s"probe not upstream of semi join:\n$p")
+  }
+
+  test("p27 PQ assignment is one map pass: broadcast centroids, no corpus shuffle") {
+    val p = plan("p27_pq_codes")
+    // all four sub-assignments evaluate in a projection over the corpus
+    // against a broadcast row — the only exchange is the final tiny sort
+    assert(p.contains("nearest_seeds"), p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed tables co-locate the join: no shuffle on either side") {
     // explicit paths → external tables; the (static) warehouse dir is unused
     val wh = Files.createTempDirectory("graft-wh").toString
