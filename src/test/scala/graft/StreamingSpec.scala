@@ -167,4 +167,35 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains((7L, 0L, 20L, 2L, 4.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow file stream reproduces the batch result exactly") {
+    // batch/stream parity: the SAME aggregation over the SAME parquet must
+    // yield identical rows whether executed as one batch plan or through
+    // incremental micro-batch state — the invariant that makes the engine's
+    // batch oracle meaningful for its streaming mode
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val s0 = spark
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-par")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    val agg: DataFrame => DataFrame = df =>
+      df.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+    val batch = agg(s0.read.parquet(srcDir.toString))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val q = agg(s0.readStream.schema(s0.read.parquet(srcDir.toString).schema)
+        .parquet(srcDir.toString))
+      .writeStream.format("memory").queryName("parity").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not finish")
+      val streamed = s0.table("parity")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
