@@ -900,5 +900,34 @@ object QueriesCore {
           abs(col("approx_p50") - col("exact_p50")) / greatest(abs(col("exact_p50")), lit(1e-9)))
         .filter(col("rel_err") < 0.05)
         .orderBy(col("event_type")),
-      None))
+      None),
+
+    // ---------------------------------------- q43 bag semantics set ops
+    // EXCEPT ALL / INTERSECT ALL — multiplicity-preserving set operations
+    // (q20 covers the DISTINCT forms). Spark plans both as aggregations on
+    // replicated counts, not joins per row — one shuffle each on the full
+    // row key, same as the distinct forms.
+    NamedQuery("q43_set_ops_all",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val a = l.filter(col("l_quantity") <= 25).select(col("l_returnflag"), col("l_linestatus"))
+        val b = l.filter(col("l_discount") > 0.05).select(col("l_returnflag"), col("l_linestatus"))
+        val ia = a.intersectAll(b).groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ea = a.exceptAll(b).groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        ia.unionAll(ea)
+          .select(col("op"), col("l_returnflag"), col("l_linestatus"), col("n"))
+          .orderBy(col("op"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity <= 25),
+                  b AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_discount > 0.05)
+             SELECT 'intersect_all' AS op, l_returnflag, l_linestatus, count(*) AS n
+             FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+             GROUP BY l_returnflag, l_linestatus
+             UNION ALL
+             SELECT 'except_all' AS op, l_returnflag, l_linestatus, count(*) AS n
+             FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+             GROUP BY l_returnflag, l_linestatus
+             ORDER BY op, l_returnflag, l_linestatus""")))
 }

@@ -1357,5 +1357,60 @@ object QueriesPipeline {
                 JOIN a2 ON a2.vec_id = a0.vec_id
                 JOIN a3 ON a3.vec_id = a0.vec_id
            ORDER BY a0.vec_id"""
+      }),
+
+    // ---------------------------------------- p28 memorized-span scan
+    // Cross-document repeated-span detection — the exact-substring dedup
+    // signal (à la "Deduplicating Training Data Makes Language Models
+    // Better"): per doc, what fraction of its 8-token windows also appears
+    // verbatim in ANOTHER document? Rolling windows hash per-row
+    // (codegen'd), the span document-frequency is ONE aggregation on the
+    // hash, and the per-doc share is one join + aggregation back on doc_id
+    // — no self-join, no pair blow-up; at 100 TB both shuffles are keyed
+    // on well-distributed 64-bit hashes. The planted exact/near copies
+    // surface with share ≈ 1.0 by construction.
+    NamedQuery("p28_memorized_spans",
+      (s, dir) => {
+        val W = 8
+        val t = col("t")
+        val span = (0 until W).map(k => element_at(t, col("i") + k))
+        val sp = Corpus.docs(s, dir)
+          .select(col("doc_id"), GF.tokens(col("text")).as("t"))
+          // guard BEFORE sequence(): Spark's sequence(1, 0) counts DOWN to
+          // [1, 0] (DuckDB's generate_series(1, 0) is empty) — a <8-token
+          // doc must contribute no spans, not an index-0 probe
+          .filter(size(t) >= W)
+          .select(col("doc_id"), explode(sequence(lit(1), size(t) - (W - 1))).as("i"), t)
+          .select(col("doc_id"), GF.poly_hash(concat_ws(" ", span: _*)).as("h"))
+          .distinct()
+        val df = sp.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+        sp.join(df, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+          .filter(col("n_shared") > 0)
+          .select(col("doc_id"), col("n_spans"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_spans")).as("shared_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val spanSql = (0 until 8).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+        s"""WITH corpus AS (${Corpus.docsSql}),
+           toks AS (SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM corpus
+                    WHERE len(${GF.sqlTokens("text")}) >= 8),
+           sp AS (
+             SELECT DISTINCT doc_id, ${PolyHash.oracleSql("s")} AS h FROM (
+               SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 7), i -> $spanSql)) AS s
+               FROM toks)),
+           df AS (SELECT h, count(*) AS ndocs FROM sp GROUP BY h)
+           SELECT sp.doc_id, count(*) AS n_spans,
+                  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+                  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                    AS shared_frac
+           FROM sp JOIN df ON df.h = sp.h
+           GROUP BY sp.doc_id
+           HAVING sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) > 0
+           ORDER BY sp.doc_id"""
       }))
 }

@@ -70,6 +70,60 @@ object Dedup {
       (col("id") === col("keeper")).as("kept"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds —
+    * the O(log n)-round variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") for adversarial long-chain graphs where plain
+    * min-propagation needs O(diameter) rounds. Same output contract as
+    * [[connectedComponents]] (property-tested equal); each round is two
+    * groupBy-min + join passes over the shrinking edge list.
+    *
+    * large-star: every node's strictly-larger neighbors re-attach to
+    * m = min(Γ(u) ∪ {u}); small-star: every node's smaller-or-equal
+    * neighbors (and the node) re-attach to its minimum neighbor. The edge
+    * set converges to stars centered at component minima.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("id_a", "id_b")
+    var edges = p.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct().localCheckpoint()
+    val allIds = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    var edgeBlocks = checkpointBlocks(edges)
+    var converged = false
+    while (!converged) {
+      // large-star over the symmetric view: (v, m) for v ∈ Γ(u), v > u,
+      // m = min(Γ⁺(u)) — strictly-larger neighbors hook onto the minimum
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the (u > v) orientation: u and its smaller
+      // neighbors all hook onto min(Γ<(u))
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      converged = ss.unionAll(edges).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
+      edgeBlocks.foreach(_.unpersist(blocking = false))
+      edgeBlocks = checkpointBlocks(ss)
+      edges = ss
+    }
+    // allIds and the final edges stay persisted: the returned (lazy) plan
+    // reads both — only intermediate rounds' blocks were droppable
+    val labels = allIds
+      .join(edges.select(col("u").as("id"), col("v").as("keeper")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("keeper"), col("id")).as("keeper"))
+    labels.select(col("id").as("doc_id"), col("keeper").as("keeper_id"),
+      (col("id") === col("keeper")).as("kept"))
+  }
+
   /** The cached blocks behind an eager `localCheckpoint()`: its plan is a
     * [[org.apache.spark.sql.execution.LogicalRDD]] wrapping the persisted
     * RDD. Checkpoint caching is RDD-level, so `Dataset.unpersist()` (which

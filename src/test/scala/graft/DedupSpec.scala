@@ -44,4 +44,40 @@ class DedupSpec extends SparkTestBase {
     val r = cc((1L, 2L), (4L, 3L), (7L, 8L), (8L, 9L), (2L, 1L))
     assert(r.count { case (_, (_, kept)) => kept } == 3)
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)]): Map[Long, (Long, Boolean)] = {
+    val s0 = spark
+    import s0.implicits._
+    Dedup.connectedComponentsStar(pairs.toDF("id_a", "id_b"))
+      .collect()
+      .map { case Row(id: Long, keeper: Long, kept: Boolean) => id -> (keeper, kept) }
+      .toMap
+  }
+
+  test("large-star/small-star variant equals min-propagation on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(genEdges) { edges =>
+      // self-loop-only inputs still register their ids; both impls must
+      // agree on the FULL (id -> keeper, kept) map
+      ccStar(edges) == cc(edges: _*)
+    }
+    // few but heavy cases: each check runs two iterative Spark jobs
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("large-star/small-star collapses a long chain (the case it exists for)") {
+    val path = (0L until 24L).sliding(2).map(w => (w(1), w(0))).toSeq
+    val r = ccStar(path)
+    assert(r.size == 24 && r.forall { case (_, (k, _)) => k == 0L })
+    assert(r.count { case (_, (_, kept)) => kept } == 1)
+  }
 }
