@@ -25,6 +25,29 @@ object QueriesCore {
   // literals must match to avoid tz-coercion differences vs the oracle.
   private def ts(d: String) = lit(d).cast("timestamp_ntz")
 
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q44). */
+  private[graft] val recursiveCteSql: String =
+    """WITH RECURSIVE up AS (
+         SELECT n_nationkey AS node, n_nationkey AS anc, 0 AS depth
+         FROM nation
+         UNION ALL
+         SELECT up.node, CAST(floor(n.n_nationkey / 2) AS INT) AS anc, up.depth + 1 AS depth
+         FROM up JOIN nation n ON n.n_nationkey = up.anc
+         WHERE n.n_nationkey > 0)
+       SELECT node, anc, depth FROM up ORDER BY node, depth, anc"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q45). */
+  private[graft] val lateralSql: String =
+    """SELECT o.o_orderkey, t.n_items, t.top_price
+       FROM orders o,
+       LATERAL (SELECT count(*) AS n_items, max(l_extendedprice) AS top_price
+                FROM lineitem WHERE l_orderkey = o.o_orderkey) t
+       WHERE o.o_orderkey <= 200 AND t.n_items > 0
+       ORDER BY o.o_orderkey"""
+
+  // (defined ABOVE `all`: entries capture these eagerly at object init)
+
   val all: Seq[NamedQuery] = Seq(
 
     // ---------------------------------------------------------------- scans
@@ -929,5 +952,32 @@ object QueriesCore {
              SELECT 'except_all' AS op, l_returnflag, l_linestatus, count(*) AS n
              FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
              GROUP BY l_returnflag, l_linestatus
-             ORDER BY op, l_returnflag, l_linestatus""")))
+             ORDER BY op, l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------ q44 recursive CTE
+    // WITH RECURSIVE (Spark 4 supports the UNION ALL form): walk a
+    // binary-tree hierarchy derived from nation (parent = key/2) from every
+    // node up to the root, emitting (node, ancestor, depth). Acyclic by
+    // construction so UNION ALL terminates; both engines run the identical
+    // statement. At scale each recursion step is one self-join keyed on the
+    // parent id — the same shuffle shape as the keeper-propagation loop.
+    NamedQuery("q44_recursive_cte",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.recursiveCteSql)
+      },
+      Some(QueriesCore.recursiveCteSql)),
+
+    // ------------------------------------------------- q45 lateral join
+    // LATERAL correlated derived table: per order over a small window, the
+    // top line item by price (a per-row dependent subquery the optimizer
+    // decorrelates into a join — DecorrelateInnerQuery — rather than
+    // executing N subqueries).
+    NamedQuery("q45_lateral_join",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.lateralSql)
+      },
+      Some(QueriesCore.lateralSql)))
+
 }
