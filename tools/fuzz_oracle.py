@@ -181,7 +181,8 @@ def gen_setop_query(i):
     spec = TABLES[t]
     keys = rng.sample(spec["group"], k=rng.randint(1, 2))
     proj = ", ".join(f"{c} AS c{k}" for k, c in enumerate(keys))
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
     def branch():
         return f"SELECT {proj} FROM {t} WHERE {gen_pred(t)}"
     cnames = ", ".join(f"c{k}" for k in range(len(keys)))
