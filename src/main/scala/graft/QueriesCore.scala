@@ -978,6 +978,178 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.lateralSql)
       },
-      Some(QueriesCore.lateralSql)))
+      Some(QueriesCore.lateralSql)),
+
+    // ------------------------------------------------ q46 sessionization
+    // Batch sessionization — the event-analytics staple the reference served
+    // via repeated Presto queries over the log: a session break is a gap
+    // > 6h between a user's consecutive events (lag + conditional flag +
+    // running sum = session id). One shuffle on user_id serves BOTH window
+    // passes and the per-session aggregation (same partitioning); the final
+    // per-user rollup is a second small shuffle. The streaming twin is
+    // EventStreams.sessionStats (session_window) — same semantics,
+    // watermark-bounded state.
+    NamedQuery("q46_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val sessions = t(s, dir, "events")
+          .select(col("user_id"), col("ts"))
+          .withColumn("prev", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              col("ts") > col("prev") + expr("INTERVAL 6 HOUR"), 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("ev"))
+        sessions.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("ev")).as("n_events"),
+            max(col("ev")).as("max_session_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+             f AS (
+               SELECT user_id, ts,
+                      CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e),
+             sess AS (
+               SELECT user_id,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM f),
+             per AS (
+               SELECT user_id, session_id, count(*) AS ev
+               FROM sess GROUP BY user_id, session_id)
+             SELECT user_id, count(*) AS n_sessions,
+                    CAST(sum(ev) AS BIGINT) AS n_events,
+                    max(ev) AS max_session_events
+             FROM per GROUP BY user_id ORDER BY user_id""")),
+
+    // ----------------------------------------------------- q47 funnel
+    // Ordered-step funnel: first view → first click within 24h → first
+    // qualifying purchase within 72h. Each stage is a groupBy(user_id) agg
+    // joined to the next stage's candidate events — all three joins are
+    // keyed on user_id (one co-partitioned shuffle family, no windows), and
+    // the stage outputs are per-user (tiny), so at scale only the raw event
+    // scans are big. The three scalar counts broadcast-cross-join into one
+    // row.
+    NamedQuery("q47_funnel",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase" && col("value") > 50)
+          .join(c, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 72 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                      WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN v ON e.user_id = v.user_id
+                   WHERE e.event_type = 'click' AND e.ts > v.t1
+                     AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND e.value > 50
+                     AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 72 HOUR
+                   GROUP BY e.user_id)
+             SELECT (SELECT count(*) FROM v) AS n_view,
+                    (SELECT count(*) FROM c) AS n_view_click,
+                    (SELECT count(*) FROM p) AS n_view_click_purchase""")),
+
+    // ------------------------------------------------- q48 time-series gap-fill
+    // Dense daily series with zero-fill for missing days: the day spine is
+    // generated from the min/max bounds (sequence + explode — a few dozen
+    // rows from a 2-value aggregate, so the spine side is trivially
+    // broadcast) and left-joined to the sparse daily counts. At scale the
+    // counts side is the big aggregation; the spine never grows beyond
+    // date-range days.
+    NamedQuery("q48_gapfill",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val daily = ev
+          .filter(col("event_type") === "purchase" && col("value") > 250)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev
+          .agg(min(col("ts").cast("date")).as("lo"), max(col("ts").cast("date")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                      FROM events WHERE event_type = 'purchase' AND value > 250
+                      GROUP BY 1),
+             bounds AS (SELECT min(CAST(ts AS DATE)) AS lo,
+                               max(CAST(ts AS DATE)) AS hi FROM events),
+             days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+                      FROM bounds)
+             SELECT days.day AS day, COALESCE(d.n, 0) AS n
+             FROM days LEFT JOIN d ON days.day = d.day ORDER BY day""")),
+
+    // -------------------------------------------------- q49 cohort retention
+    // Weekly cohort retention on first purchase: cohort = Monday-truncated
+    // week of a user's first purchase (min of per-week truncs == trunc of
+    // min, so the distinct (user, week) set feeds both the cohort assignment
+    // and the activity matrix — one scan, one distinct shuffle, one
+    // user-keyed join of two already-small frames). week_n divides an exact
+    // small-int day difference by 7 — exact in double in both engines.
+    NamedQuery("q49_retention",
+      (s, dir) => {
+        val weeks = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+          .distinct()
+        val cohorts = weeks.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+        weeks.join(cohorts, "user_id")
+          .groupBy(col("cohort"),
+            (datediff(col("w"), col("cohort")) / 7).cast("int").as("week_n"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort"), col("week_n"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+                             CAST(date_trunc('week', ts) AS DATE) AS w
+                      FROM events WHERE event_type = 'purchase'),
+             f AS (SELECT user_id, min(w) AS cohort FROM a GROUP BY user_id)
+             SELECT cohort, CAST(date_diff('day', cohort, w) / 7 AS INT) AS week_n,
+                    count(*) AS n_users
+             FROM a JOIN f USING (user_id)
+             GROUP BY cohort, week_n ORDER BY cohort, week_n""")),
+
+    // --------------------------------------------------- q50 histogram
+    // Fixed-width histogram (the dashboard primitive): bucket assignment is
+    // pure codegen'd arithmetic (floor of an IEEE division — bit-identical
+    // across engines), the aggregation is map-side partial, and the result
+    // is #buckets rows. Monetary min/max quantize to DECIMAL(18,2) — the
+    // fixture's 2-decimal values never sit on a rounding tie (dyadic
+    // rational argument, NamedQuery doc).
+    NamedQuery("q50_histogram",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 30000), lit(19)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).cast("decimal(18,2)").as("lo"),
+          max(col("o_totalprice")).cast("decimal(18,2)").as("hi"))
+        .orderBy(col("bucket")),
+      Some("""SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INT) AS bucket,
+                    count(*) AS n,
+                    CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
+                    CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+             FROM orders GROUP BY 1 ORDER BY 1""")))
 
 }

@@ -1412,5 +1412,80 @@ object QueriesPipeline {
            GROUP BY sp.doc_id
            HAVING sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) > 0
            ORDER BY sp.doc_id"""
-      }))
+      }),
+
+    // ----------------------------------------------------- p29 TF-IDF
+    // Per-document top-3 terms by TF-IDF — the classical relevance score as
+    // a pure relational plan: tf = groupBy(doc, term), df = groupBy(term)
+    // over tf (so each (doc, term) counts once), idf = ln((N+1)/(df+1)).
+    // The doc count N broadcasts (1 row); the df join shuffles on term —
+    // at 100 TB the vocabulary table is millions of rows (broadcastable)
+    // while tf is the big side, so the shuffle is one-sided in practice.
+    // Scores quantize to DECIMAL(18,6): tf·ln(ratio) is transcendental, so
+    // it never sits on a micro-unit rounding tie and a 1-ulp ln() spread
+    // between engines cannot flip the quantized value (same argument as
+    // NamedQuery.decSum's dyadic rationals). Top-3 per doc is a bounded
+    // per-key window, not a global sort.
+    NamedQuery("p29_tfidf_top_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(GF.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) >= 3)
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
+        tf.join(dfreq, "term").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
+              .cast("decimal(18,6)").as("score"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("term"))).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some(s"""WITH tok AS (
+               SELECT doc_id, unnest(${GF.sqlTokens("text")}) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                    WHERE length(term) >= 3 GROUP BY doc_id, term),
+             dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
+             scored AS (
+               SELECT tf.doc_id, tf.term,
+                      CAST(tf.tf * ln((nd.nd + 1.0) / (dfreq.df + 1.0))
+                        AS DECIMAL(18,6)) AS score
+               FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+             top AS (
+               SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rn
+               FROM scored)
+             SELECT doc_id, rn, term, score FROM top
+             WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ------------------------------------------- p30 token Zipf profile
+    // Corpus-level token frequency ranking (the Zipf sanity check every
+    // training-data pipeline runs): global top-40 tokens with their rank.
+    // The heavy step is one map-side-partial groupBy(term); the top-40 is
+    // TakeOrderedAndProject (per-partition heap + driver merge of 40-row
+    // heads — no global sort), and the rank window runs over 40 rows.
+    NamedQuery("p30_token_zipf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "documents")
+          .select(explode(GF.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(40)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("term"))).cast("long"))
+          .select(col("rank"), col("term"), col("n"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${GF.sqlTokens("text")}) AS term FROM documents),
+             cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+             ranked AS (SELECT term, n,
+                        row_number() OVER (ORDER BY n DESC, term) AS rank FROM cnt)
+             SELECT rank, term, n FROM ranked WHERE rank <= 40 ORDER BY rank""")))
 }

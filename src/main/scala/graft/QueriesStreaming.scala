@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import NamedQuery.{decSum, sqlDecSum}
+
+/** Streaming-mode registry entries: each runs a REAL Structured Streaming
+  * query (readStream → stateful aggregation → memory sink) to completion
+  * with Trigger.AvailableNow, then returns the sink table — so the driver's
+  * DuckDB oracle checks the STREAMING execution path bit-exactly against
+  * the equivalent batch SQL. This is the batch/stream-parity invariant
+  * (StreamingSpec "reproduces the batch result exactly") promoted to the
+  * correctness gate.
+  *
+  * Scale notes: these plans are the production shape — shuffle on
+  * (window/session, key) with incremental state — not a batch shortcut; on
+  * a real cluster the same code runs unbounded with a watermark bounding
+  * state (EventStreams documents the late-data policy). AvailableNow is
+  * the catch-up/backfill trigger a 100 TB pipeline uses to replay history
+  * through the SAME streaming query it runs live.
+  */
+object QueriesStreaming {
+
+  /** Run `df` (a streaming frame) to completion into a memory sink and
+    * return the sink table. The sink name is derived from the fixture dir
+    * so concurrent sessions on different SFs never collide; name reuse
+    * after termination is fine (the temp view is replaced).
+    */
+  private def runToTable(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try require(q.awaitTermination(180000L), s"stream $name did not finish")
+    finally q.stop()
+    s.table(name)
+  }
+
+  private def sink(tag: String, dir: String): String =
+    tag + "_" + java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Streaming read of the events fixture with the same ns→µs TIMESTAMP_NTZ
+    * normalization Tables.load applies to the batch read (the fixture's
+    * `ts` is parquet TIMESTAMP(NANOS), which Spark can only surface as a
+    * LONG — see Tables.nanosColumns).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source only accepts directories: stream the fixture
+    // dir with a glob restricted to the events table
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // Daily tumbling-window stats per event_type through incremental
+    // micro-batch state. window() buckets are epoch-aligned, so a 1-day
+    // window start IS date_trunc('day') — the oracle replays it in batch
+    // SQL. decSum keeps the double aggregation order-insensitive across
+    // micro-batch merge order (same technique as the batch queries).
+    NamedQuery("s01_stream_daily_stats",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+          .select(col("window.start").cast("date").as("day"),
+            col("event_type"), col("n"), col("sum_value"))
+        runToTable(s, sink("s01", dir), agg)
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // Gap-based session windows (session_window, 6h gap) — the streaming
+    // twin of q46's lag+cumsum sessionization, checked against the SAME
+    // relational definition: a session's end is last-event + gap. The
+    // stateful operator merges sessions incrementally across micro-batches;
+    // the oracle derives identical extents from the batch formulation.
+    NamedQuery("s02_stream_sessions",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"), col("n"))
+        runToTable(s, sink("s02", dir), agg)
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+             f AS (
+               SELECT user_id, ts,
+                      CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e),
+             sess AS (
+               SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM f)
+             SELECT user_id, min(ts) AS s_start,
+                    max(ts) + INTERVAL 6 HOUR AS s_end, count(*) AS n
+             FROM sess GROUP BY user_id, session_id
+             ORDER BY user_id, s_start""")))
+}

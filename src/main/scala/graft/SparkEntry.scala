@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def registry: Seq[NamedQuery] = QueriesCore.all ++ QueriesPipeline.all
+  private def registry: Seq[NamedQuery] =
+    QueriesCore.all ++ QueriesPipeline.all ++ QueriesStreaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's own flagship shape: count over an offset window of an

@@ -124,4 +124,28 @@ class ScaleSpec extends SparkTestBase {
       s0.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q46 sessionize: ONE data shuffle on user_id feeds both windows and both aggs") {
+    val p = plan("q46_sessionize")
+    // lag window, cumsum window, per-session agg, per-user rollup — all
+    // partitioned compatibly; only the final presentation sort re-ranges
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q48 gap-fill: the day spine joins broadcast, no shuffle join") {
+    val p = plan("q48_gapfill")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p29 TF-IDF: per-doc top-3 is WindowGroupLimit (pushed partial), df join broadcast") {
+    val p = plan("p29_tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("p30 token zipf: global top-40 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("p30_token_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
