@@ -35,6 +35,12 @@ object QueriesPipeline {
   /** p21's hot-shingle document-frequency cap (index-side only). */
   val JaccardDfCap = 6
 
+  /** p31's PII patterns — pure-ERE subset (no lookaround, no backrefs) so
+    * Java regex (Spark) and RE2 (DuckDB) match identically.
+    */
+  val PiiPhoneRe = "[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val PiiEmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+
   object MinHashParams {
     val K = 16; val Bands = 4; val Rows = 4
     def a(i: Int): Long = ((i + 1) * 97003L + 7) % P
@@ -1487,5 +1493,111 @@ object QueriesPipeline {
              cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
              ranked AS (SELECT term, n,
                         row_number() OVER (ORDER BY n DESC, term) AS rank FROM cnt)
-             SELECT rank, term, n FROM ranked WHERE rank <= 40 ORDER BY rank""")))
+             SELECT rank, term, n FROM ranked WHERE rank <= 40 ORDER BY rank""")),
+
+    // -------------------------------------------------- p31 PII redaction
+    // Regex scrubbing — the compliance pass every training-data pipeline
+    // runs before a corpus ships. The fixture corpus has no PII, so a
+    // deterministic ticket corpus is synthesized from customer (phones from
+    // custkey arithmetic, emails for custkey%4≠0, a no-PII branch for
+    // custkey%3=0); both engines then apply the SAME patterns (pure-ERE
+    // subset — no lookaround — so Java regex and RE2 agree). Everything is
+    // per-row codegen'd string work: zero shuffles except the single
+    // totals row. Output: 21 sample redactions + corpus-wide counts.
+    NamedQuery("p31_pii_redaction",
+      (s, dir) => {
+        val k = col("c_custkey")
+        val body = concat(
+          lit("contact "), col("c_name"),
+          when(k % 3 =!= 0, concat(lit(" at "),
+            (k % 80 + 10).cast("string"), lit("-"),
+            lpad((k * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((k * 13 % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((k * 31 % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(" by mail")),
+          when(k % 4 =!= 0,
+            concat(lit(" or user"), k.cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          lit(" re order"))
+        val red = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), body.as("body"))
+          .select(col("c_custkey"),
+            regexp_replace(regexp_replace(col("body"), PiiPhoneRe, "[PHONE]"),
+              PiiEmailRe, "[EMAIL]").as("redacted"),
+            size(regexp_extract_all(col("body"), lit(PiiPhoneRe), lit(0)))
+              .cast("long").as("n_phone"),
+            size(regexp_extract_all(col("body"), lit(PiiEmailRe), lit(0)))
+              .cast("long").as("n_email"))
+        red.filter(col("c_custkey") <= 20)
+          .unionAll(red
+            .agg(sum(col("n_phone")).as("p"), sum(col("n_email")).as("e"))
+            .select(lit(-1L).as("c_custkey"), lit("TOTALS").as("redacted"),
+              col("p").as("n_phone"), col("e").as("n_email")))
+          .orderBy(col("c_custkey"), col("redacted"))
+      },
+      Some(s"""WITH tickets AS (
+               SELECT c_custkey,
+                      'contact ' || c_name ||
+                      CASE WHEN c_custkey % 3 <> 0 THEN ' at ' ||
+                        CAST(c_custkey % 80 + 10 AS VARCHAR) || '-' ||
+                        lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                        lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                        lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+                      ELSE ' by mail' END ||
+                      CASE WHEN c_custkey % 4 <> 0
+                           THEN ' or user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                           ELSE '' END || ' re order' AS body
+               FROM customer),
+             red AS (
+               SELECT c_custkey,
+                      regexp_replace(regexp_replace(body, '$PiiPhoneRe', '[PHONE]', 'g'),
+                                     '$PiiEmailRe', '[EMAIL]', 'g') AS redacted,
+                      len(regexp_extract_all(body, '$PiiPhoneRe')) AS n_phone,
+                      len(regexp_extract_all(body, '$PiiEmailRe')) AS n_email
+               FROM tickets)
+             SELECT c_custkey, redacted, n_phone, n_email FROM red WHERE c_custkey <= 20
+             UNION ALL
+             SELECT -1 AS c_custkey, 'TOTALS' AS redacted,
+                    CAST(sum(n_phone) AS BIGINT) AS n_phone,
+                    CAST(sum(n_email) AS BIGINT) AS n_email FROM red
+             ORDER BY c_custkey, redacted""")),
+
+    // ---------------------------------------------- p32 token entropy
+    // Shannon entropy of each document's unigram distribution — the
+    // model-free perplexity proxy for quality filtering (uniform word soup
+    // scores high; repetitive boilerplate scores low). Each addend
+    // p·ln(p) is quantized to DECIMAL(18,9) BEFORE the sum, so the
+    // aggregation is order-insensitive and engine-exact (decSum's argument;
+    // transcendental addends never sit on a quantization tie, and a 1-ulp
+    // ln() spread is 8 orders below the quantum). One shuffle on
+    // (doc_id, term), one on doc_id — both map-side partial.
+    NamedQuery("p32_token_entropy",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(GF.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val n = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+        val p = col("tf").cast("double") / col("n")
+        tf.join(n, "doc_id")
+          .select(col("doc_id"), col("n"), (p * log(p)).cast("decimal(18,9)").as("a"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+            (sum(col("a")) * -1).cast("decimal(18,9)").as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (
+               SELECT doc_id, unnest(${GF.sqlTokens("text")}) AS term FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+             addend AS (
+               SELECT tf.doc_id,
+                      CAST((CAST(tf.tf AS DOUBLE) / n.n) * ln(CAST(tf.tf AS DOUBLE) / n.n)
+                        AS DECIMAL(18,9)) AS a
+               FROM tf JOIN n USING (doc_id)),
+             agg AS (
+               SELECT addend.doc_id AS doc_id, min(n.n) AS n_tokens, count(*) AS vocab,
+                      CAST(-sum(a) AS DECIMAL(18,9)) AS entropy
+               FROM addend JOIN n ON addend.doc_id = n.doc_id
+               GROUP BY addend.doc_id)
+             SELECT doc_id, n_tokens, vocab, entropy FROM agg ORDER BY doc_id""")))
 }
