@@ -1150,6 +1150,27 @@ object QueriesCore {
                     count(*) AS n,
                     CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
                     CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
-             FROM orders GROUP BY 1 ORDER BY 1""")))
+             FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ------------------------------------------------ q51 latest-by-key
+    // Current-state snapshot (the CDC/compaction staple): the most recent
+    // event's fields per user. Deliberately NOT row_number()-over-window —
+    // max_by aggregates map-side (each task keeps one candidate row per
+    // key before the shuffle), so the exchange carries |keys| rows instead
+    // of |events| and there is no per-partition sort. This is the same
+    // map-side-argmax shape as p14's IVF assignment. ts is unique per user
+    // in the fixture, so the argmax is deterministic; at scale the tie
+    // breaker would be max_by(x, struct(ts, event_id)).
+    NamedQuery("q51_latest_by_key",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          max_by(col("value"), col("ts")).as("last_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, max(ts) AS last_ts,
+                    arg_max(event_type, ts) AS last_type,
+                    arg_max(value, ts) AS last_value
+             FROM events GROUP BY user_id ORDER BY user_id""")))
 
 }

@@ -148,4 +148,45 @@ class ScaleSpec extends SparkTestBase {
     val p = plan("p30_token_zipf")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q51 latest-by-key: map-side argmax (partial max_by), no window sort") {
+    val p = plan("q51_latest_by_key")
+    assert(p.contains("partial_max_by") || p.contains("partial_max("), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("skew-join salting: salted replicate-join is exact and keys the shuffle on (k, salt)") {
+    // the manual remedy for a hot join key when AQE skew-split can't apply
+    // (e.g. the skewed side feeds an aggregation on the same key): salt the
+    // big side with a deterministic per-row hash, replicate the small side
+    // across all salt values, join on (k, salt) — S-way fan-out of the hot
+    // key at the cost of |dim|×S build rows. Results must be EXACTLY the
+    // plain join's.
+    import spark.implicits._
+    val S = 8
+    val s0 = spark
+    val big = Tables.load(s0, sfDir, "lineitem")
+      .select(col("l_returnflag").as("k"), col("l_quantity"))
+    val dim = Seq(("A", 1L), ("N", 2L), ("R", 3L)).toDF("k", "w")
+    s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = big.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("w")).as("t"))
+        .head()
+      val salted = big
+        .withColumn("salt", pmod(hash(col("k"), col("l_quantity"), rand(7)), lit(S)))
+        .join(dim.crossJoin(
+          s0.range(S).select(col("id").cast("int").as("salt"))), Seq("k", "salt"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity") * col("w")).as("t"))
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin [k#") || p.contains("SortMergeJoin"), p)
+      // the shuffle key includes the salt → the hot key fans out S ways
+      assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("salt")), p)
+      val r = salted.head()
+      assert(r.getLong(0) == plain.getLong(0))
+      assert(math.abs(r.getDouble(1) - plain.getDouble(1)) < 1e-6,
+        s"salted=${r.getDouble(1)} plain=${plain.getDouble(1)}")
+    } finally s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
 }
