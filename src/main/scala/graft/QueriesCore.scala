@@ -1171,6 +1171,25 @@ object QueriesCore {
       Some("""SELECT user_id, max(ts) AS last_ts,
                     arg_max(event_type, ts) AS last_type,
                     arg_max(value, ts) AS last_value
-             FROM events GROUP BY user_id ORDER BY user_id""")))
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // -------------------------------------------- q52 first-seen attribution
+    // Vocabulary-growth / acquisition curve: the day each (user, event_type)
+    // pair is first observed, rolled up per day+type. Two aggregations:
+    // min(ts) collapses events to |users|×|types| rows map-side (the only
+    // shuffle over data), then the daily rollup runs on the already-tiny
+    // frame. The window-free min-based formulation is the same
+    // partial-aggregation argument as q51.
+    NamedQuery("q52_first_seen",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).cast("date").as("d"))
+        .groupBy(col("d").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("first_seen"))
+        .orderBy(col("day"), col("event_type")),
+      Some("""WITH f AS (SELECT user_id, event_type, CAST(min(ts) AS DATE) AS d
+                      FROM events GROUP BY 1, 2)
+             SELECT d AS day, event_type, count(*) AS first_seen
+             FROM f GROUP BY 1, 2 ORDER BY 1, 2""")))
 
 }

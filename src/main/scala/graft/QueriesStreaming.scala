@@ -108,5 +108,25 @@ object QueriesStreaming {
              SELECT user_id, min(ts) AS s_start,
                     max(ts) + INTERVAL 6 HOUR AS s_end, count(*) AS n
              FROM sess GROUP BY user_id, session_id
-             ORDER BY user_id, s_start""")))
+             ORDER BY user_id, s_start""")),
+
+    // Streaming exact dedup: dropDuplicates on the business key through
+    // incremental state. Only the KEY columns are emitted (which physical
+    // row survives depends on micro-batch arrival order; the key set does
+    // not), so the streaming result is exactly batch DISTINCT. In
+    // production the same query runs watermark-bounded
+    // (dropDuplicatesWithinWatermark, EventStreams.dedupedStream) so state
+    // doesn't grow with stream length; unbounded state is fine for a
+    // finite backfill like this one.
+    NamedQuery("s03_stream_dedup",
+      (s, dir) => {
+        val dedup = eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        runToTable(s, sink("s03", dir), dedup).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+             FROM (SELECT DISTINCT user_id, event_type FROM events)
+             GROUP BY event_type ORDER BY event_type""")))
 }
