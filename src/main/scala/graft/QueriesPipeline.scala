@@ -1599,5 +1599,124 @@ object QueriesPipeline {
                       CAST(-sum(a) AS DECIMAL(18,9)) AS entropy
                FROM addend JOIN n ON addend.doc_id = n.doc_id
                GROUP BY addend.doc_id)
-             SELECT doc_id, n_tokens, vocab, entropy FROM agg ORDER BY doc_id""")))
+             SELECT doc_id, n_tokens, vocab, entropy FROM agg ORDER BY doc_id""")),
+
+    // ------------------------------------------ p33 incremental dedup
+    // The production ingest flow: a NEW batch (re-ingested docs with their
+    // first 2 tokens dropped + novel docs with reversed token order) is
+    // deduplicated AGAINST the existing corpus — batch band signatures
+    // probe the corpus band index; only verified matches (exact Jaccard
+    // ≥ 0.6) mark a doc 'dup', best match by (jac DESC, match_id). The
+    // scale property: cost is O(batch), never O(corpus) — the corpus side
+    // is the SAME shared shingle index the whole dedup family reads (at
+    // 100 TB: a bucketed materialized index), and the band join fans the
+    // batch out to colliding buckets only. The corpus is never rescanned
+    // per ingest.
+    NamedQuery("p33_incremental_dedup",
+      (s, dir) => {
+        import MinHashParams._
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val toks = split(col("text"), " ")
+        val batch = d.filter(col("doc_id") % 9 === 0).select(
+            (col("doc_id") + 90000).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))).as("text"))
+          .unionAll(d.filter(col("doc_id") % 9 === 3).select(
+            (col("doc_id") + 95000).as("doc_id"),
+            concat_ws(" ", reverse(toks)).as("text")))
+        val bsh = shingleHashes(batch)
+        val csh = sharedShingleHashes(s, dir)
+        def sigOf(sh: DataFrame): DataFrame = {
+          val sigCols = (0 until K).map(i =>
+            min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+          sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        }
+        def bandsOf(sig: DataFrame): DataFrame = {
+          val bandKeys = (0 until Bands).map(bd =>
+            concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
+          sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        }
+        val cand = bandsOf(sigOf(bsh))
+          .select(col("band"), col("key"), col("doc_id").as("new_id"))
+          .join(bandsOf(sigOf(csh))
+            .select(col("band"), col("key"), col("doc_id").as("match_id")),
+            Seq("band", "key"))
+          .select(col("new_id"), col("match_id")).distinct()
+        val inter = cand
+          .join(bsh.withColumnRenamed("doc_id", "new_id"), "new_id")
+          .join(csh.withColumnRenamed("doc_id", "match_id"), Seq("match_id", "h"))
+          .groupBy(col("new_id"), col("match_id")).agg(count(lit(1)).as("ni"))
+        val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val csz = csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val best = inter
+          .join(bsz.select(col("doc_id").as("new_id"), col("n").as("nb")), "new_id")
+          .join(csz.select(col("doc_id").as("match_id"), col("n").as("nc")), "match_id")
+          .select(col("new_id"), col("match_id"),
+            (col("ni").cast("double") / (col("nb") + col("nc") - col("ni"))).as("jac"))
+          .filter(col("jac") >= 0.6)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("new_id")).orderBy(col("jac").desc, col("match_id"))))
+          .filter(col("rn") === 1)
+        batch.select(col("doc_id").as("new_id"))
+          .join(best.select(col("new_id"), col("match_id"), col("jac")), Seq("new_id"), "left")
+          .select(col("new_id"),
+            when(col("jac").isNotNull, "dup").otherwise("novel").as("status"),
+            col("match_id"), col("jac"))
+          .orderBy(col("new_id"))
+      },
+      Some {
+        import MinHashParams._
+        val sigExprs = (0 until K)
+          .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
+        def bandSel(sigCte: String) = (0 until Bands).map { bd =>
+          val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
+          s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM $sigCte"
+        }.mkString(" UNION ALL ")
+        s"""WITH $sqlShingleCtes,
+           newb AS (
+             SELECT doc_id + 90000 AS doc_id,
+                    array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE doc_id % 9 = 0
+             UNION ALL
+             SELECT doc_id + 95000 AS doc_id,
+                    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+             FROM documents WHERE doc_id % 9 = 3),
+           bshingles AS (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM (SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM newb)),
+           bsh AS (SELECT DISTINCT doc_id, ${PolyHash.oracleSql("s")} AS h FROM bshingles),
+           bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+           csig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+           bsig AS (SELECT doc_id, $sigExprs FROM bsh GROUP BY doc_id),
+           cbands AS (${bandSel("csig")}),
+           bbands AS (${bandSel("bsig")}),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+             FROM bbands a JOIN cbands b ON a.band = b.band AND a.key = b.key),
+           inter AS (
+             SELECT new_id, match_id, count(*) AS ni
+             FROM cand
+             JOIN bsh ON bsh.doc_id = new_id
+             JOIN sh ON sh.doc_id = match_id AND sh.h = bsh.h
+             GROUP BY new_id, match_id),
+           jacs AS (
+             SELECT new_id, match_id,
+                    CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) AS jac
+             FROM inter
+             JOIN bsz bz ON bz.doc_id = new_id
+             JOIN sz cz ON cz.doc_id = match_id
+             WHERE CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) >= 0.6),
+           best AS (
+             SELECT new_id, match_id, jac,
+                    row_number() OVER (PARTITION BY new_id
+                      ORDER BY jac DESC, match_id) AS rn
+             FROM jacs)
+           SELECT newb.doc_id AS new_id,
+                  CASE WHEN b.jac IS NOT NULL THEN 'dup' ELSE 'novel' END AS status,
+                  b.match_id, b.jac
+           FROM newb LEFT JOIN best b ON b.new_id = newb.doc_id AND b.rn = 1
+           ORDER BY new_id"""
+      }))
 }
