@@ -1190,6 +1190,29 @@ object QueriesCore {
       Some("""WITH f AS (SELECT user_id, event_type, CAST(min(ts) AS DATE) AS d
                       FROM events GROUP BY 1, 2)
              SELECT d AS day, event_type, count(*) AS first_seen
-             FROM f GROUP BY 1, 2 ORDER BY 1, 2""")))
+             FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------------------------------------- q53 hopping windows
+    // Sliding (hopping) event-time windows in BATCH — the exact function
+    // (`window(ts, size, slide)`) the streaming layer uses, so batch
+    // backfill and live streaming share one definition. Each event expands
+    // to size/slide = 4 epoch-aligned windows before the (window, type)
+    // aggregation; the oracle replays the same alignment with integer
+    // epoch arithmetic. At scale this is a map-side ×4 expansion then one
+    // shuffle on (window, type) — never a self-join or range probe.
+    NamedQuery("q53_hopping_windows",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type")),
+      Some("""WITH wins AS (
+               SELECT event_type,
+                      TIMESTAMP '1970-01-01 00:00:00' +
+                        (CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                         - i * 21600) * INTERVAL 1 SECOND AS w_start
+               FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+             SELECT w_start, event_type, count(*) AS n
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
 
 }

@@ -28,9 +28,10 @@ object QueriesStreaming {
     * so concurrent sessions on different SFs never collide; name reuse
     * after termination is fine (the temp view is replaced).
     */
-  private def runToTable(s: SparkSession, name: String, df: DataFrame): DataFrame = {
+  private def runToTable(s: SparkSession, name: String, df: DataFrame,
+                         mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try require(q.awaitTermination(180000L), s"stream $name did not finish")
     finally q.stop()
     s.table(name)
@@ -128,5 +129,35 @@ object QueriesStreaming {
       },
       Some("""SELECT event_type, count(*) AS n_users
              FROM (SELECT DISTINCT user_id, event_type FROM events)
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // Stream-stream inner join with an event-time range condition
+    // (EventStreams.clickErrorJoin): each click joined to the same user's
+    // errors within the hour before it. Append mode (the only mode
+    // stream-stream joins support); both sides watermarked so join state
+    // is bounded by watermark + range at scale. An inner join emits
+    // exactly the matched pairs regardless of micro-batch cut points, so
+    // the streamed result set equals the batch theta-join the oracle runs.
+    NamedQuery("s04_stream_stream_join",
+      (s, dir) => {
+        // stream-stream watermarks require TIMESTAMP (not NTZ); the session
+        // is pinned to UTC everywhere, so the NTZ→TZ→NTZ round-trip is the
+        // identity on the underlying instant
+        val ev = eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+        val joined = graft.streaming.EventStreams.clickErrorJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "error"),
+          watermark = "1 hour", windowSec = 3600L)
+        runToTable(s, sink("s04", dir), joined, mode = "append")
+          .select(col("user_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("err_ts").cast("timestamp_ntz").as("err_ts"))
+          .orderBy(col("user_id"), col("click_ts"), col("err_ts"))
+      },
+      Some("""SELECT c.user_id AS user_id, c.ts AS click_ts, e.ts AS err_ts
+             FROM events c JOIN events e
+               ON e.user_id = c.user_id
+              AND c.event_type = 'click' AND e.event_type = 'error'
+              AND e.ts >= c.ts - INTERVAL 3600 SECONDS AND e.ts <= c.ts
+             ORDER BY user_id, click_ts, err_ts""")))
 }
