@@ -216,15 +216,42 @@ def gen_grouping_query(i):
             f"SELECT {', '.join(gsel + aggs)} FROM {t}{where} GROUP BY {shape}")
 
 
+# argmax determinism: the ORDER argument must be a unique column, so
+# max_by/min_by pick one well-defined row in both engines
+ARGMAX_TABLES = {
+    "events": {"key": ["user_id % 10", "event_type"], "uniq": "event_id",
+               "val": ["value", "user_id", "event_type", "ts"]},
+    "orders": {"key": ["o_orderstatus", "o_orderpriority"], "uniq": "o_orderkey",
+               "val": ["o_totalprice", "o_custkey", "o_orderdate"]},
+}
+
+
+def gen_argmax_query(i):
+    # max_by/min_by (Spark) == max_by/min_by (DuckDB alias of arg_max) —
+    # the latest-by-key / CDC-snapshot shape (q51) randomized
+    t = rng.choice(list(ARGMAX_TABLES))
+    spec = ARGMAX_TABLES[t]
+    key = rng.choice(spec["key"])
+    sels = [f"{key} AS g0", "count(*) AS cnt"]
+    for j in range(rng.randint(1, 3)):
+        fn = rng.choice(["max_by", "min_by"])
+        sels.append(f"{fn}({rng.choice(spec['val'])}, {spec['uniq']}) AS a{j}")
+    where = f" WHERE {gen_pred(t)}" if rng.random() < 0.6 else ""
+    return (f"x{i:03d}",
+            f"SELECT {', '.join(sels)} FROM {t}{where} GROUP BY {key} ORDER BY g0")
+
+
 def gen_query(i):
     r = rng.random()
     if r < 0.12:
         return gen_scalar_query(i)
     if r < 0.22:
         return gen_setop_query(i)
-    if r < 0.32:
+    if r < 0.30:
         return gen_grouping_query(i)
-    if r < 0.48:
+    if r < 0.38:
+        return gen_argmax_query(i)
+    if r < 0.50:
         return gen_window_query(i)
     if r < 0.68:
         return gen_join_query(i)
