@@ -1718,5 +1718,41 @@ object QueriesPipeline {
                   b.match_id, b.jac
            FROM newb LEFT JOIN best b ON b.new_id = newb.doc_id AND b.rn = 1
            ORDER BY new_id"""
-      }))
+      }),
+
+    // ------------------------------------------ p34 edit-distance join
+    // Fuzzy string join, done the only way it scales: the O(L²)
+    // levenshtein kernel runs EXCLUSIVELY on pairs the MinHash band index
+    // already nominated (the family's shared pair set) — never all-pairs.
+    // Both engines implement the same unit-cost Wagner-Fischer distance,
+    // so ed is an exact integer and rel_ed one IEEE division. This is the
+    // record-linkage / canonicalization primitive (candidate generation by
+    // cheap sketch, verification by exact distance).
+    NamedQuery("p34_editdistance_join",
+      (s, dir) => {
+        val docs = Corpus.docs(s, dir)
+        minhashPairs(s, dir)
+          .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
+            (levenshtein(col("ta"), col("tb")).cast("double") /
+              greatest(length(col("ta")), length(col("tb")))).as("rel_ed"))
+          .filter(col("rel_ed") <= 0.25)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $sqlMinhashCtes,
+             pairs AS ($sqlMinhashPairsSelect),
+             texts AS (SELECT doc_id, text FROM corpus)
+             SELECT id_a, id_b,
+                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed,
+                    CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                      greatest(length(a.text), length(b.text)) AS rel_ed
+             FROM pairs
+             JOIN texts a ON a.doc_id = id_a
+             JOIN texts b ON b.doc_id = id_b
+             WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+                     greatest(length(a.text), length(b.text)) <= 0.25
+             ORDER BY id_a, id_b"""))
+  )
 }
