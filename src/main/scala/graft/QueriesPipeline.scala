@@ -148,8 +148,18 @@ object QueriesPipeline {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(SparkSession, String), Entry]): Boolean = {
           val evict = size() > maxEntries
-          if (evict && e.getValue.persisted) {
-            try e.getValue.df.unpersist(blocking = false) catch { case _: Exception => () }
+          if (evict) {
+            if (e.getValue.persisted) {
+              try e.getValue.df.unpersist(blocking = false) catch { case _: Exception => () }
+            }
+            // results built over eager localCheckpoints (keeperCache) hold
+            // RDD-level blocks Dataset.unpersist can't reach — release them
+            // too. An evicted entry is never handed out again; a stale
+            // reference held across eviction was already recompute-unsafe.
+            if (!e.getKey._1.sparkContext.isStopped) {
+              try graft.operators.Dedup.releaseCheckpoints(e.getValue.df)
+              catch { case _: Exception => () }
+            }
           }
           evict
         }
@@ -212,15 +222,8 @@ object QueriesPipeline {
     // FIRST access — the first consumer executes the pipeline anyway and
     // later consumers reuse that execution instead of re-running it
     pairsCache.get(s, dir, () => {
-      import MinHashParams._
       val sh = sharedShingleHashes(s, dir)
-      val sigCols = (0 until K).map(i =>
-        min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bandKeys = (0 until Bands).map(bd =>
-        concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      val bands = minhashBands(minhashSig(sh))
       val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
         .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
           Seq("band", "key"))
@@ -228,6 +231,27 @@ object QueriesPipeline {
         .select(col("id_a"), col("id_b")).distinct()
       jaccardOf(cand, sh, 0.6)
     })
+
+  /** MinHash signature frame (doc_id, s0…sK) over a (doc_id, h) shingle
+    * set — THE banding scheme, shared by the self-dedup pair generation
+    * ([[minhashPairs]]) and the incremental batch probe (p33) so the two
+    * can never desynchronize.
+    */
+  private def minhashSig(sh: DataFrame): DataFrame = {
+    import MinHashParams._
+    val sigCols = (0 until K).map(i =>
+      min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH band keys (doc_id, band, key) of a [[minhashSig]] frame. */
+  private def minhashBands(sig: DataFrame): DataFrame = {
+    import MinHashParams._
+    val bandKeys = (0 until Bands).map(bd =>
+      concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
+    sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+  }
 
   /** Oracle twin of [[minhashPairs]], split as (CTE chain, final SELECT) so
     * p17 can extend the chain with its recursive reachability CTEs.
@@ -1614,7 +1638,6 @@ object QueriesPipeline {
     // per ingest.
     NamedQuery("p33_incremental_dedup",
       (s, dir) => {
-        import MinHashParams._
         import org.apache.spark.sql.expressions.Window
         val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
         val toks = split(col("text"), " ")
@@ -1626,19 +1649,9 @@ object QueriesPipeline {
             concat_ws(" ", reverse(toks)).as("text")))
         val bsh = shingleHashes(batch)
         val csh = sharedShingleHashes(s, dir)
-        def sigOf(sh: DataFrame): DataFrame = {
-          val sigCols = (0 until K).map(i =>
-            min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
-          sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        }
-        def bandsOf(sig: DataFrame): DataFrame = {
-          val bandKeys = (0 until Bands).map(bd =>
-            concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))
-          sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-        }
-        val cand = bandsOf(sigOf(bsh))
+        val cand = minhashBands(minhashSig(bsh))
           .select(col("band"), col("key"), col("doc_id").as("new_id"))
-          .join(bandsOf(sigOf(csh))
+          .join(minhashBands(minhashSig(csh))
             .select(col("band"), col("key"), col("doc_id").as("match_id")),
             Seq("band", "key"))
           .select(col("new_id"), col("match_id")).distinct()

@@ -33,10 +33,14 @@ final class FileMetastore(root: String, retry: Retry.Policy = Retry.Policy(maxAt
     bumpCounter()
   }
 
-  /** Monotonic DDL counter (mirrors [[JdbcMetastore]]'s `graft_meta` row):
-    * bumped on every mutation through this API, so even a same-size rewrite
-    * within one mtime tick changes [[generation]]. Written via temp-file +
-    * ATOMIC_MOVE so readers never observe a torn value.
+  /** Monotonic DDL counter (the file analogue of [[JdbcMetastore]]'s
+    * `graft_meta` row): bumped on every mutation through this API, so even
+    * a same-size rewrite within one mtime tick changes [[generation]].
+    * Written via temp-file + ATOMIC_MOVE so readers never observe a torn
+    * value. The read-modify-write is guarded by a JVM-wide lock only —
+    * concurrent mutators in SEPARATE processes can lose a bump (no file
+    * lock), so callers needing hard cross-process guarantees should use
+    * [[JdbcMetastore]], whose counter bump is a database transaction.
     */
   private def bumpCounter(): Unit = FileMetastore.lock.synchronized {
     val next = readCounter() + 1

@@ -172,19 +172,24 @@ final class JdbcMetastore(url: String, retry: Retry.Policy = Retry.Policy(maxAtt
   override def generation: Long =
     Retry("generation", retry) {
       this.synchronized {
-        if (probeConn == null || probeConn.isClosed) probeConn = DriverManager.getConnection(url)
         try {
+          // isClosed itself may throw on a dead connection — it must sit
+          // INSIDE the guarded block, and any failure (not just
+          // SQLException) must drop the cached connection, or one broken
+          // handle poisons every later probe
+          if (probeConn == null || probeConn.isClosed)
+            probeConn = DriverManager.getConnection(url)
           val st = probeConn.createStatement()
           try {
             val rs = st.executeQuery("SELECT generation FROM graft_meta WHERE id = 1")
             try { rs.next(); rs.getLong(1) } finally rs.close()
           } finally st.close()
         } catch {
-          case e: java.sql.SQLException =>
-            // a broken/stale connection must not poison every later probe:
-            // drop it so the retry attempt reconnects
-            try probeConn.close() catch { case _: Exception => () }
-            probeConn = null
+          case e: Throwable =>
+            if (probeConn != null) {
+              try probeConn.close() catch { case _: Exception => () }
+              probeConn = null
+            }
             throw e
         }
       }

@@ -23,9 +23,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * Same k-hash family on both sides: h_i(x) = splitmix64(x ⊕ i·φ₆₄) mod m
   * ([[BloomFilterOps.bitOf]]) — deterministic everywhere.
   */
-final class BloomAgg(mBits: Int = BloomFilterOps.DefaultBits, k: Int = BloomFilterOps.DefaultK)
+final class BloomAgg(mBits: Int = BloomFilterOps.DefaultBits)
     extends Aggregator[Long, Array[Byte], Array[Byte]] with Serializable {
   require(mBits % 8 == 0 && mBits > 0, s"mBits must be a positive multiple of 8: $mBits")
+
+  // k is deliberately NOT a parameter: the probe side (BloomContains) infers
+  // m from the byte length but has no channel for k, so a configurable k
+  // here would silently produce false negatives on probe. Build and probe
+  // share the one constant.
+  private val k = BloomFilterOps.DefaultK
 
   override def zero: Array[Byte] = new Array[Byte](mBits / 8)
 

@@ -68,10 +68,15 @@ object NearestSeeds {
     */
   def twoBest(seeds: ArrayData, emb: ArrayData, norm: Double): ArrayData = {
     val n = seeds.numElements()
-    // fast pass: track top-3 double scores and their error bounds
+    // fast pass: track top-3 double scores, their error bounds, and the
+    // LARGEST bound over every scored seed — a seed dropped from the top-3
+    // still constrains certification (its exact score can exceed its double
+    // score by its own eps, which may dwarf the tracked seeds' bounds when
+    // its norm is tiny)
     var s1 = Double.NegativeInfinity; var d1 = -1L; var e1 = 0.0
     var s2 = Double.NegativeInfinity; var d2 = -1L; var e2 = 0.0
-    var s3 = Double.NegativeInfinity; var e3 = 0.0
+    var s3 = Double.NegativeInfinity
+    var maxEps = 0.0
     var certain = true
     var i = 0
     while (i < n && certain) {
@@ -92,23 +97,27 @@ object NearestSeeds {
         else {
           val eps = DotDecimal.epsBound(dim, absSum) / math.abs(div) +
             4 * math.ulp(math.abs(score)) // division + toDouble rounding slack
+          if (eps > maxEps) maxEps = eps
           if (score > s1) {
-            s3 = s2; e3 = e2; s2 = s1; d2 = d1; e2 = e1
+            s3 = s2; s2 = s1; d2 = d1; e2 = e1
             s1 = score; d1 = seed.getLong(0); e1 = eps
           } else if (score > s2) {
-            s3 = s2; e3 = e2
+            s3 = s2
             s2 = score; d2 = seed.getLong(0); e2 = eps
           } else if (score > s3) {
-            s3 = score; e3 = eps
+            s3 = score
           }
         }
       }
       i += 1
     }
     // the double ranking is trusted only when exact scores provably rank the
-    // same way: gaps must exceed the summed divergence bounds (-inf slots —
-    // fewer than 3 scorable seeds — have bound 0 and an infinite gap)
-    if (certain && s1 - s2 > e1 + e2 && s2 - s3 > e2 + e3)
+    // same way. (1) s1 vs s2: gap beats their summed bounds. (2) s2 vs the
+    // REST: every other seed j has double score ≤ s3 and exact score
+    // ≤ s_j + eps_j ≤ s3 + maxEps, so s2 - s3 > e2 + maxEps certifies that
+    // no third seed — tracked or dropped — can overtake s2 exactly. (-inf
+    // slots — fewer than 3 scorable seeds — leave an infinite gap.)
+    if (certain && s1 - s2 > e1 + e2 && s2 - s3 > e2 + maxEps)
       return new GenericArrayData(Array(d1, d2))
     exactTwoBest(seeds, emb, norm)
   }

@@ -135,4 +135,16 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+
+  /** Release EVERY localCheckpoint block a result plan still reads (the
+    * final labels of [[connectedComponents]]; `allIds` + the converged
+    * edges of [[connectedComponentsStar]]). For owners — caches, engines —
+    * discarding the result: a locally-checkpointed RDD has truncated
+    * lineage, so after this call the DataFrame is NOT recomputable and
+    * must not be used again.
+    */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
 }
