@@ -1213,6 +1213,84 @@ object QueriesCore {
                          - i * 21600) * INTERVAL 1 SECOND AS w_start
                FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
              SELECT w_start, event_type, count(*) AS n
-             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ----------------------------------------------- q54 full outer join
+    // FULL OUTER completes the join-type inventory: both inputs keep
+    // unmatched rows (customers with no orders in range; order groups for
+    // customers outside the filter). Spark plans a SortMergeJoin FullOuter
+    // — both sides shuffle once on the key; there is no broadcast variant
+    // of full-outer by definition (both sides' unmatched rows must
+    // survive).
+    NamedQuery("q54_full_outer_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_custkey") <= 800)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_custkey").between(500, 1200))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            when(col("c_custkey").isNull, "order_only")
+              .when(col("o_custkey").isNull, "customer_only")
+              .otherwise("both").as("side"),
+            col("c_mktsegment"), col("n_orders"), col("total"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+                       WHERE c_custkey <= 800),
+             o AS (SELECT o_custkey, count(*) AS n_orders,
+                          ${sqlDecSum("o_totalprice")} AS total
+                   FROM orders WHERE o_custkey BETWEEN 500 AND 1200
+                   GROUP BY o_custkey)
+             SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                    CASE WHEN c_custkey IS NULL THEN 'order_only'
+                         WHEN o_custkey IS NULL THEN 'customer_only'
+                         ELSE 'both' END AS side,
+                    c_mktsegment, n_orders, total
+             FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             ORDER BY custkey""")),
+
+    // --------------------------------------------- q55 ratio-to-report
+    // Share-of-total (the BI "percent of parent/grand total"): revenue per
+    // (region, nation) divided by window sums at two grouping levels. The
+    // sums stay DECIMAL through the windows (order-insensitive; scale 2 —
+    // the fixture's monetary scale — keeps every unscaled value < 2^53 at
+    // sf0.1, so the final decimal→double casts round identically in both
+    // engines) and each share is one IEEE division. The windows run over
+    // the 25-row aggregate, not the data.
+    NamedQuery("q55_ratio_to_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("o_totalprice").cast("decimal(23,2)")).as("rev_d"))
+        rev.select(col("r_name"), col("n_name"),
+            col("rev_d").cast("double").as("rev"),
+            (col("rev_d").cast("double") /
+              sum(col("rev_d")).over(Window.partitionBy(col("r_name"))).cast("double"))
+              .as("region_share"),
+            (col("rev_d").cast("double") /
+              sum(col("rev_d")).over(Window.partitionBy()).cast("double"))
+              .as("global_share"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""WITH rev AS (
+               SELECT r_name, n_name,
+                      SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS rev_d
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name)
+             SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS rev,
+                    CAST(rev_d AS DOUBLE) /
+                      CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
+                    CAST(rev_d AS DOUBLE) /
+                      CAST(sum(rev_d) OVER () AS DOUBLE) AS global_share
+             FROM rev ORDER BY r_name, n_name""")))
 
 }
