@@ -1766,6 +1766,52 @@ object QueriesPipeline {
              JOIN texts b ON b.doc_id = id_b
              WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE) /
                      greatest(length(a.text), length(b.text)) <= 0.25
-             ORDER BY id_a, id_b"""))
+             ORDER BY id_a, id_b""")),
+
+    // ----------------------------------------- p35 keeper by quality
+    // p17 keeps the MIN doc id per near-dup cluster — a stable but blind
+    // choice. Production pipelines keep the BEST copy: per connected
+    // component, the member with the highest quality score (p09's exact
+    // cross-engine score), ties to the lowest id. Composes the shared
+    // cluster labels with a per-row score and ONE windowed argmax over the
+    // (tiny) labeled frame — both window functions share a single
+    // cluster-keyed shuffle.
+    NamedQuery("p35_keeper_by_quality",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scores = Corpus.docs(s, dir).select(col("doc_id"), qualityScore.as("score"))
+        val labeled = sharedKeepers(s, dir)
+          .select(col("doc_id"), col("keeper_id").as("cluster_id"))
+          .join(scores, "doc_id")
+        val byCluster = Window.partitionBy(col("cluster_id"))
+        labeled
+          .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+          .withColumn("rn", row_number().over(
+            byCluster.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("n_members"),
+            col("doc_id").as("best_doc"), col("score").as("best_score"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                       UNION ALL
+                       SELECT id_b AS src, id_a AS dst FROM pairs),
+             reach AS (
+               SELECT src AS id, dst AS r FROM edges
+               UNION
+               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+             labels AS (
+               SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+             scored AS (SELECT doc_id, ${sqlQualityScore} AS score FROM corpus),
+             ranked AS (
+               SELECT l.cluster_id, l.id AS doc_id, s.score,
+                      row_number() OVER (PARTITION BY l.cluster_id
+                        ORDER BY s.score DESC, l.id) AS rn,
+                      count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+               FROM labels l JOIN scored s ON s.doc_id = l.id)
+             SELECT cluster_id, n_members, doc_id AS best_doc, score AS best_score
+             FROM ranked WHERE rn = 1 ORDER BY cluster_id"""))
   )
 }
