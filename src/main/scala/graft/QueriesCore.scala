@@ -1291,6 +1291,34 @@ object QueriesCore {
                       CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share,
                     CAST(rev_d AS DOUBLE) /
                       CAST(sum(rev_d) OVER () AS DOUBLE) AS global_share
-             FROM rev ORDER BY r_name, n_name""")))
+             FROM rev ORDER BY r_name, n_name""")),
+
+    // -------------------------------------------- q56 grouping metadata
+    // GROUPING()/grouping-id over a CUBE — the metadata functions BI tools
+    // use to distinguish a real NULL group from a rollup row (q14–q16
+    // cover the shapes; this covers the introspection). Same plan as q15:
+    // Expand + one aggregation.
+    NamedQuery("q56_grouping_metadata",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        // grouping() is only valid inside the aggregate list
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, "ALL").otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, "ALL").otherwise(col("l_linestatus")).as("ls"),
+          (col("g_rf") * 2 + col("g_ls")).cast("int").as("gid"),
+          col("n"))
+        .orderBy(col("gid"), col("rf"), col("ls")),
+      Some("""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+                         ELSE l_returnflag END AS rf,
+                    CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+                         ELSE l_linestatus END AS ls,
+                    CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+                    count(*) AS n
+             FROM lineitem
+             GROUP BY CUBE (l_returnflag, l_linestatus)
+             ORDER BY gid, rf, ls""")))
 
 }

@@ -1812,6 +1812,31 @@ object QueriesPipeline {
                       count(*) OVER (PARTITION BY l.cluster_id) AS n_members
                FROM labels l JOIN scored s ON s.doc_id = l.id)
              SELECT cluster_id, n_members, doc_id AS best_doc, score AS best_score
-             FROM ranked WHERE rn = 1 ORDER BY cluster_id"""))
+             FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
+
+    // -------------------------------------------- p36 corpus report card
+    // The per-source health summary every corpus build publishes: volume,
+    // mean quality, short-doc rate, language spread. Mean quality follows
+    // the decAvg discipline (per-row score quantized to DECIMAL(18,9),
+    // exact sum, ONE double division) so the double is engine- and
+    // order-independent. One map-side-partial shuffle on source.
+    NamedQuery("p36_corpus_report",
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(qualityScore.cast("decimal(18,9)")).cast("double") / count(lit(1)))
+            .as("mean_quality"),
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source, count(*) AS n_docs,
+                    sum(n_chars)::BIGINT AS total_chars,
+                    CAST(SUM(CAST($sqlQualityScore AS DECIMAL(18,9))) AS DOUBLE)
+                      / count(*) AS mean_quality,
+                    sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+                    count(DISTINCT lang) AS n_langs
+             FROM documents GROUP BY source ORDER BY source"""))
   )
 }
