@@ -110,7 +110,7 @@ object QueriesPipeline {
   // family members (p02/p03/p04/p17/p19/p21) hit it, so even the first
   // consumer's materialization cost is amortized immediately
   private val shCache = new SharedPlanCache(persistAtHit = 1)
-  private def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
     shCache.get(s, dir, () => shingleHashes(Corpus.docs(s, dir)))
 
   /** Norm-annotated corpus vectors, shared by the whole embedding family

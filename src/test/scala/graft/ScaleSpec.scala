@@ -155,6 +155,39 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("bucketed shingle index: the dedup self-join runs shuffle-free over the materialized index") {
+    // SCALING.md's 100 TB answer for the dedup family, made executable: the
+    // inverted index (doc_id, h) is written ONCE bucketed by h; every
+    // downstream candidate join then reads co-located buckets instead of
+    // shuffling the index per query. The self-join over the bucketed table
+    // must plan with NO exchange on h, and its pair counts must equal the
+    // in-memory index's.
+    val wh = Files.createTempDirectory("graft-shwh").toString
+    val s0 = spark
+    val idx = QueriesPipeline.sharedShingleHashes(s0, sfDir)
+    idx.write.mode("overwrite").bucketBy(4, "h").sortBy("h")
+      .option("path", s"$wh/sh_idx").saveAsTable("sh_idx")
+    try {
+      s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def pairCount(sh: org.apache.spark.sql.DataFrame): Long = sh
+        .select(col("doc_id").as("id_a"), col("h"))
+        .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .count()
+      val bucketed = s0.table("sh_idx")
+      val joined = bucketed.select(col("doc_id").as("id_a"), col("h"))
+        .join(bucketed.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(h"), p)
+      assert(pairCount(bucketed) == pairCount(idx))
+    } finally {
+      s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s0.sql("DROP TABLE IF EXISTS sh_idx")
+    }
+  }
+
   test("skew-join salting: salted replicate-join is exact and keys the shuffle on (k, salt)") {
     // the manual remedy for a hot join key when AQE skew-split can't apply
     // (e.g. the skewed side feeds an aggregation on the same key): salt the
