@@ -159,5 +159,25 @@ object QueriesStreaming {
                ON e.user_id = c.user_id
               AND c.event_type = 'click' AND e.event_type = 'error'
               AND e.ts >= c.ts - INTERVAL 3600 SECONDS AND e.ts <= c.ts
-             ORDER BY user_id, click_ts, err_ts""")))
+             ORDER BY user_id, click_ts, err_ts""")),
+
+    // Streaming materialized view of q51's current-state snapshot: the
+    // same map-side argmax (max_by) maintained incrementally — each
+    // micro-batch merges one candidate row per key into state, which is
+    // exactly how a 100 TB pipeline keeps a live "latest event per user"
+    // table. ts is unique per user, so the argmax is merge-order
+    // independent and the result equals the batch oracle bit-for-bit.
+    NamedQuery("s05_stream_latest_by_key",
+      (s, dir) => {
+        val agg = eventsStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"),
+            max_by(col("event_type"), col("ts")).as("last_type"),
+            max_by(col("value"), col("ts")).as("last_value"))
+        runToTable(s, sink("s05", dir), agg).orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, max(ts) AS last_ts,
+                    arg_max(event_type, ts) AS last_type,
+                    arg_max(value, ts) AS last_value
+             FROM events GROUP BY user_id ORDER BY user_id""")))
 }
