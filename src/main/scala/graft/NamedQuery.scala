@@ -26,12 +26,22 @@ object NamedQuery {
     * |sum| < 9e9. Holds at verify scale (sf0.01); at real 100 TB scale the
     * output would stay DECIMAL end-to-end. SQL twin: [[sqlDecSum]].
     */
-  def decSum(c: Column): Column =
-    sum(c.cast(DecimalType(23, 6))).cast("double")
+  def decSum(c: Column): Column = decSumAt(c, 23, 6)
+
+  /** [[decSum]] at a caller-chosen precision/scale — for addends whose
+    * exactness scale isn't the monetary 6 (e.g. p36's unit-interval quality
+    * scores at scale 9). Same single-rounding contract: keep the SUM's
+    * unscaled value below 2^53.
+    */
+  def decSumAt(c: Column, precision: Int, scale: Int): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast("double")
 
   /** DuckDB twin of [[decSum]]. */
-  def sqlDecSum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(23,6))) AS DOUBLE)"
+  def sqlDecSum(e: String): String = sqlDecSumAt(e, 23, 6)
+
+  /** DuckDB twin of [[decSumAt]]. */
+  def sqlDecSumAt(e: String, precision: Int, scale: Int): String =
+    s"CAST(SUM(CAST($e AS DECIMAL($precision,$scale))) AS DOUBLE)"
 
   /** Order-insensitive double average: exact decimal sum / exact count,
     * one double division at the end.

@@ -279,6 +279,23 @@ object QueriesPipeline {
          GROUP BY id_a, id_b)"""
   }
 
+  /** Recursive-CTE connected components over a `pairs` CTE — the oracle
+    * twin of [[graft.operators.Dedup.connectedComponents]], yielding
+    * `labels(id, keeper_id)` with keeper = component minimum. ONE
+    * definition shared by p17/p19/p35, mirroring the single
+    * `sharedKeepers` on the Spark side.
+    */
+  private val sqlCcLabelCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach AS (
+         SELECT src AS id, dst AS r FROM edges
+         UNION
+         SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+       labels AS (
+         SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id)"""
+
   private val sqlMinhashPairsSelect: String =
     s"""SELECT id_a, id_b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jac
        FROM inter
@@ -972,15 +989,7 @@ object QueriesPipeline {
       (s, dir) => sharedKeepers(s, dir).orderBy(col("doc_id")),
       Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
              pairs AS (${sqlMinhashPairsSelect}),
-             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                       UNION ALL
-                       SELECT id_b AS src, id_a AS dst FROM pairs),
-             reach AS (
-               SELECT src AS id, dst AS r FROM edges
-               UNION
-               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
-             labels AS (
-               SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id)
+             $sqlCcLabelCtes
              SELECT id AS doc_id, keeper_id, (id = keeper_id) AS kept
              FROM labels ORDER BY doc_id""")),
 
@@ -1030,15 +1039,7 @@ object QueriesPipeline {
       },
       Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
              pairs AS (${sqlMinhashPairsSelect}),
-             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                       UNION ALL
-                       SELECT id_b AS src, id_a AS dst FROM pairs),
-             reach AS (
-               SELECT src AS id, dst AS r FROM edges
-               UNION
-               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
-             labels AS (
-               SELECT id, least(id, min(r)) AS keeper_id FROM reach GROUP BY id),
+             $sqlCcLabelCtes,
              dropped AS (SELECT id AS doc_id FROM labels WHERE id <> keeper_id),
              quality AS (
                SELECT doc_id, ${sqlQualityScore} AS score FROM corpus)
@@ -1795,21 +1796,13 @@ object QueriesPipeline {
       },
       Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
              pairs AS (${sqlMinhashPairsSelect}),
-             edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                       UNION ALL
-                       SELECT id_b AS src, id_a AS dst FROM pairs),
-             reach AS (
-               SELECT src AS id, dst AS r FROM edges
-               UNION
-               SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
-             labels AS (
-               SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+             $sqlCcLabelCtes,
              scored AS (SELECT doc_id, ${sqlQualityScore} AS score FROM corpus),
              ranked AS (
-               SELECT l.cluster_id, l.id AS doc_id, s.score,
-                      row_number() OVER (PARTITION BY l.cluster_id
+               SELECT l.keeper_id AS cluster_id, l.id AS doc_id, s.score,
+                      row_number() OVER (PARTITION BY l.keeper_id
                         ORDER BY s.score DESC, l.id) AS rn,
-                      count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+                      count(*) OVER (PARTITION BY l.keeper_id) AS n_members
                FROM labels l JOIN scored s ON s.doc_id = l.id)
              SELECT cluster_id, n_members, doc_id AS best_doc, score AS best_score
              FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
@@ -1826,14 +1819,14 @@ object QueriesPipeline {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          (sum(qualityScore.cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          (NamedQuery.decSumAt(qualityScore, 18, 9) / count(lit(1)))
             .as("mean_quality"),
           sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("n_short"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy(col("source")),
       Some(s"""SELECT source, count(*) AS n_docs,
                     sum(n_chars)::BIGINT AS total_chars,
-                    CAST(SUM(CAST($sqlQualityScore AS DECIMAL(18,9))) AS DOUBLE)
+                    ${NamedQuery.sqlDecSumAt(sqlQualityScore, 18, 9)}
                       / count(*) AS mean_quality,
                     sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short,
                     count(DISTINCT lang) AS n_langs

@@ -169,19 +169,16 @@ class ScaleSpec extends SparkTestBase {
       .option("path", s"$wh/sh_idx").saveAsTable("sh_idx")
     try {
       s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      def pairCount(sh: org.apache.spark.sql.DataFrame): Long = sh
+      // ONE construction for both the plan-asserted and the reference join
+      def pairs(sh: org.apache.spark.sql.DataFrame) = sh
         .select(col("doc_id").as("id_a"), col("h"))
         .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
         .filter(col("id_a") < col("id_b"))
-        .count()
-      val bucketed = s0.table("sh_idx")
-      val joined = bucketed.select(col("doc_id").as("id_a"), col("h"))
-        .join(bucketed.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
-        .filter(col("id_a") < col("id_b"))
+      val joined = pairs(s0.table("sh_idx"))
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange hashpartitioning(h"), p)
-      assert(pairCount(bucketed) == pairCount(idx))
+      assert(joined.count() == pairs(idx).count())
     } finally {
       s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       s0.sql("DROP TABLE IF EXISTS sh_idx")
