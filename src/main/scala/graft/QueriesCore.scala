@@ -37,6 +37,22 @@ object QueriesCore {
          WHERE n.n_nationkey > 0)
        SELECT node, anc, depth FROM up ORDER BY node, depth, anc"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q57): the
+    * NOT IN three-valued-logic trap — a NULL in the subquery makes NOT IN
+    * never-true (every non-match is UNKNOWN), so the with_null branch
+    * counts 0 while the null-free branch counts thousands. Engines that
+    * "fix" this to anti-join semantics silently return wrong results;
+    * both Spark (NullAwareAntiJoin) and DuckDB implement the standard.
+    */
+  private[graft] val notInNullSql: String =
+    """SELECT 'null_free' AS branch, count(*) AS n FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+       UNION ALL
+       SELECT 'with_null' AS branch, count(*) AS n FROM orders
+       WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal >= 0 THEN c_custkey END
+                               FROM customer)
+       ORDER BY branch"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q45). */
   private[graft] val lateralSql: String =
     """SELECT o.o_orderkey, t.n_items, t.top_price
@@ -1319,6 +1335,18 @@ object QueriesCore {
                     count(*) AS n
              FROM lineitem
              GROUP BY CUBE (l_returnflag, l_linestatus)
-             ORDER BY gid, rf, ls""")))
+             ORDER BY gid, rf, ls""")),
+
+    // --------------------------------------------- q57 NOT IN null semantics
+    // Both engines run the IDENTICAL statement (see notInNullSql). Spark
+    // plans the null-aware anti join (a broadcast-only operator — the
+    // subquery side must fit in memory, which a NOT IN list always should;
+    // rewrite to NOT EXISTS for unbounded sides).
+    NamedQuery("q57_not_in_null_semantics",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.notInNullSql)
+      },
+      Some(QueriesCore.notInNullSql)))
 
 }
