@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Query inventory lives in [[QueriesCore]] (relational surface) and
-  * [[QueriesPipeline]] (LLM-data-pipeline operators); each entry pairs a
-  * Spark plan with a DuckDB oracle where SQL-expressible.
+  * Query inventory lives in [[QueriesCore]] (relational surface),
+  * [[QueriesPipeline]] (LLM-data-pipeline operators) and
+  * [[QueriesStreaming]] (Structured Streaming runs executed to completion
+  * under the same gate); each entry pairs a Spark plan with a DuckDB
+  * oracle where SQL-expressible.
   */
 object SparkEntry {
 
