@@ -53,6 +53,19 @@ object QueriesCore {
                                FROM customer)
        ORDER BY branch"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q58):
+    * discrete percentiles RETURN AN ACTUAL DATA VALUE (smallest value with
+    * cume_dist ≥ q — no interpolation), so unlike q37's continuous
+    * percentiles there is no arithmetic to keep in lockstep: both engines
+    * must select the same element bit-for-bit.
+    */
+  private[graft] val percentileDiscSql: String =
+    """SELECT event_type,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+         percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+         percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q45). */
   private[graft] val lateralSql: String =
     """SELECT o.o_orderkey, t.n_items, t.top_price
@@ -1347,6 +1360,18 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.notInNullSql)
       },
-      Some(QueriesCore.notInNullSql)))
+      Some(QueriesCore.notInNullSql)),
+
+    // ------------------------------------------ q58 discrete percentiles
+    // percentile_disc WITHIN GROUP — the inverse-distribution companion to
+    // q37's interpolated percentiles; identical statement in both engines
+    // (see percentileDiscSql). Same plan as any grouped sort-based agg:
+    // one shuffle on the group key.
+    NamedQuery("q58_percentile_disc",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.percentileDiscSql)
+      },
+      Some(QueriesCore.percentileDiscSql)))
 
 }

@@ -149,6 +149,18 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q45 lateral: the correlated derived table decorrelates into a join, no per-row subquery") {
+    val p = plan("q45_lateral_join")
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
+  }
+
+  test("q57: NOT IN plans the null-aware anti join (broadcast single-column)") {
+    val p = plan("q57_not_in_null_semantics")
+    // trailing `true` on the LeftAnti BHJ = isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+  }
+
   test("q51 latest-by-key: map-side argmax (partial max_by), no window sort") {
     val p = plan("q51_latest_by_key")
     assert(p.contains("partial_max_by") || p.contains("partial_max("), p)
