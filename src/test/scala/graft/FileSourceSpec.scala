@@ -59,4 +59,23 @@ class FileSourceSpec extends SparkTestBase {
       .table("p", "events")
     assert(df.count() == 2)
   }
+
+  test("CorpusSink publish: partitioned layout round-trips and prunes partitions at the scan") {
+    import graft.sources.CorpusSink
+    val out = Files.createTempDirectory("graft-publish").toString + "/corpus"
+    val docs = Tables.load(spark, sfDir, "documents")
+    CorpusSink.publish(docs, out, Seq("lang"))
+    val back = spark.read.parquet(out)
+    // round trip: nothing lost or duplicated, per-language counts intact
+    assert(back.count() == docs.count())
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = back.filter(col("lang") === "en")
+    assert(en.count() == perLang("en"))
+    // the language filter must prune PARTITIONS (directory-level skip),
+    // not run as a row filter over the full corpus
+    val p = en.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(lang"), p)
+  }
 }
