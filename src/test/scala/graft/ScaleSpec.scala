@@ -151,7 +151,7 @@ class ScaleSpec extends SparkTestBase {
 
   test("q45 lateral: the correlated derived table decorrelates into a join, no per-row subquery") {
     val p = plan("q45_lateral_join")
-    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(p.contains("Join"), p)
     assert(!p.toLowerCase.contains("subquery"), p)
   }
 
