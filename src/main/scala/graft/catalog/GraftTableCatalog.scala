@@ -51,7 +51,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     if (metastore.isDefined) {
       eventSource = Some(Option(options.get("source")).getOrElse("parquet") match {
         case "parquet" => graft.sources.ParquetEventSource(required(options, "sourceRoot"))
-        case f @ ("json" | "csv") => graft.sources.FileEventSource(required(options, "sourceRoot"), f)
+        case f @ ("json" | "csv" | "orc") =>
+          graft.sources.FileEventSource(required(options, "sourceRoot"), f)
         case "kafka" =>
           // knobs: codec (avro|json), sourceFormat (swap in FakeKafka for
           // broker-free tests), sourcePartitions, minPartitions, and

@@ -17,11 +17,14 @@ final case class FileEventSource(
     offsetColumns: Map[String, String] = ParquetEventSource.defaultOffsetColumns)
     extends EventSource {
 
-  require(format == "json" || format == "csv", s"unsupported format: $format")
+  require(format == "json" || format == "csv" || format == "orc",
+    s"unsupported format: $format")
 
   override def read(spark: SparkSession, project: String, collection: String,
                     schema: StructType): DataFrame = {
-    // DROPMALFORMED = the reference's log-and-skip row handling
+    // DROPMALFORMED = the reference's log-and-skip row handling (text
+    // formats only; ORC is self-describing binary — corruption surfaces as
+    // a read error, not a malformed row)
     val reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
     val raw = format match {
       case "json" => reader.json(s"$rootDir/$collection.json")
@@ -31,6 +34,7 @@ final case class FileEventSource(
         // binding values positionally
         reader.option("header", "true").option("enforceSchema", "false")
           .csv(s"$rootDir/$collection.csv")
+      case "orc" => reader.orc(s"$rootDir/$collection.orc")
     }
     EventSource.withSystemColumns(raw, project, collection, schema, offsetColumns)
   }

@@ -17,6 +17,7 @@ class FileSourceSpec extends SparkTestBase {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     ev.coalesce(1).write.json(s"$dir/events.json")
     ev.coalesce(1).write.option("header", "true").csv(s"$dir/events.csv")
+    ev.coalesce(1).write.orc(s"$dir/events.orc")
     dir
   }
 
@@ -38,6 +39,14 @@ class FileSourceSpec extends SparkTestBase {
 
   test("csv event source reads the same rows") {
     val df = engine("csv").table("tpch", "events")
+    val expected = Tables.load(spark, sfDir, "events")
+      .agg(sum("user_id"), count(lit(1))).head()
+    val got = df.agg(sum("user_id"), count(lit(1))).head()
+    assert(got == expected)
+  }
+
+  test("orc event source reads the same rows") {
+    val df = engine("orc").table("tpch", "events")
     val expected = Tables.load(spark, sfDir, "events")
       .agg(sum("user_id"), count(lit(1))).head()
     val got = df.agg(sum("user_id"), count(lit(1))).head()
