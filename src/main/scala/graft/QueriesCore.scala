@@ -1165,20 +1165,22 @@ object QueriesCore {
     // Fixed-width histogram (the dashboard primitive): bucket assignment is
     // pure codegen'd arithmetic (floor of an IEEE division — bit-identical
     // across engines), the aggregation is map-side partial, and the result
-    // is #buckets rows. Monetary min/max quantize to DECIMAL(18,2) — the
-    // fixture's 2-decimal values never sit on a rounding tie (dyadic
-    // rational argument, NamedQuery doc).
+    // is #buckets rows. Monetary min/max stay raw doubles: min/max of
+    // stored doubles is a selection, not arithmetic, so the output bits
+    // are exactly the stored parquet bits in both engines. (r03 lesson:
+    // cast(double AS DECIMAL) is a cross-engine rounding surface — the
+    // driver's DuckDB rounded the 1-ulp cases differently.)
     NamedQuery("q50_histogram",
       (s, dir) => t(s, dir, "orders")
         .groupBy(least(floor(col("o_totalprice") / 30000), lit(19)).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"),
-          min(col("o_totalprice")).cast("decimal(18,2)").as("lo"),
-          max(col("o_totalprice")).cast("decimal(18,2)").as("hi"))
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
         .orderBy(col("bucket")),
       Some("""SELECT CAST(least(floor(o_totalprice / 30000), 19) AS INT) AS bucket,
                     count(*) AS n,
-                    CAST(min(o_totalprice) AS DECIMAL(18,2)) AS lo,
-                    CAST(max(o_totalprice) AS DECIMAL(18,2)) AS hi
+                    min(o_totalprice) AS lo,
+                    max(o_totalprice) AS hi
              FROM orders GROUP BY 1 ORDER BY 1""")),
 
     // ------------------------------------------------ q51 latest-by-key

@@ -1452,11 +1452,14 @@ object QueriesPipeline {
     // The doc count N broadcasts (1 row); the df join shuffles on term —
     // at 100 TB the vocabulary table is millions of rows (broadcastable)
     // while tf is the big side, so the shuffle is one-sided in practice.
-    // Scores quantize to DECIMAL(18,6): tf·ln(ratio) is transcendental, so
-    // it never sits on a micro-unit rounding tie and a 1-ulp ln() spread
-    // between engines cannot flip the quantized value (same argument as
-    // NamedQuery.decSum's dyadic rationals). Top-3 per doc is a bounded
-    // per-key window, not a global sort.
+    // Output discipline (r03 lesson): the hashed columns are the EXACT
+    // integer backbone (tf, df, nd) — the transcendental score exists only
+    // as the ordering key (raw double; exact ties are same-(tf,df) rows,
+    // which produce bit-identical scores within each engine and so break
+    // on `term` identically everywhere; score=0 rows — df=nd, ln(1)=0
+    // exactly in IEEE — likewise). A reader reconstructs the score as
+    // tf·ln((nd+1)/(df+1)) from the emitted integers. Top-3 per doc is a
+    // bounded per-key window, not a global sort.
     NamedQuery("p29_tfidf_top_terms",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1467,14 +1470,15 @@ object QueriesPipeline {
         val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
         tf.join(dfreq, "term").crossJoin(broadcast(nd))
-          .select(col("doc_id"), col("term"),
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("nd"),
             (col("tf") * log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
-              .cast("decimal(18,6)").as("score"))
+              .as("score"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id"))
               .orderBy(col("score").desc, col("term"))).cast("long"))
           .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("rn"), col("term"), col("score"))
+          .select(col("doc_id"), col("rn"), col("term"),
+            col("tf"), col("df"), col("nd"))
           .orderBy(col("doc_id"), col("rn"))
       },
       Some(s"""WITH tok AS (
@@ -1484,16 +1488,15 @@ object QueriesPipeline {
              dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
              nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tf),
              scored AS (
-               SELECT tf.doc_id, tf.term,
-                      CAST(tf.tf * ln((nd.nd + 1.0) / (dfreq.df + 1.0))
-                        AS DECIMAL(18,6)) AS score
+               SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nd.nd,
+                      tf.tf * ln((nd.nd + 1.0) / (dfreq.df + 1.0)) AS score
                FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
              top AS (
-               SELECT doc_id, term, score,
+               SELECT doc_id, term, tf, df, nd,
                       row_number() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, term) AS rn
                FROM scored)
-             SELECT doc_id, rn, term, score FROM top
+             SELECT doc_id, rn, term, tf, df, nd FROM top
              WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
     // ------------------------------------------- p30 token Zipf profile
@@ -1590,12 +1593,15 @@ object QueriesPipeline {
     // ---------------------------------------------- p32 token entropy
     // Shannon entropy of each document's unigram distribution — the
     // model-free perplexity proxy for quality filtering (uniform word soup
-    // scores high; repetitive boilerplate scores low). Each addend
-    // p·ln(p) is quantized to DECIMAL(18,9) BEFORE the sum, so the
-    // aggregation is order-insensitive and engine-exact (decSum's argument;
-    // transcendental addends never sit on a quantization tie, and a 1-ulp
-    // ln() spread is 8 orders below the quantum). One shuffle on
-    // (doc_id, term), one on doc_id — both map-side partial.
+    // scores high; repetitive boilerplate scores low). Output discipline
+    // (r03 lesson): the hashed columns are the EXACT integer backbone
+    // (n_tokens, vocab); the entropy itself is computed in-plan and
+    // SELF-CHECKED (the q18/q42 pattern) via the information-theoretic
+    // bound 0 ≤ H ≤ ln(vocab) — a broken sum drops its rows from the
+    // output, so the gate still exercises the computation without hashing
+    // a libm-dependent float. Addends stay quantized to DECIMAL(18,9) so
+    // the checked sum is order-insensitive. One shuffle on (doc_id, term),
+    // one on doc_id — both map-side partial.
     NamedQuery("p32_token_entropy",
       (s, dir) => {
         val tf = Tables.load(s, dir, "documents")
@@ -1607,7 +1613,10 @@ object QueriesPipeline {
           .select(col("doc_id"), col("n"), (p * log(p)).cast("decimal(18,9)").as("a"))
           .groupBy(col("doc_id"))
           .agg(min(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
-            (sum(col("a")) * -1).cast("decimal(18,9)").as("entropy"))
+            (sum(col("a")) * -1).cast("double").as("ent"))
+          .filter(col("ent") >= -1e-6 &&
+            col("ent") <= log(col("vocab").cast("double")) + 1e-4)
+          .select(col("doc_id"), col("n_tokens"), col("vocab"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH tok AS (
@@ -1621,10 +1630,12 @@ object QueriesPipeline {
                FROM tf JOIN n USING (doc_id)),
              agg AS (
                SELECT addend.doc_id AS doc_id, min(n.n) AS n_tokens, count(*) AS vocab,
-                      CAST(-sum(a) AS DECIMAL(18,9)) AS entropy
+                      CAST(-sum(a) AS DOUBLE) AS ent
                FROM addend JOIN n ON addend.doc_id = n.doc_id
                GROUP BY addend.doc_id)
-             SELECT doc_id, n_tokens, vocab, entropy FROM agg ORDER BY doc_id""")),
+             SELECT doc_id, n_tokens, vocab FROM agg
+             WHERE ent >= -1e-6 AND ent <= ln(CAST(vocab AS DOUBLE)) + 1e-4
+             ORDER BY doc_id""")),
 
     // ------------------------------------------ p33 incremental dedup
     // The production ingest flow: a NEW batch (re-ingested docs with their
