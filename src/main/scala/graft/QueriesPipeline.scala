@@ -148,18 +148,14 @@ object QueriesPipeline {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(SparkSession, String), Entry]): Boolean = {
           val evict = size() > maxEntries
-          if (evict) {
-            if (e.getValue.persisted) {
-              try e.getValue.df.unpersist(blocking = false) catch { case _: Exception => () }
-            }
-            // results built over eager localCheckpoints (keeperCache) hold
-            // RDD-level blocks Dataset.unpersist can't reach — release them
-            // too. An evicted entry is never handed out again; a stale
-            // reference held across eviction was already recompute-unsafe.
-            if (!e.getKey._1.sparkContext.isStopped) {
-              try graft.operators.Dedup.releaseCheckpoints(e.getValue.df)
-              catch { case _: Exception => () }
-            }
+          if (evict && e.getValue.persisted) {
+            // unpersist only: recompute-safe for any consumer still holding
+            // the df. localCheckpoint blocks (keeperCache) are NOT released
+            // here — a holder's plan reads them with truncated lineage, so
+            // releasing mid-run would fail that consumer unrecoverably
+            // rather than recompute. They are freed in releaseAll(), the
+            // explicit end-of-family cleanup where no consumer remains.
+            try e.getValue.df.unpersist(blocking = false) catch { case _: Exception => () }
           }
           evict
         }
@@ -184,6 +180,35 @@ object QueriesPipeline {
         }
         e.df
       }
+
+    /** End-of-family cleanup: drop every entry, unpersisting cached blocks
+      * AND releasing the localCheckpoint RDDs behind them. Caller asserts no
+      * consumer still holds a returned df (checkpointed plans are not
+      * recomputable after this). Single-JVM bench runs call this between
+      * query families so one family's pinned memory can't degrade the next.
+      */
+    def releaseAll(): Unit = entries.synchronized {
+      entries.values().forEach { e =>
+        val sc = e.df.sparkSession.sparkContext
+        if (!sc.isStopped) {
+          if (e.persisted) {
+            try e.df.unpersist(blocking = false) catch { case _: Exception => () }
+          }
+          try graft.operators.Dedup.releaseCheckpoints(e.df)
+          catch { case _: Exception => () }
+        }
+      }
+      entries.clear()
+    }
+  }
+
+  /** Release every shared family cache (shingle index, norm vectors, pair
+    * set, keeper decision) — blocks and checkpoint RDDs. For single-JVM
+    * multi-family runs (Bench); after this, the next access rebuilds.
+    */
+  private[graft] def releaseSharedCaches(): Unit = {
+    shCache.releaseAll(); vecCache.releaseAll()
+    pairsCache.releaseAll(); keeperCache.releaseAll()
   }
 
   /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
