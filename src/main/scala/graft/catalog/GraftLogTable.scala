@@ -47,6 +47,20 @@ final class GraftLogTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(project, collection, userSchema, fullSchema, source)
+
+  /** The table's read at full schema, pruned to `ranges`, as a DataFrame —
+    * what [[graft.plans.InlineLogScan]] splices into query plans in place of
+    * this relation. Same construction as the scan path: pruned source read,
+    * offset-range residual, full-schema projection.
+    */
+  def innerFrame(spark: org.apache.spark.sql.classic.SparkSession,
+                 ranges: Seq[OffsetRange]): org.apache.spark.sql.DataFrame = {
+    val full = source.withOffsetRanges(ranges).read(spark, project, collection, userSchema)
+    val pruned =
+      if (ranges == OffsetRangePlanner.Full) full
+      else full.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), ranges))
+    pruned.select(fullSchema.fieldNames.map(col).toSeq: _*)
+  }
 }
 
 final class GraftLogScanBuilder(
@@ -143,6 +157,26 @@ final class GraftLogScan(
   private def rangesString: String =
     ranges.map(r => s"[${r.start},${r.end.map(_.toString).getOrElse("∞")})").mkString(",")
 
+  /** The scan AS a DataFrame: the pruned source read, the offset-range
+    * residual, and the required-column projection. Both execution paths run
+    * exactly this frame — [[graft.plans.InlineLogScan]] splices its LOGICAL
+    * plan into the query (native codegen/AQE; the preferred path), and the
+    * [[V1Scan]] bridge below compiles it to an RDD (fallback for sessions
+    * without GraftExtensions).
+    */
+  def innerFrame(spark: org.apache.spark.sql.classic.SparkSession): org.apache.spark.sql.DataFrame = {
+    val full = source.withOffsetRanges(ranges)
+      .read(spark, project, collection, userSchema)
+    // ranges re-applied as an _offset residual: offset-addressed sources
+    // already pruned at the broker; columnar sources get this predicate
+    // pushed into the file scan by Catalyst (via the offset-column alias)
+    val pruned =
+      if (ranges == OffsetRangePlanner.Full) full
+      else full.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), ranges))
+    if (requiredSchema.isEmpty) pruned.select()
+    else pruned.select(requiredSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
     val scan = this
     new BaseRelation with TableScan {
@@ -152,18 +186,7 @@ final class GraftLogScan(
         s"GraftLog ${project}.${collection} ranges=${scan.rangesString}"
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val full = source.withOffsetRanges(ranges)
-          .read(spark, project, collection, userSchema)
-        // ranges re-applied as an _offset residual: offset-addressed sources
-        // already pruned at the broker; columnar sources get this predicate
-        // pushed into the file scan by Catalyst (via the offset-column alias)
-        val pruned =
-          if (ranges == OffsetRangePlanner.Full) full
-          else full.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), ranges))
-        val projected =
-          if (requiredSchema.isEmpty) pruned.select()
-          else pruned.select(requiredSchema.fieldNames.map(col).toSeq: _*)
-        projected.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
+        scan.innerFrame(spark).asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].rdd
       }
     }.asInstanceOf[T]
   }

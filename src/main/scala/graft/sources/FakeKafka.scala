@@ -126,8 +126,12 @@ final class FakeKafkaScan(topic: String, options: CaseInsensitiveStringMap)
 
   override def readSchema(): StructType = FakeKafka.frameSchema
   override def toBatch: Batch = this
+  // the pruned offset window is part of the scan's identity — advertise it
+  // so plans show broker-side pruning (the connector's own scans do too)
   override def description(): String =
-    s"FakeKafkaScan $topic partitions=$numPartitions latest=$latest"
+    s"FakeKafkaScan $topic partitions=$numPartitions latest=$latest" +
+      Option(options.get("startingOffsets")).map(s => s" startingOffsets=$s").getOrElse("") +
+      Option(options.get("endingOffsets")).map(s => s" endingOffsets=$s").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val starts = Option(options.get("startingOffsets"))

@@ -46,13 +46,16 @@ class ScaleSpec extends SparkTestBase {
       l.contains("Exchange hashpartitioning")) == 1, p)
   }
 
-  test("q40: spark.sql _offset predicate is pushed into the DSv2 log scan as pruned ranges") {
+  test("q40: spark.sql _offset predicate reaches the native parquet scan, no V1 bridge") {
     val p = plan("q40_sql_offset_pushdown")
-    // the scan node itself advertises the accepted offset filters AND the
-    // pruned range the OffsetRangePlanner translated them into
-    assert(p.contains("GreaterThanOrEqual(_offset,2000)")
-      && p.contains("LessThan(_offset,7000)"), p)
-    assert(p.contains("ranges=[2000,7000)"), p)
+    // InlineLogScan replaces the DSv2 V1-bridge scan with the inner plan:
+    // the _offset bounds push through the system-column alias into the
+    // parquet scan itself, the reader schema is pruned to the referenced
+    // columns, and no RDD conversion node remains
+    assert(p.contains("GreaterThanOrEqual(event_id,2000)")
+      && p.contains("LessThan(event_id,7000)"), p)
+    assert(p.contains("ReadSchema: struct<event_id:bigint,event_type:string>"), p)
+    assert(p.contains("FileScan parquet") && !p.contains("RowDataSourceScan"), p)
   }
 
   test("p14 IVF assignment is map-side: one window (final top-k), no 16N shuffle") {

@@ -61,9 +61,12 @@ class TableCatalogSpec extends SparkTestBase {
       val q = spark.sql(
         "SELECT count(*) AS n FROM graftms.tpch.events WHERE _offset >= 2000 AND _offset < 7000")
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("GreaterThanOrEqual(_offset,2000)")
-        && plan.contains("LessThan(_offset,7000)"), plan)
-      assert(plan.contains("ranges=[2000,7000)"), plan)
+      // InlineLogScan splices the native parquet read in: the _offset bounds
+      // are pushed through the system-column alias into the FILE scan (on
+      // the offset stand-in column) and the V1 RDD bridge is gone entirely
+      assert(plan.contains("GreaterThanOrEqual(event_id,2000)")
+        && plan.contains("LessThan(event_id,7000)"), plan)
+      assert(plan.contains("FileScan parquet") && !plan.contains("RowDataSourceScan"), plan)
       val expected = Tables.load(spark, sfDir, "events")
         .filter(col("event_id") >= 2000 && col("event_id") < 7000).count()
       assert(q.head().getLong(0) == expected)
@@ -87,9 +90,9 @@ class TableCatalogSpec extends SparkTestBase {
       spark.conf.set("spark.sql.catalog.graftjs.source", "json")
       spark.conf.set("spark.sql.catalog.graftjs.sourceRoot", dataDir)
       assert(spark.sql("SELECT count(*) AS n FROM graftjs.tpch.documents").head().getLong(0) == 20L)
-      // _offset synthesizes from doc_id and pushes down on the json read too
+      // _offset synthesizes from doc_id and pushes down INTO the json scan
       val q = spark.sql("SELECT doc_id FROM graftjs.tpch.documents WHERE _offset < 5")
-      assert(q.queryExecution.executedPlan.toString.contains("LessThan(_offset,5)"))
+      assert(q.queryExecution.executedPlan.toString.contains("LessThan(doc_id,5)"))
       assert(q.collect().map(_.getLong(0)).toSet ==
         docs.filter(col("doc_id") < 5).collect().map(_.getLong(0)).toSet)
     }
@@ -117,7 +120,10 @@ class TableCatalogSpec extends SparkTestBase {
     val q = spark.sql(
       "SELECT count(*) AS n FROM graftkf.proj.events WHERE _offset >= 100 AND _offset < 600")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("ranges=[100,600)"), plan)
+    // the pruned window reaches the (fake) broker scan as per-partition
+    // starting/ending offsets — broker-side pruning, not a post-filter
+    assert(plan.contains("startingOffsets=") && plan.contains("\"0\":100"), plan)
+    assert(plan.contains("endingOffsets=") && plan.contains("\"0\":600"), plan)
     assert(q.head().getLong(0) == 500L * 2) // 500 offsets x 2 partitions
   }
 
@@ -139,9 +145,9 @@ class TableCatalogSpec extends SparkTestBase {
       "SELECT event_type, count(*) AS n FROM graftcsv.proj.events GROUP BY event_type ORDER BY event_type")
       .collect()
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("click", 2L), ("view", 1L)))
-    // _offset synthesizes from event_id and prunes the csv-backed scan
+    // _offset synthesizes from event_id and pushes INTO the csv-backed scan
     val q = spark.sql("SELECT event_id FROM graftcsv.proj.events WHERE _offset >= 2")
-    assert(q.queryExecution.executedPlan.toString.contains("ranges=[2,"))
+    assert(q.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(event_id,2)"))
     assert(q.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
