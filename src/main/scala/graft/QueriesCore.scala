@@ -1381,6 +1381,45 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.percentileDiscSql)
       },
-      Some(QueriesCore.percentileDiscSql)))
+      Some(QueriesCore.percentileDiscSql)),
+
+    // ------------------------------------------ q59 nested avro round-trip
+    // The wire path over a NESTED event payload — real event streams carry
+    // structured metadata and property bags, exactly what the reference
+    // could not decode (RECORD/MAP threw, PageDatumReader.java:156-160;
+    // beyond-reference upgrade of C6). Rows → Avro binary with a nested
+    // record (meta) + map (attrs) → schema-resolved decode → aggregate from
+    // nested fields. The oracle aggregates the ORIGINAL rows, so equality
+    // proves the nested codec is lossless. Only meta.event_type/meta.value/
+    // attrs are referenced after decode, so PruneAvroDecode's NESTED
+    // pruning applies — each decoder byte-skips event_id and meta's sibling
+    // fields. Map-values sum per row is exact long arithmetic (no float
+    // surface); the aggregation is one map-side-partial shuffle.
+    NamedQuery("q59_avro_nested",
+      (s, dir) => {
+        import graft.functions.{AvroSchemas, GraftFunctions => GF}
+        import org.apache.spark.sql.types.{LongType, MapType, StringType}
+        val ev = t(s, dir, "events").select(
+          col("event_id"),
+          struct(col("event_type"), col("value")).as("meta"),
+          from_json(col("props"), MapType(StringType, LongType)).as("attrs"))
+        val schemaJson = AvroSchemas.toAvro(ev.schema, "nev").toString
+        ev.select(GF.to_avro(
+            struct(col("event_id"), col("meta"), col("attrs")), schemaJson).as("payload"))
+          .select(GF.from_avro(col("payload"), schemaJson).as("e"))
+          .select(col("e.meta.event_type").as("event_type"),
+            col("e.meta.value").as("value"),
+            coalesce(expr("aggregate(map_values(e.attrs), 0L, (a, x) -> a + x)"),
+              lit(0L)).as("attrsum"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"),
+            sum(col("attrsum")).as("sum_attrs"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n, ${sqlDecSum("value")} AS sum_value,
+                    CAST(sum(COALESCE(list_aggregate(list_transform(json_keys(props),
+                      k -> json_extract(props, '$$.' || k)::BIGINT), 'sum'), 0))
+                      AS BIGINT) AS sum_attrs
+             FROM events GROUP BY event_type ORDER BY event_type""")))
 
 }

@@ -5,7 +5,7 @@ import org.apache.avro.io.{BinaryDecoder, DecoderFactory, ResolvingDecoder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,14 +63,7 @@ case class AvroDecode(
       } else {
         resolver.configure(binaryDecoder)
       }
-      val fields = resolver.readFieldOrder()
-      val row = new GenericInternalRow(readerSchema.getFields.size())
-      var i = 0
-      while (i < fields.length) {
-        val f = fields(i)
-        row.update(f.pos(), read(f.schema()))
-        i += 1
-      }
+      val row = read(readerSchema)
       resolver.drain()
       row
     } catch {
@@ -112,8 +105,40 @@ case class AvroDecode(
         n = resolver.arrayNext()
       }
       new GenericArrayData(buf.toArray)
+    case Schema.Type.RECORD =>
+      // nested records recurse through the SAME resolver: readFieldOrder()
+      // is positional, so writer-side sibling fields (and nested fields
+      // absent from the reader) byte-skip exactly like top-level ones —
+      // this is what makes nested-field pruning (PruneAvroDecode +
+      // AvroSchemas.projectNestedField) an actual IO win. Beyond reference:
+      // PageDatumReader.java:156-160 threw on RECORD.
+      val fields = resolver.readFieldOrder()
+      val row = new GenericInternalRow(s.getFields.size())
+      var i = 0
+      while (i < fields.length) {
+        val f = fields(i)
+        row.update(f.pos(), read(f.schema()))
+        i += 1
+      }
+      row
+    case Schema.Type.MAP =>
+      val vt = s.getValueType
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = resolver.readMapStart()
+      while (n > 0) {
+        var i = 0L
+        while (i < n) {
+          val k = resolver.readString(null)
+          keys += UTF8String.fromBytes(k.getBytes, 0, k.getByteLength)
+          vals += read(vt)
+          i += 1
+        }
+        n = resolver.mapNext()
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
     case other =>
-      // parity: reference PageDatumReader.java:156-160
+      // FIXED etc. — outside even the extended lattice (AvroSchemas doc)
       throw new UnsupportedOperationException(s"avro type not supported in decode: $other")
   }
 

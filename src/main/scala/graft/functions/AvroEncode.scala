@@ -88,6 +88,37 @@ case class AvroEncode(child: Expression, schemaJson: String)
           i += 1
         }
         encoder.writeArrayEnd()
+      case (Schema.Type.RECORD, st: StructType) =>
+        // nested record: recurse field-by-field over the nested InternalRow
+        // (beyond reference — its decoder threw on RECORD, so its producer
+        // never wrote one)
+        val nested = row.getStruct(ord, st.size)
+        val fields = s.getFields
+        var i = 0
+        while (i < fields.size()) {
+          write(fields.get(i).schema(), st(i).dataType, nested, i)
+          i += 1
+        }
+      case (Schema.Type.MAP, MapType(StringType, vt, _)) =>
+        val m = row.getMap(ord)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        encoder.writeMapStart()
+        encoder.setItemCount(m.numElements())
+        var i = 0
+        while (i < m.numElements()) {
+          encoder.startItem()
+          encoder.writeString(keys.getUTF8String(i).toString)
+          // scalar map values only (writeArrayElem's lattice); fail loudly
+          // on a null value rather than silently encoding a zero
+          if (vals.isNullAt(i)) {
+            throw new UnsupportedOperationException(
+              s"null map value cannot encode as non-union avro ${s.getValueType}")
+          }
+          writeArrayElem(s.getValueType, vt, vals, i)
+          i += 1
+        }
+        encoder.writeMapEnd()
       case (st, other) =>
         throw new UnsupportedOperationException(s"cannot encode ${other.sql} as avro $st")
     }

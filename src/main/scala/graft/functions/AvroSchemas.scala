@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
 /** Avro ↔ Spark schema mapping for the reference's wire-type lattice
   * (reference `PageDatumReader.java:123-166`): UNION-with-null (how Rakam
   * encodes nullable fields), STRING, LONG, INT, FLOAT, DOUBLE, BOOLEAN,
-  * ENUM (as string), BYTES, NULL — plus ARRAY, which the reference intended
-  * but commented out (`KafkaMetadata.java:190-191`); the rebuild enables it.
-  * RECORD/MAP/FIXED inside a value are rejected exactly like the reference
-  * (`PageDatumReader.java:156-160` throws `UnsupportedOperationException`).
+  * ENUM (as string), BYTES, NULL — plus the composites the reference
+  * rejected (`PageDatumReader.java:156-160` threw; ARRAY was intended but
+  * commented out, `KafkaMetadata.java:190-191`): ARRAY → Spark array,
+  * RECORD → Spark struct (any nesting depth), MAP (string keys, Avro's
+  * only key type) → Spark map. FIXED stays unsupported.
   */
 object AvroSchemas {
 
@@ -41,8 +42,16 @@ object AvroSchemas {
     case Schema.Type.ARRAY =>
       val (et, en) = fieldType(s.getElementType)
       (ArrayType(et, containsNull = en), false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (dt, n) = fieldType(f.schema())
+        StructField(f.name(), dt, n)
+      }), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = fieldType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
     case other =>
-      // parity: reference PageDatumReader.java:156-160
+      // FIXED etc.: beyond even the extended lattice
       throw new UnsupportedOperationException(s"avro type not supported: $other")
   }
 
@@ -51,7 +60,7 @@ object AvroSchemas {
     */
   def toAvro(st: StructType, name: String = "event"): Schema = {
     val fields = st.fields.toSeq.map { f =>
-      val base = avroOf(f.dataType)
+      val base = avroOf(f.dataType, s"${name}_${f.name}")
       val s = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
       val default: Object = if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null
       new Schema.Field(f.name, s, null, default)
@@ -59,7 +68,9 @@ object AvroSchemas {
     Schema.createRecord(name, null, "graft", false, fields.asJava)
   }
 
-  private def avroOf(dt: DataType): Schema = dt match {
+  // `name` threads the field path down so nested record schemas get unique
+  // full names (Avro requires record names be unique within a schema)
+  private def avroOf(dt: DataType, name: String): Schema = dt match {
     case StringType => Schema.create(Schema.Type.STRING)
     case LongType => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
@@ -67,7 +78,9 @@ object AvroSchemas {
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case BinaryType => Schema.create(Schema.Type.BYTES)
-    case ArrayType(et, _) => Schema.createArray(avroOf(et))
+    case ArrayType(et, _) => Schema.createArray(avroOf(et, s"${name}_elem"))
+    case st: StructType => toAvro(st, name)
+    case MapType(StringType, vt, _) => Schema.createMap(avroOf(vt, s"${name}_value"))
     case other =>
       throw new UnsupportedOperationException(s"cannot map ${other.sql} to avro")
   }
@@ -81,13 +94,41 @@ object AvroSchemas {
     val keep = names.toSet
     val fields = writer.getFields.asScala.toSeq
       .filter(f => keep(f.name()))
-      .map { f =>
-        val nf = new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
-        // preserve aliases — rename-based schema resolution
-        // (Schema.applyAliases) must survive reader pruning
-        f.aliases().forEach(a => nf.addAlias(a))
-        nf
-      }
+      .map(copyField(_))
     Schema.createRecord(writer.getName, writer.getDoc, writer.getNamespace, false, fields.asJava)
+  }
+
+  /** Reader schema projected to ONE top-level field whose nested record is
+    * itself projected to ONE inner field — the nested-field pruning unit:
+    * `e.meta.x` decodes only `meta.x`, byte-skipping sibling top-level
+    * fields AND `meta`'s sibling fields. A `union[null, record]` wrapper
+    * (nullable nested field) is preserved around the pruned record.
+    */
+  def projectNestedField(reader: Schema, outerName: String, innerName: String): Schema = {
+    val f = reader.getField(outerName)
+    val (rec, nullable) = unwrapNullable(f.schema())
+    require(rec.getType == Schema.Type.RECORD, s"field $outerName is not a record: $rec")
+    val prunedRec = project(rec, Seq(innerName))
+    val ns = if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), prunedRec)
+             else prunedRec
+    val nf = copyField(f, Some(ns))
+    Schema.createRecord(reader.getName, reader.getDoc, reader.getNamespace, false,
+      Seq(nf).asJava)
+  }
+
+  /** The non-null branch of a `union[null, T]` (or the schema itself). */
+  def unwrapNullable(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(nonNull.size == 1, s"only unions of [null, T] are supported: $s")
+      (nonNull.head, s.getTypes.size() > 1)
+    } else (s, false)
+
+  private def copyField(f: Schema.Field, newSchema: Option[Schema] = None): Schema.Field = {
+    val nf = new Schema.Field(f.name(), newSchema.getOrElse(f.schema()), f.doc(), f.defaultVal())
+    // preserve aliases — rename-based schema resolution
+    // (Schema.applyAliases) must survive reader pruning
+    f.aliases().forEach(a => nf.addAlias(a))
+    nf
   }
 }

@@ -30,10 +30,29 @@ object PruneAvroDecode extends Rule[LogicalPlan] {
   /** After CollapseProject the access pattern is a direct
     * `GetStructField(avro_decode(...), ord)` — prune each occurrence to a
     * single-field reader (skipping is near-free, so per-occurrence decoders
-    * beat one wide decode).
+    * beat one wide decode). A NESTED access
+    * `GetStructField(GetStructField(decode, ord), iord)` — `e.meta.x` —
+    * prunes one level deeper: the reader keeps one top-level field whose
+    * record keeps one inner field, so the decoder byte-skips the outer
+    * siblings AND `meta`'s sibling fields (the nested analogue of the
+    * reference's queried-columns-only reader,
+    * `KafkaConnectorPageSource.java:91-105`).
     */
   private def pruneCollapsed(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // nested case first: the outer extraction is visited before its child
+      case GetStructField(GetStructField(d: AvroDecode, ord, oname), iord, iname)
+          if nestedFieldCount(d, ord).exists(c =>
+            c > 1 || new Schema.Parser().parse(d.readerSchemaJson).getFields.size() > 1) =>
+        val reader = new Schema.Parser().parse(d.readerSchemaJson)
+        val outer = reader.getFields.get(ord)
+        val (rec, _) = AvroSchemas.unwrapNullable(outer.schema())
+        val innerName = rec.getFields.get(iord).name()
+        val pruned = AvroSchemas.projectNestedField(reader, outer.name(), innerName)
+        GetStructField(
+          GetStructField(d.copy(readerSchemaJson = pruned.toString), 0,
+            oname.orElse(Some(outer.name()))),
+          0, iname.orElse(Some(innerName)))
       case GetStructField(d: AvroDecode, ord, nameOpt)
           if new Schema.Parser().parse(d.readerSchemaJson).getFields.size() > 1 =>
         val reader = new Schema.Parser().parse(d.readerSchemaJson)
@@ -41,6 +60,19 @@ object PruneAvroDecode extends Rule[LogicalPlan] {
         val pruned = AvroSchemas.project(reader, Seq(name))
         GetStructField(d.copy(readerSchemaJson = pruned.toString), 0, nameOpt.orElse(Some(name)))
     }
+
+  /** Field count of the record behind reader field `ord`, if it IS a
+    * record (unwrapping a nullable union); None for non-record fields.
+    */
+  private def nestedFieldCount(d: AvroDecode, ord: Int): Option[Int] =
+    try {
+      val reader = new Schema.Parser().parse(d.readerSchemaJson)
+      if (ord >= reader.getFields.size()) None
+      else {
+        val (s, _) = AvroSchemas.unwrapNullable(reader.getFields.get(ord).schema())
+        if (s.getType == Schema.Type.RECORD) Some(s.getFields.size()) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Pre-collapse form: `Project(... e.f ...) over Project(e = decode(...))`
     * (kept by CollapseProject when the alias is referenced more than once).

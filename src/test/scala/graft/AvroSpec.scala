@@ -131,6 +131,72 @@ class AvroSpec extends SparkTestBase {
     assert(back(1).getLong(0) == 2L && back(1).isNullAt(1))
   }
 
+  // ---- nested composites (beyond reference: its decoder threw on RECORD/MAP,
+  // PageDatumReader.java:156-160) ----
+
+  private val nestedStruct = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("depth", IntegerType, nullable = false))), nullable = true),
+    StructField("attrs", MapType(StringType, LongType, valueContainsNull = false),
+      nullable = true)))
+
+  test("nested schema round-trip: struct/map -> avro -> struct/map") {
+    val avro = AvroSchemas.toAvro(nestedStruct, "nv")
+    assert(AvroSchemas.toSpark(avro) == nestedStruct)
+  }
+
+  test("nested record + map encode->decode round-trip is identity") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.functions.{GraftFunctions => GFF}
+    val rows = Seq(
+      (1L, Some(("a", 1.5, 3)), Some(Map("x" -> 10L, "y" -> 20L))),
+      (2L, None, Some(Map.empty[String, Long])),
+      (3L, Some((null.asInstanceOf[String], 0.0, 0)), None))
+    val df = rows.toDF("id", "meta", "attrs")
+      .select(col("id"),
+        when(col("meta").isNotNull, struct(col("meta._1").as("kind"),
+          col("meta._2").as("score"), col("meta._3").as("depth"))).as("meta"),
+        col("attrs"))
+    val schemaJson = AvroSchemas.toAvro(df.schema, "nv").toString
+    val back = df
+      .select(GFF.to_avro(struct(df.columns.map(col): _*), schemaJson).as("v"))
+      .select(GFF.from_avro(col("v"), schemaJson).as("e"))
+      .select("e.*")
+    assert(back.collect().toSeq.sortBy(_.toString) == df.collect().toSeq.sortBy(_.toString))
+  }
+
+  test("nested-field pruning: e.meta.kind shrinks the reader to meta.kind only") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.functions.{GraftFunctions => GFF}
+    val src = Seq((1L, ("a", 1.5, 3), Map("x" -> 1L)), (2L, ("b", 2.5, 4), Map("y" -> 2L)))
+    val base = src.toDF("id", "m", "attrs")
+      .select(col("id"), struct(col("m._1").as("kind"), col("m._2").as("score"),
+        col("m._3").as("depth")).as("meta"), col("attrs"))
+    val schemaJson = AvroSchemas.toAvro(base.schema, "nv").toString
+    val payloadRows = base
+      .select(GFF.to_avro(struct(base.columns.map(col): _*), schemaJson).as("v"))
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq
+    // RDD-backed so ConvertToLocalRelation can't fold the decode away
+    val rddDf = s0.createDataset(s0.sparkContext.parallelize(payloadRows, 1)).toDF("value")
+    val q = rddDf.select(GFF.from_avro(col("value"), schemaJson).as("e"), lit(1).as("k"))
+      .select(col("e.meta.kind").as("kind"), col("k"))
+    val decoded = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case d: graft.functions.AvroDecode => d })
+    assert(decoded.nonEmpty)
+    val reader = new Schema.Parser().parse(decoded.head.readerSchemaJson)
+    assert(reader.getFields.size() == 1 && reader.getFields.get(0).name() == "meta",
+      s"outer not pruned: $reader")
+    val (rec, _) = AvroSchemas.unwrapNullable(reader.getFields.get(0).schema())
+    assert(rec.getFields.size() == 1 && rec.getFields.get(0).name() == "kind",
+      s"inner not pruned: $rec")
+    assert(q.collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("PruneAvroDecode rewrites the reader schema to referenced fields only") {
     val s0 = spark
     import s0.implicits._
