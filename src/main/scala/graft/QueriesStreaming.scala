@@ -179,5 +179,66 @@ object QueriesStreaming {
       Some("""SELECT user_id, max(ts) AS last_ts,
                     arg_max(event_type, ts) AS last_type,
                     arg_max(value, ts) AS last_value
-             FROM events GROUP BY user_id ORDER BY user_id""")))
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Streaming half of the Kafka source (KafkaEventSource.readStream)
+    // end-to-end over FakeKafka's micro-batch stream — the streaming twin
+    // of q41's batch scan. The log head starts at 2000 and grows 2000
+    // offsets per micro-batch to 8000, so the run REALLY progresses through
+    // four micro-batches (start-offset handoff, per-batch offset planning,
+    // commit); the broker only receives the coarse start offset 1000, and
+    // the decoded stream re-applies the pruned multi-range window
+    // [1000,3000)∪[5000,6000) as a residual `_offset` filter; offsets
+    // divisible by 500 carry garbage payloads and must drop in-flight (C6
+    // malformed semantics on the streaming path). Content is a closed-form
+    // function of (partition, offset), so DuckDB replays the whole thing
+    // with generate_series. sum(user_id) stands in for q41's
+    // countDistinct — distinct aggregation is unsupported in streaming, and
+    // user_id is injective in (offset, partition) anyway. Driven by
+    // processAllAvailable (not AvailableNow) so the growing head is chased
+    // to quiescence — the live-topic catch-up shape.
+    NamedQuery("s06_stream_kafka_log",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        val src = graft.sources.KafkaEventSource("fake:9092",
+          codec = graft.sources.JsonPayloadCodec,
+          offsetRanges = Seq(
+            graft.plans.OffsetRange(1000, Some(3000)),
+            graft.plans.OffsetRange(5000, Some(6000))),
+          partitionsOf = _ => 2,
+          extraOptions = Map(
+            "fake.partitions" -> "2",
+            "fake.latest" -> "2000",
+            "fake.advancePerBatch" -> "2000",
+            "fake.maxLatest" -> "8000",
+            "fake.corruptEvery" -> "500"),
+          format = "graft.sources.FakeKafka")
+        val agg = src.readStream(s, "tpch", "events", schema)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"))
+        val name = sink("s06", dir)
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""WITH offs AS (
+               SELECT unnest(generate_series(1000, 2999)) AS o
+               UNION ALL
+               SELECT unnest(generate_series(5000, 5999)) AS o),
+             parts AS (SELECT unnest(generate_series(0, 1)) AS p),
+             rows AS (
+               SELECT o, p,
+                      (['click','view','purchase','scroll'])[(o % 4) + 1] AS event_type,
+                      o * 2 + p AS user_id
+               FROM offs CROSS JOIN parts
+               WHERE o % 500 <> 0)
+             SELECT event_type, count(*) AS n,
+                    CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                    min(o) AS min_off, max(o) AS max_off
+             FROM rows GROUP BY event_type ORDER BY event_type""")))
 }
