@@ -1420,6 +1420,61 @@ object QueriesCore {
                     CAST(sum(COALESCE(list_aggregate(list_transform(json_keys(props),
                       k -> json_extract(props, '$$.' || k)::BIGINT), 'sum'), 0))
                       AS BIGINT) AS sum_attrs
-             FROM events GROUP BY event_type ORDER BY event_type""")))
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -------------------------------------- q60 higher-order array lambdas
+    // Lambda surface over collected arrays: per order, the sorted quantity
+    // vector, then transform (×2), filter (> 25), and aggregate (running
+    // long sum) — the Catalyst HigherOrderFunction family (no UDFs; lambda
+    // bodies are codegen-compatible expressions evaluated per element).
+    // collect_list order is partition-dependent, so array_sort immediately
+    // canonicalizes it (the only order both engines agree on); quantities
+    // are integer-valued doubles → cast long makes every derived value
+    // exact. One shuffle (groupBy orderkey); the lambda work is map-side.
+    NamedQuery("q60_higher_order_funcs",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("q"))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          size(col("qs")).cast("long").as("n_items"),
+          expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("sum_q"),
+          size(expr("filter(qs, x -> x > 25)")).cast("long").as("n_big"),
+          expr("transform(qs, x -> x * 2)").getItem(0).as("min_doubled"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, len(qs) AS n_items,
+                    CAST(list_aggregate(qs, 'sum') AS BIGINT) AS sum_q,
+                    len(list_filter(qs, x -> x > 25)) AS n_big,
+                    list_transform(qs, x -> x * 2)[1] AS min_doubled
+             FROM (SELECT l_orderkey,
+                          list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+                   FROM lineitem WHERE l_orderkey % 50 = 0
+                   GROUP BY l_orderkey)
+             ORDER BY l_orderkey""")),
+
+    // --------------------------------------------- q61 regexp_extract_all
+    // Multi-match regex extraction (one row → many matches): pull every
+    // integer literal out of the semi-structured props payload, explode,
+    // and aggregate per event_type. Both engines share POSIX-safe `[0-9]+`
+    // and exact integer sums. Extraction is per-row codegen; the only
+    // shuffle is the final partial-agg on event_type.
+    NamedQuery("q61_regexp_extract_all",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          explode(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("num"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("num").cast("long")).as("sum_nums"),
+          max(length(col("num"))).cast("long").as("max_digits"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n_matches,
+                    CAST(sum(CAST(num AS BIGINT)) AS BIGINT) AS sum_nums,
+                    CAST(max(length(num)) AS BIGINT) AS max_digits
+             FROM (SELECT event_type,
+                          unnest(regexp_extract_all(props, '[0-9]+')) AS num
+                   FROM events)
+             GROUP BY event_type ORDER BY event_type""")))
 
 }

@@ -487,13 +487,13 @@ object QueriesPipeline {
       (s, dir) => {
         import SimHashParams._
         val toks = sharedShingleHashes(s, dir)
-        val bitCols = (0 until Bits).map { j =>
-          sum(when(GF.affineHash(col("h"), a(j), b(j)) > Half, 1).otherwise(-1)).as(s"w$j")
-        }
-        val sig = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-          .select(col("doc_id"),
-            (0 until Bits).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
-              .reduce(_ + _).as("sig"))
+        // all 32 vote counters fold in ONE imperative aggregate (see
+        // SimHashSig's scaladoc: the 32-column sum(when(...)) formulation
+        // generated a JIT-hostile huge update method; vote math unchanged)
+        val sig = toks.groupBy(col("doc_id"))
+          .agg(graft.functions.SimHashSig.simhash_sig(col("h"),
+            (0 until Bits).map(a).toArray, (0 until Bits).map(b).toArray,
+            P, Half).as("sig"))
         val blocks = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until Blocks).map(bk =>
             shiftright(col("sig"), bk * BlockBits) % (1 << BlockBits)): _*))
@@ -1866,6 +1866,169 @@ object QueriesPipeline {
                       / count(*) AS mean_quality,
                     sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS n_short,
                     count(DISTINCT lang) AS n_langs
-             FROM documents GROUP BY source ORDER BY source"""))
+             FROM documents GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------- p37 per-source quota
+    // Corpus curation's domain-cap: keep at most K documents per source
+    // (web-crawl corpora cap per-domain volume so no single site dominates
+    // training data), preferring longer docs, ties to the lowest id. ONE
+    // shuffle on source; the rank<=K predicate is pushed into the sort as
+    // a WindowGroupLimit (ScaleSpec pins it), so each map partition keeps
+    // only its local top-K per source — at 100 TB the reducer receives
+    // O(sources × K), not the corpus.
+    NamedQuery("p37_source_quota",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .withColumn("rank_in_source", row_number().over(w).cast("long"))
+          .filter(col("rank_in_source") <= 10)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            col("rank_in_source"))
+          .orderBy(col("source"), col("rank_in_source"))
+      },
+      Some("""SELECT source, doc_id, n_chars, rank_in_source FROM (
+               SELECT source, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS rank_in_source
+               FROM documents)
+             WHERE rank_in_source <= 10
+             ORDER BY source, rank_in_source""")),
+
+    // ---------------------------------------------- p38 document chunking
+    // Chunk every document into overlapping character windows (size 120,
+    // stride 90) — the embedding-pipeline primitive that turns one long
+    // document into retrieval units with boundary overlap. Pure map-side:
+    // sequence+transform+explode inside one codegen stage, no shuffle
+    // until the output sort; at 100 TB the chunker is a flat map whose
+    // output feeds the embedding batcher directly. Chunk count =
+    // 1 + ceil(max(len-size,0)/stride); exact integer arithmetic in both
+    // engines (floor of a small-integer division), chunk text via the
+    // shared 1-based substring semantics.
+    NamedQuery("p38_doc_chunking",
+      (s, dir) => {
+        val size = 120
+        val stride = 90
+        val len = length(col("text"))
+        val extra = greatest(len - lit(size), lit(0))
+        val nLast = floor((extra + lit(stride - 1)) / lit(stride)).cast("int")
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nLast),
+              i => col("text").substr(lit(1) + i * stride, lit(size))))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            (col("chunk_idx") * stride + 1).cast("long").as("chunk_start"),
+            length(col("chunk")).cast("long").as("chunk_len"), col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""SELECT doc_id, i AS chunk_idx,
+                    CAST(i * 90 + 1 AS BIGINT) AS chunk_start,
+                    CAST(length(substr(text, CAST(i * 90 + 1 AS INT), 120)) AS BIGINT)
+                      AS chunk_len,
+                    substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
+             FROM (SELECT doc_id, text,
+                          unnest(generate_series(0,
+                            CAST(floor((greatest(length(text) - 120, 0) + 89) / 90.0)
+                              AS BIGINT))) AS i
+                   FROM documents WHERE n_chars > 0)
+             ORDER BY doc_id, chunk_idx""")),
+
+    // -------------------------------------------- p39 sequence packing
+    // Deterministic context-window packing: within each source, documents
+    // in id order are laid into 512-token bins by exclusive running token
+    // count (bin = floor(prior_tokens / capacity)) — the training-shard
+    // packer that decides which docs share a context window, made
+    // order-stable so re-runs produce identical shards. The running sum
+    // partitions by source (NEVER a global single-partition window — that
+    // is the scale trap); the follow-up groupBy(source, bin) reuses the
+    // same hash partitioning on source, so the whole operator is ONE
+    // exchange (ScaleSpec pins it).
+    NamedQuery("p39_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val capacity = 512
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(GF.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("bin", floor(col("prior") / lit(capacity.toDouble)).cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(s"""WITH tk AS (
+               SELECT source, doc_id, CAST(len(${GF.sqlTokens("text")}) AS BIGINT) AS n_tok
+               FROM documents),
+             packed AS (
+               SELECT source, doc_id, n_tok,
+                      CAST(floor(COALESCE(sum(n_tok) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+               FROM tk)
+             SELECT source, bin, count(*) AS n_docs,
+                    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                    min(doc_id) AS first_doc
+             FROM packed GROUP BY source, bin ORDER BY source, bin""")),
+
+    // -------------------------------------- p40 bigram collocations
+    // Corpus-level collocation mining: adjacent-token bigram counts joined
+    // with both unigram margins — the integer backbone of PMI/log-lift
+    // collocation scores (the transcendental score itself stays out of the
+    // hashed columns per the engine's cross-engine-stability discipline;
+    // lift = one IEEE division of exact integers, bit-stable everywhere).
+    // Shape at 100 TB: bigram emission is map-side (transform+explode),
+    // counts are two map-side-partial shuffles, and the margin joins
+    // broadcast the (vocabulary-sized) unigram table twice.
+    NamedQuery("p40_bigram_collocations",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val t = col("t")
+        val pairs = docs.select(GF.tokens(col("text")).as("t"))
+          // sequence(1, size-1) would run DESCENDING for a 1-token doc
+          // (Spark's auto step is -1 when stop < start) — excluded here
+          .filter(size(t) >= 2)
+          .select(explode(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
+            .as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"))
+        val uni = docs.select(explode(GF.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val total = docs.select(sum(size(GF.tokens(col("text")))).cast("long").as("nt"))
+        pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
+          .join(broadcast(uni.select(col("w").as("l"), col("n").as("n_l"))), "l")
+          .join(broadcast(uni.select(col("w").as("r"), col("n").as("n_r"))), "r")
+          .crossJoin(broadcast(total))
+          .select(col("l"), col("r"), col("n_pair"), col("n_l"), col("n_r"),
+            ((col("n_pair") * col("nt")).cast("double") /
+              (col("n_l") * col("n_r")).cast("double")).as("lift"))
+          .filter(col("n_pair") >= 20)
+          .orderBy(col("n_pair").desc, col("l"), col("r"))
+          .limit(40)
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM documents),
+             pairs AS (
+               SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i])) AS l,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i+1])) AS r
+               FROM toks),
+             uni AS (
+               SELECT unnest(t) AS w FROM toks),
+             un AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+             total AS (SELECT count(*) AS nt FROM uni),
+             bg AS (SELECT l, r, count(*) AS n_pair FROM pairs GROUP BY l, r)
+             SELECT l, r, n_pair, ul.n AS n_l, ur.n AS n_r,
+                    CAST(n_pair * nt AS DOUBLE) / CAST(ul.n * ur.n AS DOUBLE) AS lift
+             FROM bg JOIN un ul ON ul.w = l
+                     JOIN un ur ON ur.w = r, total
+             WHERE n_pair >= 20
+             ORDER BY n_pair DESC, l, r LIMIT 40"""))
   )
 }

@@ -240,5 +240,58 @@ object QueriesStreaming {
              SELECT event_type, count(*) AS n,
                     CAST(sum(user_id) AS BIGINT) AS sum_uid,
                     min(o) AS min_off, max(o) AS max_off
-             FROM rows GROUP BY event_type ORDER BY event_type""")))
+             FROM rows GROUP BY event_type ORDER BY event_type""")),
+
+    // Custom per-key session state via flatMapGroupsWithState (the
+    // KeyValueGroupedDataset state API s02's built-in session_window can't
+    // replace: arbitrary per-session aggregates, explicit event-time
+    // timeouts). Sessions (6 h gap) emit in Append mode exactly once —
+    // mid-run when a later event closes them, or by EVENT-TIME TIMEOUT in
+    // the engine's watermark-advancing no-data batch after the last file
+    // batch. The oracle replays the same semantics in batch SQL: gap-split
+    // sessions per user on epoch-ms (java.sql.Timestamp.getTime floors µs
+    // to ms — epoch_ms does the same), everything but each user's open
+    // tail emits, and the tail emits iff its timeout (last event + gap)
+    // fell strictly below the final watermark (global max event ms - 1 h)
+    // — FlatMapGroupsWithStateExec's strict-< eviction predicate.
+    // total_value is deliberately NOT an output column: per-session double
+    // accumulation order is tie-dependent; counts and ms bounds are exact.
+    NamedQuery("s07_stream_custom_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val gapMs = 6L * 3600 * 1000
+        val ev = eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast("timestamp").as("ts"), col("value"))
+          .as[graft.streaming.EventStreams.Event]
+        val sessions = graft.streaming.EventStreams
+          .sessionize(ev, gapMs = gapMs, watermark = "1 hour")
+        runToTable(s, sink("s07", dir), sessions.toDF(), mode = "append")
+          .select(col("user_id"), col("start").as("s_start"),
+            col("end").as("s_end"), col("n_events"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             marked AS (
+               SELECT user_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                           OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             sess AS (
+               SELECT user_id, ms,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM marked),
+             agg AS (
+               SELECT user_id, sid, min(ms) AS sms, max(ms) AS ems,
+                      count(*) AS n_events
+               FROM sess GROUP BY user_id, sid),
+             tail AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
+             wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+             SELECT user_id, make_timestamp(sms * 1000) AS s_start,
+                    make_timestamp(ems * 1000) AS s_end, n_events
+             FROM agg JOIN tail USING (user_id), wm
+             WHERE sid < last_sid OR ems + 21600000 < w
+             ORDER BY user_id, s_start""")))
 }

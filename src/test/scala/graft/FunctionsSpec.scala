@@ -159,4 +159,28 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 1.0)
   }
+
+  test("SimHashSig aggregate equals the 32-column vote formulation") {
+    // parity pin for p04's imperative aggregate: identical vote math as the
+    // sum(when(affineHash > half)) column form it replaced, group by group
+    import spark.implicits._
+    val bits = 32
+    val p = PolyHash.Mod
+    val half = p / 2
+    val as = (0 until bits).map(j => ((j + 1) * 73939L + 3) % p).toArray
+    val bs = (0 until bits).map(j => ((j + 1) * 104729L + 17) % p).toArray
+    val rows = (1 to 500).map(i => (i % 17L, (i * 2654435761L) % p))
+    val df = rows.toDF("g", "h")
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.functions.SimHashSig.simhash_sig(col("h"), as, bs, p, half).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val voteCols = (0 until bits).map(j =>
+      sum(when(GF.affineHash(col("h"), as(j), bs(j)) > half, 1).otherwise(-1)).as(s"w$j"))
+    val viaCols = df.groupBy(col("g")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("g"),
+        (0 until bits).map(j => when(col(s"w$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaCols)
+  }
 }

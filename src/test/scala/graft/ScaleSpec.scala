@@ -234,4 +234,37 @@ class ScaleSpec extends SparkTestBase {
         s"salted=${r.getDouble(1)} plain=${plain.getDouble(1)}")
     } finally s0.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("p37 source quota: rank<=K pushes into the sort as WindowGroupLimit") {
+    val p = plan("p37_source_quota")
+    // map partitions keep only their local top-K per source; the reducer
+    // sees O(sources × K), not the corpus
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("p38 chunking is map-side: no exchange below the output sort") {
+    val p = plan("p38_doc_chunking")
+    // exactly one Exchange — the rangepartitioning for the final ORDER BY;
+    // the chunker itself (sequence/transform/explode/substr) never shuffles
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      p)
+  }
+
+  test("p39 packing: window and bin aggregation share ONE hash exchange") {
+    val p = plan("p39_sequence_packing")
+    // the running-sum window partitions by source; groupBy(source, bin) is
+    // satisfied by the same hashpartitioning(source) — no second shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // and the window is NEVER a global single-partition sort
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("p40 collocations: unigram margins broadcast onto the bigram counts") {
+    val p = plan("p40_bigram_collocations")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-40 by count is TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
