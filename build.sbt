@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 32 executor threads in ONE heap: 8g forced G1 into mixed-collection
+  // storms once shared caches + shuffle buffers piled up — measured as
+  // roaming ~10 s penalties on whichever query was live when the heap
+  // filled (different victims every bench run). The box has 128 GiB;
+  // give the single-JVM stand-in for a 32-executor cluster a heap that
+  // matches its parallelism.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++
+  // diagnostic passthrough (e.g. SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:file=/tmp/gc.log"
+  // to correlate bench outliers with collector pauses); empty by default
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -23,6 +23,24 @@ import NamedQuery.{decSum, sqlDecSum}
   */
 object QueriesStreaming {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session value after. Streaming state stores carry FIXED per-partition
+    * cost every micro-batch (delta file + snapshot + maintenance per
+    * store; a stream-stream join runs FOUR stores per partition), so state
+    * partitions are sized to key cardinality — the standard per-stream ops
+    * knob, set here once at stream definition (a restarted stream keeps
+    * the partitioning in its checkpoint). The fixtures have ~150 users →
+    * 8 partitions; a 100 TB stream sizes UP by the same rule (target
+    * state-per-partition, e.g. thousands of partitions for billions of
+    * keys). Batch entries keep the session default (= cores).
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run `df` (a streaming frame) to completion into a memory sink and
     * return the sink table. The sink name is derived from the fixture dir
     * so concurrent sessions on different SFs never collide; name reuse
@@ -64,7 +82,7 @@ object QueriesStreaming {
     // SQL. decSum keeps the double aggregation order-insensitive across
     // micro-batch merge order (same technique as the batch queries).
     NamedQuery("s01_stream_daily_stats",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val agg = eventsStream(s, dir)
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
@@ -83,7 +101,7 @@ object QueriesStreaming {
     // stateful operator merges sessions incrementally across micro-batches;
     // the oracle derives identical extents from the batch formulation.
     NamedQuery("s02_stream_sessions",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val agg = eventsStream(s, dir)
           .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -120,7 +138,7 @@ object QueriesStreaming {
     // doesn't grow with stream length; unbounded state is fine for a
     // finite backfill like this one.
     NamedQuery("s03_stream_dedup",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val dedup = eventsStream(s, dir)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
@@ -139,7 +157,7 @@ object QueriesStreaming {
     // exactly the matched pairs regardless of micro-batch cut points, so
     // the streamed result set equals the batch theta-join the oracle runs.
     NamedQuery("s04_stream_stream_join",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         // stream-stream watermarks require TIMESTAMP (not NTZ); the session
         // is pinned to UTC everywhere, so the NTZ→TZ→NTZ round-trip is the
         // identity on the underlying instant
@@ -168,7 +186,7 @@ object QueriesStreaming {
     // table. ts is unique per user, so the argmax is merge-order
     // independent and the result equals the batch oracle bit-for-bit.
     NamedQuery("s05_stream_latest_by_key",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         val agg = eventsStream(s, dir)
           .groupBy(col("user_id"))
           .agg(max(col("ts")).as("last_ts"),
@@ -198,7 +216,7 @@ object QueriesStreaming {
     // processAllAvailable (not AvailableNow) so the growing head is chased
     // to quiescence — the live-topic catch-up shape.
     NamedQuery("s06_stream_kafka_log",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val schema = StructType(Seq(
           StructField("user_id", LongType),
@@ -257,7 +275,7 @@ object QueriesStreaming {
     // total_value is deliberately NOT an output column: per-session double
     // accumulation order is tie-dependent; counts and ms bounds are exact.
     NamedQuery("s07_stream_custom_sessions",
-      (s, dir) => {
+      (s, dir) => withStatePartitions(s, 8) {
         import s.implicits._
         val gapMs = 6L * 3600 * 1000
         val ev = eventsStream(s, dir)
