@@ -1475,6 +1475,37 @@ object QueriesCore {
              FROM (SELECT event_type,
                           unnest(regexp_extract_all(props, '[0-9]+')) AS num
                    FROM events)
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // --------------------------------------------- q62 ROWS-offset frame
+    // Physical-row sliding frame (ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
+    // — the row-counted twin of q13's value-ranged frame. The ORDER BY
+    // carries a unique tie-break (o_orderkey), so frame membership is
+    // engine-independent; the frame SUM is decimal-quantized (exact, any
+    // association order — Spark accumulates running, DuckDB uses segment
+    // trees) and cast once to double. One shuffle on o_custkey; the frame
+    // scan is a bounded per-partition pass.
+    NamedQuery("q62_window_rows_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, 1)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(23, 6))).over(w)
+              .cast("double").as("mov_sum"),
+            count(lit(1)).over(w).as("n_frame"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(23,6))) OVER w AS DOUBLE) AS mov_sum,
+               count(*) OVER w AS n_frame
+             FROM orders WHERE o_custkey < 100
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
+             ORDER BY o_custkey, o_orderkey""")))
 
 }

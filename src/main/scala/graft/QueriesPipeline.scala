@@ -2029,6 +2029,44 @@ object QueriesPipeline {
              FROM bg JOIN un ul ON ul.w = l
                      JOIN un ur ON ur.w = r, total
              WHERE n_pair >= 20
-             ORDER BY n_pair DESC, l, r LIMIT 40"""))
+             ORDER BY n_pair DESC, l, r LIMIT 40""")),
+
+    // -------------------------------------- p41 containment dedup
+    // Doc-inside-doc duplication: Jaccard CONTAINMENT C(A in B) = |A∩B|/|A|
+    // over the SAME shared shingle index. Symmetric resemblance (p02's
+    // Jaccard) misses a small document wholly embedded in a much larger one
+    // — the union term drowns the overlap — while containment flags it at
+    // ~1.0; this is the boilerplate/quotation/wrapper-page duplication scan
+    // a training corpus needs alongside near-dup pairing. Directed pairs
+    // (id_a contained in id_b), na ≥ 5 so trivially tiny shingle sets don't
+    // alias as containment. Same single inverted-index self-join as p02 —
+    // candidates must share a shingle, never all-pairs; at 100 TB the index
+    // shards by shingle hash and a df-cap bounds hot-shingle fan-out
+    // exactly as in p21. Integer counts, one IEEE division — bit-stable.
+    NamedQuery("p41_dedup_containment",
+      (s, dir) => {
+        val sh = sharedShingleHashes(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("id_a"), col("h"))
+          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .filter(col("na") >= 5 &&
+            col("ni").cast("double") / col("na") >= 0.9)
+          .select(col("id_a"), col("id_b"),
+            (col("ni").cast("double") / col("na")).as("containment"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             inter AS (
+               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+               FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+             SELECT id_a, id_b, CAST(ni AS DOUBLE) / za.n AS containment
+             FROM inter JOIN sz za ON za.doc_id = id_a
+             WHERE za.n >= 5 AND CAST(ni AS DOUBLE) / za.n >= 0.9
+             ORDER BY id_a, id_b"""))
   )
 }

@@ -267,4 +267,22 @@ class ScaleSpec extends SparkTestBase {
     // top-40 by count is TakeOrderedAndProject, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q62 ROWS frame: one hash shuffle on the key, filter pushed to the scan") {
+    val p = plan("q62_window_rows_frame")
+    assert(p.contains("LessThan(o_custkey,100)"), p)
+    // the frame sum and count share one Window over one hashpartitioning;
+    // the only other exchange is the final ORDER BY's rangepartitioning
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p)
+  }
+
+  test("p41 containment: candidates from the shingle-index equi-join, never all-pairs") {
+    val p = plan("p41_dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join is an EQUI-join keyed on the shingle hash
+    // (broadcast at fixture scale; shuffled on h at corpus scale, exactly
+    // p02's shape) — never a cross product
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
