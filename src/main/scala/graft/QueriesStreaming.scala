@@ -311,5 +311,45 @@ object QueriesStreaming {
                     make_timestamp(ems * 1000) AS s_end, n_events
              FROM agg JOIN tail USING (user_id), wm
              WHERE sid < last_sid OR ems + 21600000 < w
-             ORDER BY user_id, s_start""")))
+             ORDER BY user_id, s_start""")),
+
+    // The PRODUCTION sink path: every other streaming entry lands in the
+    // memory-sink test harness; s08 drives foreachBatch → parquet — the
+    // streaming-materialized-view shape a 100 TB pipeline actually ships
+    // (each micro-batch atomically rewrites/upserts the downstream table;
+    // here complete-mode overwrite, at scale MERGE or partition overwrite
+    // by window). The aggregation is q53's hopping window (1 day, slide
+    // 6 h) maintained incrementally, decimal-quantized sum so micro-batch
+    // merge order can't move bits, then the FILE output is read back as
+    // the query result — so the oracle gate checks the whole loop:
+    // incremental state → sink write → re-read.
+    NamedQuery("s08_stream_foreachbatch_sink",
+      (s, dir) => withStatePartitions(s, 8) {
+        val outDir = s"/tmp/graft_s08_${java.lang.Integer.toHexString(dir.hashCode)}"
+        val agg = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("n"), col("sum_value"))
+        // explicit function type: foreachBatch is overloaded (Scala
+        // function vs Java VoidFunction2) and a bare lambda is ambiguous
+        val writeBatch: (DataFrame, Long) => Unit =
+          (batch, _) => batch.write.mode("overwrite").parquet(outDir)
+        val q = agg.writeStream
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .foreachBatch(writeBatch)
+          .start()
+        try require(q.awaitTermination(180000L), "stream s08 did not finish")
+        finally q.stop()
+        s.read.parquet(outDir).orderBy(col("w_start"), col("event_type"))
+      },
+      Some(s"""WITH wins AS (
+               SELECT event_type, value,
+                      TIMESTAMP '1970-01-01 00:00:00' +
+                        (CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
+                         - i * 21600) * INTERVAL 1 SECOND AS w_start
+               FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+             SELECT w_start, event_type, count(*) AS n,
+                    ${sqlDecSum("value")} AS sum_value
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
 }
