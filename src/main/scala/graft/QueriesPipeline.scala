@@ -2067,6 +2067,63 @@ object QueriesPipeline {
              SELECT id_a, id_b, CAST(ni AS DOUBLE) / za.n AS containment
              FROM inter JOIN sz za ON za.doc_id = id_a
              WHERE za.n >= 5 AND CAST(ni AS DOUBLE) / za.n >= 0.9
-             ORDER BY id_a, id_b"""))
+             ORDER BY id_a, id_b""")),
+
+    // -------------------------------------- p42 semantic dedup (SemDeDup)
+    // Cluster-bounded embedding dedup, the SemDeDup recipe (Abbas et al.,
+    // "SemDeDup: Data-efficient learning at web-scale through semantic
+    // deduplication", 2023, public): k-means-assign every vector (the SAME
+    // map-side NearestSeeds kernel as p14/p20 — zero exchange for
+    // assignment), then score pairs ONLY within a cluster. Candidate count
+    // is Σ|cluster|², never corpus² — at 100 TB k grows with the corpus so
+    // cluster sizes stay ~constant and the per-cluster self-join is a
+    // keyed shuffle on part. Cross-cluster near-dups are out of scope by
+    // construction (the paper's stated tradeoff); the sign-LSH family
+    // (p05) is the complementary recall path. Scoring runs p05's certified
+    // double fast path: a zero-allocation double dot prefilters at 0.9985
+    // (epsBound-sound: no exact-cos ≥ 0.999 pair can be discarded), exact
+    // decimal dot re-scores survivors — results bit-stable by construction.
+    NamedQuery("p42_semantic_dedup",
+      (s, dir) => {
+        val v = sharedNormVecs(s, dir)
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
+            col("norm").as("sn"))
+        val seedArr = seeds.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        val assigned = v.crossJoin(broadcast(seedArr))
+          .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"),
+            col("vec_id"), col("embedding"), col("norm"))
+        val a = assigned.select(col("part"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"), col("norm").as("na"))
+        val b = assigned.select(col("part"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"), col("norm").as("nb"))
+        a.join(b, Seq("part")).filter(col("id_a") < col("id_b"))
+          .filter(GF.dotDouble(col("ea"), col("eb")) / (col("na") * col("nb")) >= 0.9985)
+          .select(col("part"), col("id_a"), col("id_b"),
+            pairScore(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+          .filter(col("cos") >= 0.999)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             scoredseeds AS (
+               SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM vecs v CROSS JOIN seeds s),
+             assigned AS (
+               SELECT seed_id AS part, vec_id, embedding, norm FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, seed_id) AS rn
+                 FROM scoredseeds) WHERE rn = 1),
+             scored AS (
+               SELECT a.part AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+                      ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
+               FROM assigned a JOIN assigned b
+                 ON a.part = b.part AND a.vec_id < b.vec_id)
+             SELECT part, id_a, id_b, cos FROM scored
+             WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
   )
 }

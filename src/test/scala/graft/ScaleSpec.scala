@@ -285,4 +285,18 @@ class ScaleSpec extends SparkTestBase {
     // p02's shape) — never a cross product
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("p42 semantic dedup: map-side assignment, pair join cluster-keyed") {
+    val p = plan("p42_semantic_dedup")
+    // the k-means assignment is the NearestSeeds broadcast fold — the
+    // corpus is never shuffled by vector id
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    // candidate generation is an equi-join on the cluster key — bounded by
+    // Σ|cluster|², never an all-pairs cross product. (The only nested-loop
+    // join allowed is the ONE-ROW broadcast of the seed array — the same
+    // legitimate shape as p14/p20.)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
