@@ -83,16 +83,30 @@ object QueriesPipeline {
     * identical in the oracle (same hash), so results still match exactly.
     */
   private def shingleHashes(corpus: DataFrame): DataFrame = {
-    val t = col("t")
+    val ht = col("ht")
+    // hash each TOKEN once, then combine the three per-token hashes
+    // arithmetically per shingle position: ((h1·B + h2) mod M · B + h3)
+    // mod M. Equivalent role to hashing the joined string but with no
+    // per-shingle string allocation and one PolyHash per token instead of
+    // three-token strings — the index build is the dedup family's dominant
+    // scan, so this is its hot loop. All values < M < 2^30 and B < 2^20,
+    // so every product stays far below 2^63 (no overflow in either
+    // engine); the oracle composes identically. size ≥ 3 guard: Spark's
+    // sequence(1, n) runs DESCENDING for n < 1 (the p40 trap).
     corpus
-      .select(col("doc_id"), GF.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))).as("s"))
-      .select(col("doc_id"), GF.poly_hash(col("s")).as("h"))
+        transform(GF.tokens(col("text")), tk => GF.poly_hash(tk)).as("ht"))
+      .filter(size(ht) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(ht) - 2),
+          i => ((element_at(ht, i) * ShingleB + element_at(ht, i + 1)) % ShingleM
+            * ShingleB + element_at(ht, i + 2)) % ShingleM)).as("h"))
       .distinct()
   }
+
+  /** Shingle-combination constants, shared with the oracle twins. */
+  private val ShingleB = 1000003L
+  private val ShingleM = graft.functions.PolyHash.Mod
 
   /** The shingle inverted index, shared across the whole dedup family.
     * p02/p03/p04/p17 together reference the index ~9× (signatures,
@@ -215,13 +229,17 @@ object QueriesPipeline {
     * corpus: `corpus`, `sh` (doc_id, h), `sz` (doc_id, n).
     */
   private val sqlShingleCtes: String = {
-    val hashOfS = PolyHash.oracleSql("s")
+    val hashTok = PolyHash.oracleSql("tk")
     s"""corpus AS (${Corpus.docsSql}),
+       toksh AS (
+         SELECT doc_id, list_transform(${GF.sqlTokens("text")}, tk -> $hashTok) AS ht
+         FROM corpus),
        shingles AS (
-         SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         FROM (SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM corpus)),
-       sh AS (SELECT DISTINCT doc_id, $hashOfS AS h FROM shingles),
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(ht) - 2),
+                  i -> ((ht[i] * $ShingleB + ht[i+1]) % $ShingleM * $ShingleB
+                        + ht[i+2]) % $ShingleM)) AS h
+         FROM toksh WHERE len(ht) >= 3),
+       sh AS (SELECT DISTINCT doc_id, h FROM shingles),
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
   }
 
@@ -1732,11 +1750,16 @@ object QueriesPipeline {
              SELECT doc_id + 95000 AS doc_id,
                     array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
              FROM documents WHERE doc_id % 9 = 3),
+           btoksh AS (
+             SELECT doc_id, list_transform(${GF.sqlTokens("text")},
+                      tk -> ${PolyHash.oracleSql("tk")}) AS ht
+             FROM newb),
            bshingles AS (
-             SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
-                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-             FROM (SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM newb)),
-           bsh AS (SELECT DISTINCT doc_id, ${PolyHash.oracleSql("s")} AS h FROM bshingles),
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(ht) - 2),
+                      i -> ((ht[i] * $ShingleB + ht[i+1]) % $ShingleM * $ShingleB
+                            + ht[i+2]) % $ShingleM)) AS h
+             FROM btoksh WHERE len(ht) >= 3),
+           bsh AS (SELECT DISTINCT doc_id, h FROM bshingles),
            bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
            csig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
            bsig AS (SELECT doc_id, $sigExprs FROM bsh GROUP BY doc_id),
