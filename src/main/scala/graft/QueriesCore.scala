@@ -1506,6 +1506,43 @@ object QueriesCore {
              FROM orders WHERE o_custkey < 100
              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING)
-             ORDER BY o_custkey, o_orderkey""")))
+             ORDER BY o_custkey, o_orderkey""")),
+
+    // --------------------------------------------- q63 null-safe join
+    // NULL-safe equality join (Spark `<=>`, SQL IS NOT DISTINCT FROM): the
+    // join class where NULL keys MATCH each other instead of silently
+    // dropping — the semantics ETL needs when a bucketing key is nullable
+    // (plain equi-join loses the NULL bucket on both sides). Both inputs
+    // pre-aggregate to one row per key (including exactly one NULL-key
+    // row), so the join is deterministic and broadcast-sized; Spark plans
+    // EqualNullSafe as a hashable join key, not a residual filter.
+    NamedQuery("q63_null_safe_join",
+      (s, dir) => {
+        val a = t(s, dir, "orders")
+          .select(when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey") % 100).as("k"), col("o_totalprice"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("sum_price"))
+        val b = t(s, dir, "customer")
+          .select(when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(col("c_custkey") % 100).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("n_orders"), col("sum_price"), col("n_cust"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH a AS (
+               SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+                           ELSE o_custkey % 100 END AS k,
+                      count(*) AS n_orders, ${sqlDecSum("o_totalprice")} AS sum_price
+               FROM orders GROUP BY 1),
+             b AS (
+               SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_custkey % 100 END AS k,
+                      count(*) AS n_cust
+               FROM customer GROUP BY 1)
+             SELECT a.k AS k, n_orders, sum_price, n_cust
+             FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+             ORDER BY k""")))
 
 }

@@ -286,6 +286,14 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q63 null-safe join: EqualNullSafe is a hashable join key, not a filter") {
+    val p = plan("q63_null_safe_join")
+    // <=> must plan as an equi-join (hash/sort-merge on the null-safe
+    // key) — a nested-loop join with a residual would scan a×b at scale
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("p42 semantic dedup: map-side assignment, pair join cluster-keyed") {
     val p = plan("p42_semantic_dedup")
     // the k-means assignment is the NearestSeeds broadcast fold — the
