@@ -1457,13 +1457,16 @@ object QueriesCore {
     // --------------------------------------------- q61 regexp_extract_all
     // Multi-match regex extraction (one row → many matches): pull every
     // integer literal out of the semi-structured props payload, explode,
-    // and aggregate per event_type. Both engines share POSIX-safe `[0-9]+`
-    // and exact integer sums. Extraction is per-row codegen; the only
+    // and aggregate per event_type. Both engines share POSIX-safe
+    // `[0-9]{1,18}` — the length bound keeps every match castable to BIGINT
+    // in BOTH engines (Spark's non-ANSI cast of a >19-digit run yields NULL
+    // while DuckDB's CAST errors; greedy leftmost matching splits longer
+    // runs identically in both) — and exact integer sums. Extraction is per-row codegen; the only
     // shuffle is the final partial-agg on event_type.
     NamedQuery("q61_regexp_extract_all",
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),
-          explode(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0))).as("num"))
+          explode(regexp_extract_all(col("props"), lit("[0-9]{1,18}"), lit(0))).as("num"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_matches"),
           sum(col("num").cast("long")).as("sum_nums"),
@@ -1473,7 +1476,7 @@ object QueriesCore {
                     CAST(sum(CAST(num AS BIGINT)) AS BIGINT) AS sum_nums,
                     CAST(max(length(num)) AS BIGINT) AS max_digits
              FROM (SELECT event_type,
-                          unnest(regexp_extract_all(props, '[0-9]+')) AS num
+                          unnest(regexp_extract_all(props, '[0-9]{1,18}')) AS num
                    FROM events)
              GROUP BY event_type ORDER BY event_type""")),
 
@@ -1529,7 +1532,7 @@ object QueriesCore {
           .groupBy(col("k")).agg(count(lit(1)).as("n_cust"))
         a.join(b, a("k") <=> b("k"))
           .select(a("k").as("k"), col("n_orders"), col("sum_price"), col("n_cust"))
-          .orderBy(col("k"))
+          .orderBy(col("k").asc_nulls_first)
       },
       Some(s"""WITH a AS (
                SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
@@ -1543,6 +1546,6 @@ object QueriesCore {
                FROM customer GROUP BY 1)
              SELECT a.k AS k, n_orders, sum_price, n_cust
              FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-             ORDER BY k""")))
+             ORDER BY k NULLS FIRST""")))
 
 }

@@ -33,6 +33,13 @@ object QueriesStreaming {
     * 8 partitions; a 100 TB stream sizes UP by the same rule (target
     * state-per-partition, e.g. thousands of partitions for billions of
     * keys). Batch entries keep the session default (= cores).
+    *
+    * SEQUENTIAL-ONLY: this mutates the shared session conf and restores it
+    * in `finally`, which is safe under the harness's one-query-at-a-time
+    * execution (Verify/Bench/specs all run entries sequentially). If
+    * concurrent query execution on one session is ever introduced, scope
+    * the setting per stream instead (e.g. the SQLConf-tagged
+    * `RuntimeConfig` clone or a dedicated session via `newSession()`).
     */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -314,34 +321,75 @@ object QueriesStreaming {
              ORDER BY user_id, s_start""")),
 
     // The PRODUCTION sink path: every other streaming entry lands in the
-    // memory-sink test harness; s08 drives foreachBatch → parquet — the
-    // streaming-materialized-view shape a 100 TB pipeline actually ships
-    // (each micro-batch atomically rewrites/upserts the downstream table;
-    // here complete-mode overwrite, at scale MERGE or partition overwrite
-    // by window). The aggregation is q53's hopping window (1 day, slide
-    // 6 h) maintained incrementally, decimal-quantized sum so micro-batch
-    // merge order can't move bits, then the FILE output is read back as
-    // the query result — so the oracle gate checks the whole loop:
-    // incremental state → sink write → re-read.
+    // memory-sink test harness; s08 drives foreachBatch → parquet with
+    // INCREMENTAL partition overwrite — the streaming-materialized-view
+    // shape a 100 TB pipeline actually ships. The fixture is staged as 4
+    // time-ranged files and streamed with maxFilesPerTrigger=1, so the run
+    // REALLY progresses through 4 micro-batches; the aggregation is q53's
+    // hopping window (1 day, slide 6 h) maintained incrementally in UPDATE
+    // mode, so each micro-batch's foreachBatch sees ONLY the (window, key)
+    // groups that changed — each row the complete current aggregate for
+    // its group — and dynamic partition overwrite keyed by
+    // (w_sec, event_type) replaces exactly the touched partitions, leaving
+    // the rest of the table untouched. That is the upsert-by-partition
+    // discipline that makes a continuously-maintained 100 TB table
+    // affordable (a complete-mode rewrite grows with TABLE size; this
+    // write grows with BATCH-touched keys). decSum keeps the double sum
+    // invariant across micro-batch merge order; the FILE output is read
+    // back as the query result, so the oracle gate checks the whole loop:
+    // incremental state → partition-overwrite sink → re-read. Scratch dirs
+    // are per-invocation (createTempDirectory) and deleted after the
+    // read-back is materialized, so concurrent runs can never clobber or
+    // replay each other's output.
     NamedQuery("s08_stream_foreachbatch_sink",
       (s, dir) => withStatePartitions(s, 8) {
-        val outDir = s"/tmp/graft_s08_${java.lang.Integer.toHexString(dir.hashCode)}"
-        val agg = eventsStream(s, dir)
-          .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
-          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
-          .select(col("window.start").as("w_start"), col("event_type"),
-            col("n"), col("sum_value"))
-        // explicit function type: foreachBatch is overloaded (Scala
-        // function vs Java VoidFunction2) and a bare lambda is ambiguous
-        val writeBatch: (DataFrame, Long) => Unit =
-          (batch, _) => batch.write.mode("overwrite").parquet(outDir)
-        val q = agg.writeStream
-          .outputMode("complete").trigger(Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        try require(q.awaitTermination(180000L), "stream s08 did not finish")
-        finally q.stop()
-        s.read.parquet(outDir).orderBy(col("w_start"), col("event_type"))
+        import java.nio.file.Files
+        val stage = Files.createTempDirectory("graft_s08_in_")
+        val outDir = Files.createTempDirectory("graft_s08_out_")
+        try {
+          // stage the single-file fixture as 4 time-ranged files: the
+          // chunked-backfill shape (each chunk ≈ a time slice arriving in
+          // order), giving AvailableNow four real incremental batches
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(s"$dir/events.parquet")
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          val agg = ev
+            .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+            // partition key as epoch seconds: directory-name-stable, and
+            // session is UTC-pinned so ntz→tz is the identity instant
+            .select(unix_timestamp(col("window.start").cast("timestamp")).as("w_sec"),
+              col("event_type"), col("n"), col("sum_value"))
+          // explicit function type: foreachBatch is overloaded (Scala
+          // function vs Java VoidFunction2) and a bare lambda is ambiguous
+          val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+            batch.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("w_sec", "event_type")
+              .parquet(outDir.toString)
+          val q = agg.writeStream
+            .outputMode("update").trigger(Trigger.AvailableNow())
+            .foreachBatch(writeBatch)
+            .start()
+          try require(q.awaitTermination(180000L), "stream s08 did not finish")
+          finally q.stop()
+          // materialize the read-back (localCheckpoint pins the rows in the
+          // block manager) so the scratch dirs can be deleted immediately
+          s.read.parquet(outDir.toString)
+            .select(timestamp_seconds(col("w_sec").cast("long"))
+              .cast("timestamp_ntz").as("w_start"),
+              col("event_type"), col("n"), col("sum_value"))
+            .localCheckpoint()
+            .orderBy(col("w_start"), col("event_type"))
+        } finally {
+          graft.util.Fs.deleteRecursively(stage)
+          graft.util.Fs.deleteRecursively(outDir)
+        }
       },
       Some(s"""WITH wins AS (
                SELECT event_type, value,

@@ -14,4 +14,15 @@ object Fs {
     try f(stream.iterator().asScala).toSeq.sorted
     finally stream.close()
   }
+
+  /** Best-effort recursive delete (deepest-first walk); used to clean up
+    * per-invocation scratch directories. Missing paths are a no-op.
+    */
+  def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val stream = Files.walk(p)
+    try stream.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally stream.close()
+  }
 }
