@@ -81,6 +81,45 @@ object QueriesStreaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
+  /** Stage the single-file events fixture as `chunks` time-ranged files in
+    * a per-invocation scratch dir and run `body` over a file stream reading
+    * them one per micro-batch — the chunked-backfill shape: each chunk is a
+    * time slice arriving in order, so watermarks advance batch-by-batch and
+    * append-mode eviction happens INCREMENTALLY (mid-run emission), not
+    * only in the terminal no-data batch. Range staging guarantees
+    * chunk k's rows all precede chunk k+1's, so no fixture row is ever
+    * late — the gate stays deterministic while the production eviction
+    * path really executes (the late-DROP path is pinned separately by
+    * StreamingSpec's MemoryStream tests). Scratch dir is deleted after
+    * `body` returns; callers must materialize before returning.
+    */
+  private def withStagedEventsStream[T](s: SparkSession, dir: String, chunks: Int)
+                                       (body: DataFrame => T): T = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(chunks, col("ts"))
+        .write.mode("overwrite").parquet(stage.toString)
+      // FileStreamSource orders files by MODIFICATION TIME, and the
+      // parallel write gives all chunks near-identical mtimes — stagger
+      // them along the part-file order (range partition k = k-th time
+      // slice) so micro-batches really arrive in event-time order;
+      // otherwise a later slice processed first advances the watermark and
+      // earlier slices get dropped as late (observed: 114/145 windows)
+      graft.util.Fs.listDir(stage)(_.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString)).zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      body(ev)
+    } finally graft.util.Fs.deleteRecursively(stage)
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // Daily tumbling-window stats per event_type through incremental
@@ -343,21 +382,8 @@ object QueriesStreaming {
     // replay each other's output.
     NamedQuery("s08_stream_foreachbatch_sink",
       (s, dir) => withStatePartitions(s, 8) {
-        import java.nio.file.Files
-        val stage = Files.createTempDirectory("graft_s08_in_")
-        val outDir = Files.createTempDirectory("graft_s08_out_")
-        try {
-          // stage the single-file fixture as 4 time-ranged files: the
-          // chunked-backfill shape (each chunk ≈ a time slice arriving in
-          // order), giving AvailableNow four real incremental batches
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          s.read.parquet(s"$dir/events.parquet")
-            .repartitionByRange(4, col("ts"))
-            .write.mode("overwrite").parquet(stage.toString)
-          val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stage.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        val outDir = java.nio.file.Files.createTempDirectory("graft_s08_out_")
+        try withStagedEventsStream(s, dir, 4) { ev =>
           val agg = ev
             .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
             .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
@@ -386,10 +412,7 @@ object QueriesStreaming {
               col("event_type"), col("n"), col("sum_value"))
             .localCheckpoint()
             .orderBy(col("w_start"), col("event_type"))
-        } finally {
-          graft.util.Fs.deleteRecursively(stage)
-          graft.util.Fs.deleteRecursively(outDir)
-        }
+        } finally graft.util.Fs.deleteRecursively(outDir)
       },
       Some(s"""WITH wins AS (
                SELECT event_type, value,
@@ -399,5 +422,151 @@ object QueriesStreaming {
                FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
              SELECT w_start, event_type, count(*) AS n,
                     ${sqlDecSum("value")} AS sum_value
-             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The full spark.sql STREAMING naming surface: spark.readStream.table
+    // over the DSv2 catalog (metastore-mode GraftLogTable, source=kafka
+    // with FakeKafka swapped in) — the round-4 gap where GraftLogTable had
+    // no MicroBatchStream and streaming required the engine API. The scan
+    // decodes AT THE READER through the RowPipeline compiled from the same
+    // decodeRaw DataFrame the batch path runs (zero drift; malformed
+    // payloads drop in-flight), offset bookkeeping is the raw connector's
+    // own (checkpoint/replay untouched), and the head grows 1500 offsets
+    // per micro-batch to 6000 so the run REALLY progresses through four
+    // micro-batches chased to quiescence by processAllAvailable. The
+    // caller-side `_offset` window filter evaluates on the decoded stream
+    // (streaming scans get no pushFilters pass — at a real broker the
+    // coarse start offset still prunes, via startingOffsets). Content is
+    // the same closed-form (partition, offset) log as s06, replayed by the
+    // oracle with generate_series.
+    NamedQuery("s09_stream_dsv2_microbatch",
+      (s, dir) => withStatePartitions(s, 8) {
+        val tag = java.util.UUID
+          .nameUUIDFromBytes(s"s09:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toString.replace("-", "").take(12)
+        val cat = s"graftstream_$tag"
+        val msDir = s"/tmp/graft_ms_$tag"
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        new graft.catalog.FileMetastore(msDir).createCollection("tpch", "events",
+          graft.catalog.SchemaField.fromStructType(schema))
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.metastore", msDir)
+        s.conf.set(s"spark.sql.catalog.$cat.source", "kafka")
+        s.conf.set(s"spark.sql.catalog.$cat.bootstrap", "fake:9092")
+        s.conf.set(s"spark.sql.catalog.$cat.codec", "json")
+        s.conf.set(s"spark.sql.catalog.$cat.sourceFormat", "graft.sources.FakeKafka")
+        s.conf.set(s"spark.sql.catalog.$cat.sourcePartitions", "2")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.partitions", "2")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.latest", "1500")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.advancePerBatch", "1500")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.maxLatest", "6000")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.corruptEvery", "400")
+        val agg = s.readStream.table(s"$cat.tpch.events")
+          .filter(col("_offset") >= 500 && col("_offset") < 5500)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"))
+        val name = sink("s09", dir)
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""WITH offs AS (
+               SELECT unnest(generate_series(500, 5499)) AS o),
+             parts AS (SELECT unnest(generate_series(0, 1)) AS p),
+             rows AS (
+               SELECT o, p,
+                      (['click','view','purchase','scroll'])[(o % 4) + 1] AS event_type,
+                      o * 2 + p AS user_id
+               FROM offs CROSS JOIN parts
+               WHERE o % 400 <> 0)
+             SELECT event_type, count(*) AS n,
+                    CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                    min(o) AS min_off, max(o) AS max_off
+             FROM rows GROUP BY event_type ORDER BY event_type""")),
+
+    // s01's PRODUCTION twin: the same daily tumbling aggregation in APPEND
+    // mode with a 1-hour watermark — the unbounded-stream shape where
+    // state is BOUNDED (a window's state is evicted the moment the
+    // watermark passes its end) instead of growing with stream length as
+    // complete mode's does. Four time-ranged chunks advance the watermark
+    // batch-by-batch, so windows finalize and emit MID-RUN (real
+    // incremental eviction), and the final no-data batch flushes the rest;
+    // windows still open at end-of-input (end > final watermark =
+    // max event ms - 1 h) never emit — the oracle replays exactly that
+    // cutoff, [StateStoreSaveExec]'s non-strict `end <= watermark`
+    // eviction predicate on ms-floored event time.
+    NamedQuery("s10_stream_tumbling_append",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev =>
+          val agg = ev
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+            .select(col("window.start").cast("date").as("day"),
+              col("event_type"), col("n"), col("sum_value"))
+          // memory-sink table is already driver-resident — no dependency on
+          // the staged dir survives the helper's cleanup
+          runToTable(s, sink("s10", dir), agg, mode = "append")
+            .orderBy(col("day"), col("event_type"))
+        }
+      },
+      Some(s"""WITH wm AS (
+               SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wus FROM events)
+             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                    count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events, wm
+             GROUP BY day, event_type
+             HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) <= any_value(wm.wus)
+             ORDER BY day, event_type""")),
+
+    // s02's PRODUCTION twin: gap-based session windows in APPEND mode with
+    // a 1-hour watermark — sessions merge incrementally in state and emit
+    // exactly once when the watermark passes their end (last event + gap);
+    // each user's open tail session at end-of-input emits only if its end
+    // cleared the final watermark. State is bounded by active sessions
+    // inside the watermark horizon — the only session shape that survives
+    // an unbounded 100 TB stream. Oracle: s02's relational sessionization
+    // restricted to the same `end <= watermark` cutoff on ms-floored time.
+    NamedQuery("s11_stream_sessions_append",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev =>
+          val agg = ev
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz").as("s_start"),
+              col("session_window.end").cast("timestamp_ntz").as("s_end"), col("n"))
+          runToTable(s, sink("s11", dir), agg, mode = "append")
+            .orderBy(col("user_id"), col("s_start"))
+        }
+      },
+      Some("""WITH e AS (
+               SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+               FROM events),
+             f AS (
+               SELECT user_id, ts,
+                      CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e),
+             sess AS (
+               SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM f),
+             wm AS (
+               SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wus FROM events)
+             SELECT user_id, min(ts) AS s_start,
+                    max(ts) + INTERVAL 6 HOUR AS s_end, count(*) AS n
+             FROM sess, wm GROUP BY user_id, session_id
+             HAVING epoch_us(max(ts) + INTERVAL 6 HOUR) <= any_value(wm.wus)
+             ORDER BY user_id, s_start""")))
 }

@@ -43,7 +43,9 @@ final class GraftLogTable(
   override def name(): String = tableName
   override def schema(): StructType = fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (source.supportsMicroBatch)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(project, collection, userSchema, fullSchema, source)
@@ -153,6 +155,21 @@ final class GraftLogScan(
 
   override def description(): String =
     s"GraftLogScan $project.$collection ranges=${rangesString}"
+
+  /** Micro-batch streaming half of the scan (MICRO_BATCH_READ, advertised
+    * only when the [[EventSource]] supports it): the source wraps ITS raw
+    * connector stream with the reader-level decode pipeline — see
+    * [[graft.sources.LogMicroBatchStream]]. The pruned ranges travel into
+    * the stream as a residual (streaming scans get no pushFilters pass, so
+    * this is normally [[OffsetRangePlanner.Full]]; a caller-side `_offset`
+    * filter still evaluates on the decoded rows).
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val spark = org.apache.spark.sql.classic.SparkSession.active
+    source.microBatchStream(spark, project, collection, userSchema,
+      requiredSchema, ranges, checkpointLocation)
+  }
 
   private def rangesString: String =
     ranges.map(r => s"[${r.start},${r.end.map(_.toString).getOrElse("∞")})").mkString(",")

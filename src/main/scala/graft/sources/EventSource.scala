@@ -22,6 +22,25 @@ trait EventSource {
     * them (the residual filter always runs either way).
     */
   def withOffsetRanges(ranges: Seq[graft.plans.OffsetRange]): EventSource = this
+
+  /** Whether [[microBatchStream]] is implemented — gates the DSv2 table's
+    * MICRO_BATCH_READ capability so `spark.readStream.table` is only
+    * offered where it can run.
+    */
+  def supportsMicroBatch: Boolean = false
+
+  /** DSv2 micro-batch stream of the collection decoded to
+    * `requiredSchema` (a projection of system columns + user fields).
+    * Only offset-addressed sources implement this; file collections
+    * stream through the engine API's file-stream path instead.
+    */
+  def microBatchStream(spark: SparkSession, project: String, collection: String,
+                       schema: StructType,
+                       requiredSchema: StructType,
+                       ranges: Seq[graft.plans.OffsetRange],
+                       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support micro-batch streaming")
 }
 
 object EventSource {

@@ -138,6 +138,57 @@ final case class KafkaEventSource(
     val decoded = KafkaEventSource.decodeRaw(raw, project, collection, schema, codec)
     decoded.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), offsetRanges))
   }
+
+  override def supportsMicroBatch: Boolean = true
+
+  /** DSv2 micro-batch stream (the [[graft.catalog.GraftLogTable]] streaming
+    * path — `spark.readStream.table("graft.<project>.<collection>")`):
+    * obtain the RAW source's own [[MicroBatchStream]] from its
+    * `TableProvider` (the Kafka connector in production, [[FakeKafka]] in
+    * tests — same options [[readOptions]] builds for `readStream`), then
+    * wrap it in a [[LogMicroBatchStream]] that decodes at the reader via
+    * the [[RowPipeline]] compiled from the SAME `decodeRaw` + residual +
+    * projection DataFrame the engine-API streaming path declares. Offset
+    * checkpointing is the inner connector's, untouched.
+    */
+  override def microBatchStream(spark: SparkSession, project: String, collection: String,
+                                schema: StructType,
+                                requiredSchema: StructType,
+                                ranges: Seq[OffsetRange],
+                                checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    import scala.jdk.CollectionConverters._
+    val topic = SystemColumns.topicFor(project, collection)
+    val effective = if (ranges.nonEmpty) ranges else OffsetRangePlanner.Full
+    // streams have no endingOffsets: tell the broker the coarse start, keep
+    // the pruned multi-range window as a residual in the decode pipeline
+    // (identical to readStream's contract)
+    val opts = readOptions(topic, OffsetRange(effective.head.start, None)) - "endingOffsets"
+    val providerClass = org.apache.spark.sql.execution.datasources.DataSource
+      .lookupDataSource(format, spark.sessionState.conf)
+    val provider = providerClass.getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableProvider]
+    val optMap = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts.asJava)
+    val rawTable = provider.getTable(provider.inferSchema(optMap),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      optMap.asCaseSensitiveMap())
+    val innerStream = rawTable.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(optMap).build()
+      .toMicroBatchStream(s"$checkpointLocation/raw")
+
+    // the decode as a DataFrame over a dummy raw-frame relation — analyzed
+    // once on the driver, compiled to per-row projections on executors
+    val rawDummy = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), FakeKafka.frameSchema)
+    val decoded = KafkaEventSource.decodeRaw(rawDummy, project, collection, schema, codec)
+    val windowed =
+      if (effective == OffsetRangePlanner.Full) decoded
+      else decoded.filter(KafkaEventSource.rangeResidual(col(SystemColumns.Offset), effective))
+    val projected =
+      if (requiredSchema.isEmpty) windowed.select()
+      else windowed.select(requiredSchema.fieldNames.map(col).toIndexedSeq: _*)
+    new LogMicroBatchStream(innerStream, RowPipeline.compile(projected))
+  }
 }
 
 object KafkaEventSource {

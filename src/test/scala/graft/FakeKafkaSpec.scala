@@ -131,6 +131,49 @@ class FakeKafkaSpec extends SparkTestBase {
     assert(shrunk.latestOffset().json() == """{"0":400}""")
   }
 
+  test("DSv2 readStream.table decodes at the reader and matches the batch scan") {
+    val tag = "fkdsv2"
+    val msDir = s"/tmp/graft_ms_spec_$tag"
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(msDir))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    new graft.catalog.FileMetastore(msDir).createCollection("proj", "events",
+      graft.catalog.SchemaField.fromStructType(schema))
+    val cat = s"graftspec_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.metastore", msDir)
+    spark.conf.set(s"spark.sql.catalog.$cat.source", "kafka")
+    spark.conf.set(s"spark.sql.catalog.$cat.bootstrap", "fake:9092")
+    spark.conf.set(s"spark.sql.catalog.$cat.codec", "json")
+    spark.conf.set(s"spark.sql.catalog.$cat.sourceFormat", "graft.sources.FakeKafka")
+    spark.conf.set(s"spark.sql.catalog.$cat.sourcePartitions", "2")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.partitions", "2")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.latest", "100")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.corruptEvery", "10")
+    val q = spark.readStream.table(s"$cat.proj.events")
+      .writeStream.format("memory").queryName("fkdsv2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT _offset, user_id, event_type FROM fkdsv2 ORDER BY _offset, user_id")
+        .collect().toSeq
+      // batch twin over the same closed-form log
+      val batch = KafkaEventSource("fake:9092", codec = JsonPayloadCodec,
+        partitionsOf = _ => 2,
+        extraOptions = Map("fake.partitions" -> "2", "fake.latest" -> "100",
+          "fake.corruptEvery" -> "10"),
+        format = "graft.sources.FakeKafka")
+        .read(spark, "proj", "events", schema)
+        .selectExpr("_offset", "user_id", "event_type")
+        .orderBy("_offset", "user_id").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      // malformed payloads (offset % 10 == 0) dropped in-flight: 90 x 2
+      assert(streamed.size == 180, s"${streamed.size}")
+    } finally q.stop()
+  }
+
   test("offset JSON parser handles per-partition maps and keyword forms") {
     assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
       == Some(Map(0 -> 100L, 1 -> 200L)))
