@@ -75,6 +75,74 @@ object QueriesCore {
        WHERE o.o_orderkey <= 200 AND t.n_items > 0
        ORDER BY o.o_orderkey"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q64). */
+  private[graft] val tpchQ2Sql: String =
+    """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice AS min_price
+       FROM part p, lineitem l, supplier s, nation n, region r
+       WHERE l.l_partkey = p.p_partkey AND l.l_suppkey = s.s_suppkey
+         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+         AND r.r_name = 'EUROPE' AND p.p_size >= 45
+         AND l.l_extendedprice = (
+           SELECT min(l2.l_extendedprice)
+           FROM lineitem l2, supplier s2, nation n2, region r2
+           WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+             AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+             AND r2.r_name = 'EUROPE')
+       ORDER BY p.p_partkey, s.s_name, n.n_name"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q65). */
+  private[graft] val tpchQ11Sql: String =
+    """WITH supp_value AS (
+         SELECT l.l_suppkey,
+                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) AS value
+         FROM lineitem l, supplier s, nation n, region r
+         WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         GROUP BY l.l_suppkey)
+       SELECT l_suppkey, value FROM supp_value
+       WHERE value > (
+         SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) * 0.02
+         FROM lineitem l, supplier s, nation n, region r
+         WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+           AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA')
+       ORDER BY value DESC, l_suppkey"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q66).
+    * The revenue filter is a quantity band (Q15's date window needs
+    * receipt dates the fixture lacks; the shape — aggregate CTE referenced
+    * as both join input and max() operand — is what matters).
+    */
+  private[graft] val tpchQ15Sql: String =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))) AS DOUBLE)
+                  AS total_revenue
+         FROM lineitem
+         WHERE l_quantity >= 30
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM supplier s, revenue r
+       WHERE s.s_suppkey = r.supplier_no
+         AND r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s.s_suppkey"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q67). */
+  private[graft] val tpchQ21Sql: String =
+    """SELECT s.s_name, count(*) AS numwait
+       FROM supplier s, lineitem l1, orders o, nation n, region rg
+       WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+         AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = rg.r_regionkey
+         AND rg.r_name = 'AMERICA'
+       GROUP BY s.s_name ORDER BY numwait DESC, s.s_name"""
+
   // (defined ABOVE `all`: entries capture these eagerly at object init)
 
   val all: Seq[NamedQuery] = Seq(
@@ -1546,6 +1614,114 @@ object QueriesCore {
                FROM customer GROUP BY 1)
              SELECT a.k AS k, n_orders, sum_price, n_cust
              FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-             ORDER BY k NULLS FIRST""")))
+             ORDER BY k NULLS FIRST""")),
+
+    // --------------------------------------------- q64 TPC-H Q2 shape
+    // Canonical minimum-cost-supplier: a correlated scalar subquery whose
+    // aggregate re-joins a 4-table dimension chain, equality-matched
+    // against the outer row (lineitem stands in for partsupp — the fixture
+    // has no ps table). Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into ONE per-part min aggregate
+    // outer-joined back — at 100 TB that is one shuffle on l_partkey for
+    // the aggregate and one for the equality join, NOT a per-row subquery;
+    // region/nation/supplier stay broadcast. The double equality is exact:
+    // min() returns a value bit-copied from the column it came from.
+    NamedQuery("q64_tpch_q2_min_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ2Sql)
+      },
+      Some(QueriesCore.tpchQ2Sql)),
+
+    // --------------------------------------------- q65 TPC-H Q11 shape
+    // Group-share vs a GLOBAL scalar-subquery threshold: per-supplier value
+    // kept only if above a fraction of the whole filtered total. Both the
+    // per-group and the global sums are decimal-exact and cast once to
+    // double, so the `>` threshold compare is bit-identical cross-engine
+    // (a plain double SUM here would be association-order-dependent and
+    // flap at the margin). Scale: two aggregations over the same filtered
+    // join — Catalyst reuses the broadcast dims; the scalar subquery is one
+    // extra reduce, not a per-row probe.
+    NamedQuery("q65_tpch_q11_value_share",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ11Sql)
+      },
+      Some(QueriesCore.tpchQ11Sql)),
+
+    // --------------------------------------------- q66 TPC-H Q15 shape
+    // Top-revenue supplier via a CTE referenced twice — once as the join
+    // input and once under max() — the classic "view + self-referential
+    // max" shape. The revenue sum is decimal-exact per supplier, so the
+    // max-equality match is bit-stable. Scale: the CTE is an aggregate over
+    // the fact table (one shuffle on l_suppkey); its second reference is
+    // max() over the ALREADY-AGGREGATED (tiny) result, and the final join
+    // broadcasts supplier.
+    NamedQuery("q66_tpch_q15_top_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ15Sql)
+      },
+      Some(QueriesCore.tpchQ15Sql)),
+
+    // --------------------------------------------- q67 TPC-H Q21 shape
+    // Multi-correlated EXISTS + NOT EXISTS over the SAME fact table
+    // (suppliers solely responsible for a returned item in a finalized
+    // multi-supplier order; returnflag stands in for the fixture's missing
+    // receipt/commit dates). Catalyst plans the EXISTS as a left-semi and
+    // the NOT EXISTS as a left-anti join, both shuffle-keyed on
+    // l_orderkey — three passes over lineitem co-partitioned on one key,
+    // no per-row subquery execution; at 100 TB all three sides partition
+    // on l_orderkey so AQE can coalesce into co-located exchanges.
+    NamedQuery("q67_tpch_q21_waiting_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ21Sql)
+      },
+      Some(QueriesCore.tpchQ21Sql)),
+
+    // --------------------------------------------- q68 salted skew join
+    // Explicit salt-and-replicate skew join: the fact side collapses onto
+    // 5 hot keys (worst-case skew — a plain shuffle join would put ~20% of
+    // the table in ONE task); the salt column spreads each hot key over 16
+    // buckets, the (pre-aggregated, tiny) dim side replicates 16× via
+    // explode, and the join runs on (key, salt) — so every bucket holds
+    // ~1/16th of a hot key and the stage's slowest task shrinks 16×. The
+    // result is IDENTICAL to the unsalted join (the oracle runs it plain):
+    // salting only re-partitions work. SHUFFLE_HASH is hinted to pin the
+    // skew-relevant plan (broadcast would sidestep the demonstration;
+    // ScaleSpec pins the shape). This is the manual escape hatch for skew
+    // beyond what AQE's skew-join splitting handles (single-key hot spots
+    // in streaming state or sub-splittable units); the 100 TB playbook is
+    // AQE first, salt when the skew is structural.
+    NamedQuery("q68_salted_skew_join",
+      (s, dir) => {
+        val salts = 16
+        val fact = t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 5).as("hot_key"), col("l_extendedprice"))
+          // deterministic salt from row content: murmur3 of the full tuple;
+          // ANY distribution works — correctness never depends on it
+          .withColumn("salt",
+            pmod(hash(col("hot_key"), col("l_extendedprice")), lit(salts)))
+        val dim = t(s, dir, "nation")
+          .select((col("n_nationkey") % 5).as("hot_key"))
+          .groupBy(col("hot_key")).agg(count(lit(1)).as("dim_n"))
+          .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        fact.join(dim.hint("shuffle_hash"), Seq("hot_key", "salt"))
+          .groupBy(col("hot_key"))
+          .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("sum_price"),
+            max(col("dim_n")).as("dim_n"))
+          .orderBy(col("hot_key"))
+      },
+      Some(s"""WITH f AS (
+               SELECT l_orderkey % 5 AS hot_key, l_extendedprice FROM lineitem),
+             d AS (
+               SELECT n_nationkey % 5 AS hot_key, count(*) AS dim_n
+               FROM nation GROUP BY 1)
+             SELECT f.hot_key AS hot_key, count(*) AS n,
+                    ${sqlDecSum("l_extendedprice")} AS sum_price,
+                    max(dim_n) AS dim_n
+             FROM f JOIN d ON f.hot_key = d.hot_key
+             GROUP BY f.hot_key ORDER BY hot_key""")))
 
 }

@@ -294,6 +294,34 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q64 Q2 shape: the correlated min decorrelates into an aggregate join") {
+    val p = plan("q64_tpch_q2_min_supplier")
+    // RewriteCorrelatedScalarSubquery: ONE min-aggregate over lineitem
+    // joined back on l_partkey — never a per-outer-row subquery execution
+    assert(p.contains("min(l_extendedprice"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // region/nation/supplier dimension chain broadcasts onto the fact
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q67 Q21 shape: EXISTS/NOT EXISTS plan as semi and anti joins on one key") {
+    val p = plan("q67_tpch_q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
+    val p = plan("q68_salted_skew_join")
+    // the whole point is spreading the hot key: the join's exchange must
+    // include the salt, and the join must be the hinted shuffled-hash (a
+    // broadcast would sidestep the skew demonstration)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("hot_key") && l.contains("salt")), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("p42 semantic dedup: map-side assignment, pair join cluster-keyed") {
     val p = plan("p42_semantic_dedup")
     // the k-means assignment is the NearestSeeds broadcast fold — the
