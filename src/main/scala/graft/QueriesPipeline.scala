@@ -29,6 +29,15 @@ object QueriesPipeline {
   private val P = PolyHash.Mod
   private val Half = P / 2
 
+  /** p42's cluster count k (SemDeDup's main scale knob): seeds are the
+    * contiguous vec_id slice [100, 100+k). Env-overridable so deployments
+    * size k to the corpus (cluster sizes stay ~constant as data grows);
+    * the DuckDB oracle interpolates the SAME value, so the gate holds for
+    * any setting.
+    */
+  val p42K: Int = sys.env.getOrElse("SPARK_GRAFT_P42_K", "16").toInt
+  require(p42K > 0, s"SPARK_GRAFT_P42_K must be positive, got $p42K")
+
   /** MinHash: K hash functions in [[GF.affineHash]]'s universal family,
     * banded Bands × Rows for LSH candidate generation.
     */
@@ -2106,10 +2115,14 @@ object QueriesPipeline {
     // double fast path: a zero-allocation double dot prefilters at 0.9985
     // (epsBound-sound: no exact-cos ≥ 0.999 pair can be discarded), exact
     // decimal dot re-scores survivors — results bit-stable by construction.
+    // k is the deployment's main knob (SPARK_GRAFT_P42_K, default 16): at
+    // 100 TB k grows proportionally with the corpus so per-cluster
+    // candidate counts stay flat; the oracle is built from the same value,
+    // so any k gates bit-exactly.
     NamedQuery("p42_semantic_dedup",
       (s, dir) => {
         val v = sharedNormVecs(s, dir)
-        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < lit(100 + p42K))
           .select(col("vec_id").as("seed_id"), col("embedding").as("se"),
             col("norm").as("sn"))
         val seedArr = seeds.agg(
@@ -2131,7 +2144,7 @@ object QueriesPipeline {
       Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
              vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
              seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
-                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < ${100 + p42K}),
              scoredseeds AS (
                SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
                       ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score

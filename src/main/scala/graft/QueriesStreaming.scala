@@ -82,42 +82,54 @@ object QueriesStreaming {
   }
 
   /** Stage the single-file events fixture as `chunks` time-ranged files in
-    * a per-invocation scratch dir and run `body` over a file stream reading
-    * them one per micro-batch — the chunked-backfill shape: each chunk is a
-    * time slice arriving in order, so watermarks advance batch-by-batch and
+    * a scratch dir and run `body` over a file stream reading them one per
+    * micro-batch — the chunked-backfill shape: each chunk is a time slice
+    * arriving in order, so watermarks advance batch-by-batch and
     * append-mode eviction happens INCREMENTALLY (mid-run emission), not
     * only in the terminal no-data batch. Range staging guarantees
     * chunk k's rows all precede chunk k+1's, so no fixture row is ever
     * late — the gate stays deterministic while the production eviction
     * path really executes (the late-DROP path is pinned separately by
-    * StreamingSpec's MemoryStream tests). Scratch dir is deleted after
-    * `body` returns; callers must materialize before returning.
+    * StreamingSpec's MemoryStream tests).
+    *
+    * The staged dir is per-(fixture, chunks) and cached for the JVM's
+    * lifetime (s08/s10/s11 and repeated bench passes share one staging
+    * write); the path embeds a createTempDirectory component, so
+    * concurrent PROCESSES never collide, and a shutdown hook removes it.
+    * Read-only after creation — callers stream from it but never write.
     */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.nio.file.Path]
+  sys.addShutdownHook {
+    stagedDirs.values.forEach(p => graft.util.Fs.deleteRecursively(p))
+  }
+
   private def withStagedEventsStream[T](s: SparkSession, dir: String, chunks: Int)
                                        (body: DataFrame => T): T = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
-    try {
+    val stage = stagedDirs.computeIfAbsent((dir, chunks), { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_stage_")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(chunks, col("ts"))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(d.toString)
       // FileStreamSource orders files by MODIFICATION TIME, and the
       // parallel write gives all chunks near-identical mtimes — stagger
       // them along the part-file order (range partition k = k-th time
       // slice) so micro-batches really arrive in event-time order;
       // otherwise a later slice processed first advances the watermark and
       // earlier slices get dropped as late (observed: 114/145 windows)
-      graft.util.Fs.listDir(stage)(_.filter(_.toString.endsWith(".parquet"))
+      graft.util.Fs.listDir(d)(_.filter(_.toString.endsWith(".parquet"))
         .map(_.toString)).zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(f),
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
       }
-      val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      body(ev)
-    } finally graft.util.Fs.deleteRecursively(stage)
+      d
+    })
+    val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    body(ev)
   }
 
   val all: Seq[NamedQuery] = Seq(
