@@ -377,7 +377,7 @@ object QueriesStreaming {
     // shape a 100 TB pipeline actually ships. The fixture is staged as 4
     // time-ranged files and streamed with maxFilesPerTrigger=1, so the run
     // REALLY progresses through 4 micro-batches; the aggregation is q53's
-    // hopping window (1 day, slide 6 h) maintained incrementally in UPDATE
+    // hopping window (1 day, slide 12 h) maintained incrementally in UPDATE
     // mode, so each micro-batch's foreachBatch sees ONLY the (window, key)
     // groups that changed — each row the complete current aggregate for
     // its group — and dynamic partition overwrite keyed by
@@ -396,15 +396,27 @@ object QueriesStreaming {
       (s, dir) => withStatePartitions(s, 8) {
         val outDir = java.nio.file.Files.createTempDirectory("graft_s08_out_")
         try withStagedEventsStream(s, dir, 4) { ev =>
+          // hopping 1-day windows on a 12 h slide (2 hops/row): the same
+          // window family as q53 with half the per-row fan-out — the sink
+          // loop is what s08 demonstrates; per-batch partition-commit cost
+          // scales with touched (window, type) dirs, so the slide is sized
+          // to keep the fixture's dir count proportionate
           val agg = ev
-            .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+            .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
             .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
             // partition key as epoch seconds: directory-name-stable, and
             // session is UTC-pinned so ntz→tz is the identity instant
             .select(unix_timestamp(col("window.start").cast("timestamp")).as("w_sec"),
               col("event_type"), col("n"), col("sum_value"))
           // explicit function type: foreachBatch is overloaded (Scala
-          // function vs Java VoidFunction2) and a bare lambda is ambiguous
+          // function vs Java VoidFunction2) and a bare lambda is ambiguous.
+          // No repartition before the write: the state shuffle already
+          // hashes on the FULL group key, so each (w_sec, event_type)
+          // partition dir receives exactly one file, written 8-way
+          // parallel. (Measured: funneling the write through one task
+          // doubles the entry's cost — file-writer setup is the unit of
+          // work here and it parallelizes; a single-task "tidy" write is
+          // the classic small-files anti-fix.)
           val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
             batch.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
@@ -429,9 +441,9 @@ object QueriesStreaming {
       Some(s"""WITH wins AS (
                SELECT event_type, value,
                       TIMESTAMP '1970-01-01 00:00:00' +
-                        (CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600
-                         - i * 21600) * INTERVAL 1 SECOND AS w_start
-               FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+                        (CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                         - i * 43200) * INTERVAL 1 SECOND AS w_start
+               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
              SELECT w_start, event_type, count(*) AS n,
                     ${sqlDecSum("value")} AS sum_value
              FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")),

@@ -99,6 +99,26 @@ object FakeKafka {
     if (node == null) return Some(Map.empty)
     Some(fieldsToMap(node))
   }
+
+  /** The simulated broker's DURABLE log head, keyed by (topic + growth
+    * config), shared by every stream instance in the JVM. A real broker's
+    * latest offset can never regress across consumer restarts; the engine
+    * RELIES on that — on checkpoint recovery it calls `latestOffset()` on
+    * a FRESH source instance BEFORE any `deserializeOffset`/`commit`
+    * hands it the restored position, and records whatever it answers in
+    * the offsets log. A per-instance head that re-announced the configured
+    * initial value there would regress the stream and re-deliver the last
+    * window (observed before this fix). Keyed by the full growth config so
+    * differently-configured fixtures never share state.
+    */
+  private val heads = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private[sources] def headOf(key: String, initial: Long): Long = {
+    val h = heads.get(key)
+    if (h == null) initial else math.max(initial, h.longValue())
+  }
+  private[sources] def raiseHead(key: String, v: Long): Unit =
+    heads.merge(key, java.lang.Long.valueOf(v),
+      (a, b) => java.lang.Long.valueOf(math.max(a.longValue(), b.longValue())))
 }
 
 final class FakeKafkaTable(options: CaseInsensitiveStringMap)
@@ -183,7 +203,15 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
   private val maxLatest = options.getLong("fake.maxLatest", initialLatest)
   private val corruptEvery = options.getLong("fake.corruptEvery", 0L)
 
-  private var head = initialLatest
+  /** Durable-broker head (see [[FakeKafka.headOf]]): JVM-global per
+    * (topic, growth config), so a fresh instance after checkpoint restart
+    * answers `latestOffset()` with the real head — never the configured
+    * initial value — exactly like a broker whose log survived the consumer.
+    */
+  private val headKey =
+    s"$topic|$numPartitions|$initialLatest|$advancePerBatch|$maxLatest|$corruptEvery"
+  private def head: Long = FakeKafka.headOf(headKey, initialLatest)
+  private def raise(v: Long): Unit = FakeKafka.raiseHead(headKey, v)
 
   /** The head never regresses below offsets the engine already knows
     * (checkpointed start offsets arrive via [[deserializeOffset]]/[[commit]]
@@ -191,7 +219,7 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
     * re-deliver rows a previous run committed past.
     */
   private def observe(m: Map[Int, Long]): Unit =
-    if (m.nonEmpty) head = math.max(head, m.values.max)
+    if (m.nonEmpty) raise(m.values.max)
 
   private def offsetOf(m: Map[Int, Long]): StreamOffset = new StreamOffset {
     override def json(): String =
@@ -210,8 +238,8 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
   override def latestOffset(): StreamOffset = {
     val h = head
     // monotone: even a restored offset beyond this run's maxLatest config
-    // must not shrink (max BEFORE the clamp)
-    head = math.max(head, math.min(maxLatest, head + advancePerBatch))
+    // must not shrink (raiseHead maxes, so the clamp can only grow the head)
+    raise(math.min(maxLatest, h + advancePerBatch))
     offsetOf((0 until numPartitions).map(p => p -> h).toMap)
   }
 

@@ -174,6 +174,98 @@ class FakeKafkaSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSv2 stream resumes from its checkpoint with no re-delivery and no gaps") {
+    val tag = "fkresume"
+    val msDir = s"/tmp/graft_ms_spec_$tag"
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(msDir))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    new graft.catalog.FileMetastore(msDir).createCollection("proj", "events",
+      graft.catalog.SchemaField.fromStructType(schema))
+    val cat = s"graftspec_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.metastore", msDir)
+    spark.conf.set(s"spark.sql.catalog.$cat.source", "kafka")
+    spark.conf.set(s"spark.sql.catalog.$cat.bootstrap", "fake:9092")
+    spark.conf.set(s"spark.sql.catalog.$cat.codec", "json")
+    spark.conf.set(s"spark.sql.catalog.$cat.sourceFormat", "graft.sources.FakeKafka")
+    spark.conf.set(s"spark.sql.catalog.$cat.sourcePartitions", "1")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.partitions", "1")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.latest", "60")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.advancePerBatch", "60")
+    spark.conf.set(s"spark.sql.catalog.$cat.source.option.fake.maxLatest", "120")
+    // memory sink can't recover from a checkpoint — foreachBatch can
+    def offsets(): Set[Long] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val take: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) =>
+        b.select("_offset").collect().foreach(r => seen.add(r.getLong(0)))
+      val q = spark.readStream.table(s"$cat.proj.events")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(take).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    try {
+      // phase 1: drains the head to maxLatest=120 into the checkpoint
+      val first = offsets()
+      assert(first == (0L until 120L).toSet, s"phase 1: ${first.size} offsets")
+      // phase 2: a FRESH stream instance (whose source re-announces
+      // head=fake.latest=60) must adopt the checkpointed position — never
+      // regress before the last planned batch. Structured Streaming's
+      // restart contract is at-least-once AT THE FINAL BATCH: if stop()
+      // outran the commit-log record, exactly that batch ([60,120)) is
+      // replayed with the same batchId (sinks are idempotent per batchId —
+      // s08's partition overwrite is exactly that); nothing earlier and
+      // nothing new may reappear.
+      val second = offsets()
+      assert(second.isEmpty || second == (60L until 120L).toSet,
+        s"regressed past the final batch: ${second.toSeq.sorted.take(8)}…")
+      // phase 3: with the replay (if any) committed, a further restart
+      // must deliver nothing at all
+      val third = offsets()
+      assert(third.isEmpty, s"still re-delivering: ${third.toSeq.sorted.take(8)}…")
+    } finally graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(ckpt))
+  }
+
+  test("RowPipeline decodes Avro payloads bit-identically to the batch DataFrame path") {
+    import org.apache.spark.sql.types._
+    import graft.functions.{AvroSchemas, GraftFunctions => GF}
+    val s0 = spark
+    import s0.implicits._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val avroJson = AvroSchemas.toAvro(schema).toString
+    // one good Avro payload and one garbage payload (must drop)
+    val bytes = s0.range(1).select(GF.to_avro(
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit(7L).as("user_id"),
+        org.apache.spark.sql.functions.lit("click").as("event_type")),
+      avroJson).as("b")).head().getAs[Array[Byte]]("b")
+    val raw = Seq(
+      (Option.empty[Array[Byte]], bytes, "t", 0, 5L, 0L, 0),
+      (Option.empty[Array[Byte]], "!garbage!".getBytes, "t", 0, 6L, 0L, 0))
+      .toDF("key", "value", "topic", "partition", "offset", "tsraw", "timestampType")
+      .withColumn("timestamp", org.apache.spark.sql.functions.timestamp_micros($"tsraw"))
+      .select("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val batch = graft.sources.KafkaEventSource
+      .decodeRaw(raw, "p", "c", schema, graft.sources.AvroPayloadCodec).collect()
+    val stages = graft.sources.RowPipeline.compile(
+      graft.sources.KafkaEventSource.decodeRaw(
+        s0.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          graft.sources.FakeKafka.frameSchema),
+        "p", "c", schema, graft.sources.AvroPayloadCodec))
+    val eval = new graft.sources.RowPipeline.Eval(stages)
+    val decoded = raw.queryExecution.toRdd.collect().flatMap(r => Option(eval(r)))
+    assert(batch.length == 1 && decoded.length == 1)   // garbage dropped on both paths
+    assert(decoded.head.getLong(0) == 5L)              // _offset
+    assert(decoded.head.getLong(3) == batch.head.getLong(3)
+      && decoded.head.getLong(3) == 7L)                // user_id
+    assert(decoded.head.getUTF8String(4).toString == "click")
+  }
+
   test("offset JSON parser handles per-partition maps and keyword forms") {
     assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
       == Some(Map(0 -> 100L, 1 -> 200L)))
