@@ -592,5 +592,65 @@ object QueriesStreaming {
                     max(ts) + INTERVAL 6 HOUR AS s_end, count(*) AS n
              FROM sess, wm GROUP BY user_id, session_id
              HAVING epoch_us(max(ts) + INTERVAL 6 HOUR) <= any_value(wm.wus)
-             ORDER BY user_id, s_start""")))
+             ORDER BY user_id, s_start""")),
+
+    // s09's PRODUCTION-CODEC twin: the same DSv2 spark.readStream.table
+    // path decoding AVRO payloads — the reference's live wire format
+    // (KafkaConnectorPageSource.java:298; its test harness only ever
+    // produced JSON, so this goes one further). FakeKafka now writes
+    // binary Avro through the SAME AvroSchemas.toAvro schema the decode
+    // side derives from the metastore, and the reader-level RowPipeline
+    // runs the native AvroDecode expression (writer/reader resolution,
+    // C6 malformed-drop: every 300th offset is garbage bytes and must
+    // vanish in-flight). Static head → the whole window arrives in one
+    // micro-batch (multi-batch cadence is s09's job); the caller-side
+    // `_offset` window filter evaluates on the decoded stream.
+    NamedQuery("s12_stream_dsv2_avro",
+      (s, dir) => withStatePartitions(s, 8) {
+        val tag = java.util.UUID
+          .nameUUIDFromBytes(s"s12:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .toString.replace("-", "").take(12)
+        val cat = s"graftstream_$tag"
+        val msDir = s"/tmp/graft_ms_$tag"
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("event_type", StringType)))
+        new graft.catalog.FileMetastore(msDir).createCollection("tpch", "events",
+          graft.catalog.SchemaField.fromStructType(schema))
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftTableCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.metastore", msDir)
+        s.conf.set(s"spark.sql.catalog.$cat.source", "kafka")
+        s.conf.set(s"spark.sql.catalog.$cat.bootstrap", "fake:9092")
+        s.conf.set(s"spark.sql.catalog.$cat.codec", "avro")
+        s.conf.set(s"spark.sql.catalog.$cat.sourceFormat", "graft.sources.FakeKafka")
+        s.conf.set(s"spark.sql.catalog.$cat.sourcePartitions", "2")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.partitions", "2")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.latest", "4000")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.corruptEvery", "300")
+        s.conf.set(s"spark.sql.catalog.$cat.source.option.fake.payload", "avro")
+        val agg = s.readStream.table(s"$cat.tpch.events")
+          .filter(col("_offset") >= 250 && col("_offset") < 3750)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_uid"),
+            min(col("_offset")).as("min_off"), max(col("_offset")).as("max_off"))
+        val name = sink("s12", dir)
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""WITH offs AS (
+               SELECT unnest(generate_series(250, 3749)) AS o),
+             parts AS (SELECT unnest(generate_series(0, 1)) AS p),
+             rows AS (
+               SELECT o, p,
+                      (['click','view','purchase','scroll'])[(o % 4) + 1] AS event_type,
+                      o * 2 + p AS user_id
+               FROM offs CROSS JOIN parts
+               WHERE o % 300 <> 0)
+             SELECT event_type, count(*) AS n,
+                    CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                    min(o) AS min_off, max(o) AS max_off
+             FROM rows GROUP BY event_type ORDER BY event_type""")))
 }

@@ -74,6 +74,37 @@ object FakeKafka {
     s.getBytes(StandardCharsets.UTF_8)
   }
 
+  /** The closed-form record's Avro writer schema (`fake.payload=avro`) —
+    * built through the SAME [[graft.functions.AvroSchemas.toAvro]] the
+    * decode side derives from the metastore schema, so writer/reader
+    * resolution is exact, like the reference's live path
+    * (`KafkaConnectorPageSource.java:298` decodes Avro; its test harness
+    * produced JSON — the fake now does both).
+    */
+  lazy val avroSchema: org.apache.avro.Schema = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    graft.functions.AvroSchemas.toAvro(StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType))))
+  }
+
+  /** Avro twin of [[payloadFor]]: same closed-form content, same corrupt
+    * slots (garbage bytes — the decoder must DROP them, C6 semantics).
+    */
+  def avroPayloadFor(offset: Long, partition: Int, numPartitions: Int,
+                     corruptEvery: Long): Array[Byte] = {
+    if (corruptEvery > 0 && offset % corruptEvery == 0)
+      return "!! not avro !!".getBytes(StandardCharsets.UTF_8)
+    val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+    rec.put("user_id", userIdFor(offset, partition, numPartitions))
+    rec.put("event_type", EventTypes((offset % 4).toInt))
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema)
+      .write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
   /** `{"0":100,"1":200}`-shaped JSON node → partition map; shared by the
     * batch option parser and the stream's offset (de)serialization so the
     * two can't drift.
@@ -143,6 +174,7 @@ final class FakeKafkaScan(topic: String, options: CaseInsensitiveStringMap)
   private val latest = options.getLong("fake.latest", 1000L)
   private val corruptEvery = options.getLong("fake.corruptEvery", 0L)
   private val minPartitions = options.getInt("minPartitions", 0)
+  private val payload = Option(options.get("fake.payload")).getOrElse("json")
 
   override def readSchema(): StructType = FakeKafka.frameSchema
   override def toBatch: Batch = this
@@ -171,7 +203,7 @@ final class FakeKafkaScan(topic: String, options: CaseInsensitiveStringMap)
         val chunk = math.max(1L, (span + chunksPerPartition - 1) / chunksPerPartition)
         Iterator.iterate(s)(_ + chunk).takeWhile(_ < e).map { cs =>
           FakeKafkaPartition(topic, p, numPartitions, cs, math.min(cs + chunk, e),
-            corruptEvery): InputPartition
+            corruptEvery, payload): InputPartition
         }.toSeq
       }
     }.toArray
@@ -202,6 +234,7 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
   private val advancePerBatch = options.getLong("fake.advancePerBatch", 0L)
   private val maxLatest = options.getLong("fake.maxLatest", initialLatest)
   private val corruptEvery = options.getLong("fake.corruptEvery", 0L)
+  private val payload = Option(options.get("fake.payload")).getOrElse("json")
 
   /** Durable-broker head (see [[FakeKafka.headOf]]): JVM-global per
     * (topic, growth config), so a fresh instance after checkpoint restart
@@ -209,7 +242,7 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
     * initial value — exactly like a broker whose log survived the consumer.
     */
   private val headKey =
-    s"$topic|$numPartitions|$initialLatest|$advancePerBatch|$maxLatest|$corruptEvery"
+    s"$topic|$numPartitions|$initialLatest|$advancePerBatch|$maxLatest|$corruptEvery|$payload"
   private def head: Long = FakeKafka.headOf(headKey, initialLatest)
   private def raise(v: Long): Unit = FakeKafka.raiseHead(headKey, v)
 
@@ -254,7 +287,8 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
     (0 until numPartitions).flatMap { p =>
       val from = s.getOrElse(p, 0L); val to = e.getOrElse(p, 0L)
       if (to <= from) Nil
-      else Seq(FakeKafkaPartition(topic, p, numPartitions, from, to, corruptEvery): InputPartition)
+      else Seq(FakeKafkaPartition(topic, p, numPartitions, from, to,
+        corruptEvery, payload): InputPartition)
     }.toArray
   }
 
@@ -264,7 +298,8 @@ final class FakeKafkaMicroBatchStream(topic: String, options: CaseInsensitiveStr
 }
 
 final case class FakeKafkaPartition(topic: String, partition: Int,
-    numPartitions: Int, start: Long, end: Long, corruptEvery: Long)
+    numPartitions: Int, start: Long, end: Long, corruptEvery: Long,
+    payload: String = "json")
     extends InputPartition
 
 final class FakeKafkaReaderFactory extends PartitionReaderFactory {
@@ -276,7 +311,10 @@ final class FakeKafkaReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         InternalRow(
           null, // key
-          FakeKafka.payloadFor(offset, p.partition, p.numPartitions, p.corruptEvery),
+          (if (p.payload == "avro")
+            FakeKafka.avroPayloadFor(offset, p.partition, p.numPartitions, p.corruptEvery)
+          else
+            FakeKafka.payloadFor(offset, p.partition, p.numPartitions, p.corruptEvery)),
           UTF8String.fromString(p.topic),
           p.partition,
           offset,

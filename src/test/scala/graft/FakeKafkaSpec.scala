@@ -266,6 +266,27 @@ class FakeKafkaSpec extends SparkTestBase {
     assert(decoded.head.getUTF8String(4).toString == "click")
   }
 
+  test("fake.payload=avro round-trips the closed-form log through AvroPayloadCodec") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val read = (payload: String, codec: graft.sources.PayloadCodec) =>
+      KafkaEventSource("fake:9092", codec = codec,
+        partitionsOf = _ => 2,
+        extraOptions = Map("fake.partitions" -> "2", "fake.latest" -> "40",
+          "fake.corruptEvery" -> "8", "fake.payload" -> payload),
+        format = "graft.sources.FakeKafka")
+        .read(spark, "proj", "events", schema)
+        .selectExpr("_offset", "user_id", "event_type")
+        .orderBy("_offset", "user_id").collect().toSeq
+    val avro = read("avro", graft.sources.AvroPayloadCodec)
+    val json = read("json", JsonPayloadCodec)
+    // same closed-form content, same corrupt slots dropped, either codec
+    assert(avro.nonEmpty && avro == json,
+      s"avro=${avro.size} rows vs json=${json.size}")
+    assert(avro.size == 70) // 40 offsets - 5 corrupt (0,8,16,24,32) = 35 x 2
+  }
+
   test("offset JSON parser handles per-partition maps and keyword forms") {
     assert(FakeKafka.parseOffsetJson("""{"t":{"0":100,"1":200}}""", "t")
       == Some(Map(0 -> 100L, 1 -> 200L)))
