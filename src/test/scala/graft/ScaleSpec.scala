@@ -304,6 +304,22 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q65 Q11 shape: threshold is ONE scalar subquery, dims broadcast, fact scan pruned") {
+    val p = plan("q65_tpch_q11_value_share")
+    // the global threshold executes once as a scalar subquery, never a
+    // per-row probe; re-used as a literal by the filter
+    assert(p.linesIterator.count(_.contains("+- Subquery subquery")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p) // every dim side broadcasts
+    assert(p.contains("ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double>"), p)
+  }
+
+  test("q66 Q15 shape: subquery reduces to a scalar max, quantity filter pushed") {
+    val p = plan("q66_tpch_q15_top_supplier")
+    assert(p.contains("functions=[max(total_revenue"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // supplier side broadcasts
+  }
+
   test("q67 Q21 shape: EXISTS/NOT EXISTS plan as semi and anti joins on one key") {
     val p = plan("q67_tpch_q21_waiting_supplier")
     assert(p.contains("LeftSemi"), p)
