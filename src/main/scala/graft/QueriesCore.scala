@@ -126,6 +126,25 @@ object QueriesCore {
          AND r.total_revenue = (SELECT max(total_revenue) FROM revenue)
        ORDER BY s.s_suppkey"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q69).
+    * Q22's average is exact-decimal sum / exact count with ONE double
+    * division at the end — identical rounding in both engines; a plain
+    * AVG(double) would be association-order-dependent.
+    */
+  private[graft] val tpchQ22Sql: String =
+    """WITH eligible AS (
+         SELECT c_custkey, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(23,6))) AS DOUBLE) / count(*)
+             FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey))
+       SELECT c_nationkey AS cntry, count(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(23,6))) AS DOUBLE) AS totacctbal
+       FROM eligible
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q67). */
   private[graft] val tpchQ21Sql: String =
     """SELECT s.s_name, count(*) AS numwait
@@ -1727,6 +1746,22 @@ object QueriesCore {
                     ${sqlDecSum("l_extendedprice")} AS sum_price,
                     max(dim_n) AS dim_n
              FROM f JOIN d ON f.hot_key = d.hot_key
-             GROUP BY f.hot_key ORDER BY hot_key""")))
+             GROUP BY f.hot_key ORDER BY hot_key""")),
+
+    // --------------------------------------------- q69 TPC-H Q22 shape
+    // Lost-customers report: customers with ABOVE-AVERAGE balance (global
+    // scalar subquery — exact decimal sum / exact count, one double
+    // division, so the threshold can't flap cross-engine) and NO orders
+    // (anti join), rolled up per country. Catalyst plans the NOT EXISTS as
+    // a left-anti join on o_custkey and the average as one reduce; orders
+    // only needs its o_custkey column. The anti-join build side at 100 TB
+    // is the DISTINCT o_custkey set — at most |customers| keys regardless
+    // of order volume.
+    NamedQuery("q69_tpch_q22_lost_customers",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ22Sql)
+      },
+      Some(QueriesCore.tpchQ22Sql)))
 
 }

@@ -327,6 +327,20 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69 Q22 shape: anti join + ONE scalar subquery pushed into the scan") {
+    val p = plan("q69_tpch_q22_lost_customers")
+    assert(p.contains("LeftAnti"), p)
+    // one DISTINCT scalar subquery (it prints twice: at the Filter and at
+    // the scan it is pushed into)
+    val ids = "Subquery (subquery#\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ids.size == 1, p)
+    // the threshold is pushed all the way into the parquet scan as a
+    // dynamic filter — at 100 TB row groups below it never leave disk
+    assert(p.contains("GreaterThan(c_acctbal,ScalarSubquery"), p)
+    // orders feeds the anti join through its key column alone
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must
