@@ -241,6 +241,33 @@ def gen_argmax_query(i):
             f"SELECT {', '.join(sels)} FROM {t}{where} GROUP BY {key} ORDER BY g0")
 
 
+# correlated EXISTS / NOT EXISTS on a key — randomized semi/anti join
+# shapes (the q67/q69 plan families). Deterministic: row-set compare, and
+# the correlated subquery only constrains membership.
+EXISTS_SHAPES = [
+    ("customer", "c_custkey", "c_nationkey", "orders", "o_custkey",
+     "o_orderstatus", ["F", "O", "P"]),
+    ("part", "p_partkey", "p_size", "lineitem", "l_partkey",
+     "l_returnflag", ["A", "N", "R"]),
+    ("orders", "o_orderkey", "o_custkey", "lineitem", "l_orderkey",
+     "l_linestatus", ["F", "O"]),
+]
+
+
+def gen_exists_query(i):
+    o_t, o_key, o_col, i_t, i_key, i_col, i_vals = rng.choice(EXISTS_SHAPES)
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    preds = [f"{i_key} = {o_t}.{o_key}"]
+    if rng.random() < 0.8:
+        vals = rng.sample(i_vals, k=rng.randint(1, len(i_vals) - 1))
+        preds.append(f"{i_col} IN ({', '.join(repr(v) for v in vals)})"
+                     if len(vals) > 1 else f"{i_col} = '{vals[0]}'")
+    return (f"e{i:03d}",
+            f"SELECT {o_key} AS k, {o_col} AS a0 FROM {o_t} "
+            f"WHERE {neg} (SELECT 1 FROM {i_t} WHERE {' AND '.join(preds)}) "
+            f"ORDER BY k")
+
+
 def gen_query(i):
     r = rng.random()
     if r < 0.12:
@@ -249,9 +276,11 @@ def gen_query(i):
         return gen_setop_query(i)
     if r < 0.30:
         return gen_grouping_query(i)
-    if r < 0.38:
+    if r < 0.36:
         return gen_argmax_query(i)
-    if r < 0.50:
+    if r < 0.42:
+        return gen_exists_query(i)
+    if r < 0.52:
         return gen_window_query(i)
     if r < 0.68:
         return gen_join_query(i)
