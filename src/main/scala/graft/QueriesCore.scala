@@ -145,6 +145,60 @@ object QueriesCore {
        FROM eligible
        GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q70).
+    * Q17's per-part average threshold is exact-decimal sum / exact count
+    * with ONE double division, then one double multiply by 0.2 — the same
+    * IEEE operation order in both engines, so the `<` compare can't flap.
+    */
+  private[graft] val tpchQ17Sql: String =
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) / 7.0
+              AS avg_yearly
+       FROM lineitem l, part p
+       WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+         AND l.l_quantity < (
+           SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(23,6))) AS DOUBLE)
+                         / count(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q71). */
+  private[graft] val tpchQ18Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(23,6))) AS DOUBLE) AS sum_qty
+       FROM customer c, orders o, lineitem l
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS DECIMAL(23,6))) > 300)
+         AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+       GROUP BY c.c_custkey, o.o_orderkey
+       ORDER BY o.o_orderkey"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q72).
+    * Q20 needs partsupp; the fixture has none, so `ps` is synthesized as
+    * the per-(partkey, suppkey) quantity rollup of lineitem — the nested
+    * IN-inside-IN with a two-key-correlated scalar threshold is the shape
+    * under test, not the availqty column itself. An empty correlated sum
+    * is NULL → the `>` is UNKNOWN → row dropped, identically cross-engine.
+    */
+  private[graft] val tpchQ20Sql: String =
+    """WITH ps AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                SUM(CAST(l_quantity AS DECIMAL(23,6))) AS ps_availqty
+         FROM lineitem GROUP BY 1, 2)
+       SELECT s.s_suppkey, s.s_name
+       FROM supplier s, nation n
+       WHERE s.s_nationkey = n.n_nationkey
+         AND n.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+         AND s.s_suppkey IN (
+           SELECT ps_suppkey FROM ps
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+             AND CAST(ps_availqty AS DOUBLE) > (
+               SELECT 1.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(23,6))) AS DOUBLE)
+               FROM lineitem l
+               WHERE l.l_partkey = ps_partkey AND l.l_suppkey = ps_suppkey
+                 AND l.l_returnflag = 'R'))
+       ORDER BY s.s_suppkey"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q67). */
   private[graft] val tpchQ21Sql: String =
     """SELECT s.s_name, count(*) AS numwait
@@ -1762,6 +1816,49 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.tpchQ22Sql)
       },
-      Some(QueriesCore.tpchQ22Sql)))
+      Some(QueriesCore.tpchQ22Sql)),
+
+    // --------------------------------------------- q70 TPC-H Q17 shape
+    // Small-quantity-order revenue: a correlated scalar AVG threshold per
+    // part. Catalyst decorrelates into one per-partkey aggregate over
+    // lineitem joined back on l_partkey — at 100 TB that is ONE extra
+    // shuffle-keyed pass over the fact table (the aggregate emits at most
+    // |part| rows), never a per-row subquery; part is broadcast. The final
+    // answer is a single global sum — partial map-side, one-row result.
+    NamedQuery("q70_tpch_q17_small_qty_revenue",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ17Sql)
+      },
+      Some(QueriesCore.tpchQ17Sql)),
+
+    // --------------------------------------------- q71 TPC-H Q18 shape
+    // Large-volume customers: IN over a grouped-HAVING subquery — the
+    // qualifying-orderkey set is a pre-aggregation of the SAME fact table,
+    // planned as a left-semi join on o_orderkey. Scale: the semi join's
+    // build side is the aggregated key set (≤ |orders| keys, heavy-hitter
+    // orders only — here 473 of 150k at sf0.1), and the outer aggregation
+    // re-uses the l_orderkey clustering the semi join already produced.
+    NamedQuery("q71_tpch_q18_large_volume_customer",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ18Sql)
+      },
+      Some(QueriesCore.tpchQ18Sql)),
+
+    // --------------------------------------------- q72 TPC-H Q20 shape
+    // Part-promotion: IN nested inside IN, plus a scalar subquery
+    // correlated on TWO keys (partkey, suppkey). Catalyst rewrites the
+    // whole pyramid into joins: part-filter semi-joins the synthesized ps
+    // rollup, the correlated sum decorrelates to a grouped aggregate
+    // outer-joined on both keys, and the supplier IN becomes a left-semi.
+    // At 100 TB every step is keyed on (l_partkey, l_suppkey) or
+    // s_suppkey — three aggregates and three joins, zero per-row probes.
+    NamedQuery("q72_tpch_q20_part_promotion",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ20Sql)
+      },
+      Some(QueriesCore.tpchQ20Sql)))
 
 }

@@ -652,5 +652,31 @@ object QueriesStreaming {
              SELECT event_type, count(*) AS n,
                     CAST(sum(user_id) AS BIGINT) AS sum_uid,
                     min(o) AS min_off, max(o) AS max_off
-             FROM rows GROUP BY event_type ORDER BY event_type""")))
+             FROM rows GROUP BY event_type ORDER BY event_type""")),
+
+    // Stream-static enrichment: the event stream broadcast-joined to a
+    // BATCH dimension table per micro-batch, then rolled up per nation.
+    // The production staple — enrich clickstream with the customer dim
+    // before aggregating. Scale semantics: a stream-static join keeps NO
+    // join state (each micro-batch re-joins against the static side; only
+    // the downstream agg is stateful), and the broadcast means the stream
+    // never shuffles for the join — at 100 TB/day the dim broadcast is
+    // refreshed by stream restart (or a Delta-style CDC dim for true
+    // slowly-changing joins). The join is on the dim's key, every event
+    // matches (FK-complete fixture), and the rollup is merge-order-free.
+    NamedQuery("s13_stream_static_enrichment",
+      (s, dir) => withStatePartitions(s, 8) {
+        val dim = broadcast(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")))
+        val agg = eventsStream(s, dir)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+        runToTable(s, sink("s13", dir), agg)
+          .orderBy(col("c_nationkey"), col("event_type"))
+      },
+      Some(s"""SELECT c.c_nationkey, e.event_type, count(*) AS n,
+             ${sqlDecSum("e.value")} AS sum_value
+             FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY 1, 2 ORDER BY c_nationkey, event_type""")))
 }

@@ -341,6 +341,39 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p)
   }
 
+  test("q70 Q17 shape: correlated avg decorrelates to ONE per-part aggregate, no per-row probe") {
+    val p = plan("q70_tpch_q17_small_qty_revenue")
+    // RewriteCorrelatedScalarSubquery: the per-part threshold is a grouped
+    // sum+count aggregate joined back on l_partkey with the `<` as the
+    // join's residual — ONE extra keyed pass over lineitem, |part| rows out
+    assert(p.contains("HashAggregate(keys=[l_partkey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the brand filter prunes part AT THE SCAN, before any join
+    assert(p.contains("PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#4)"), p)
+  }
+
+  test("q71 Q18 shape: HAVING-IN plans as semi joins against the aggregated key set") {
+    val p = plan("q71_tpch_q18_large_volume_customer")
+    // the qualifying-order set (grouped HAVING) is the semi join build
+    // side; Catalyst pushes the SAME semi join onto orders AND lineitem,
+    // so both facts are pruned before the main join
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2, p)
+    assert(p.contains("> 300.000000"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q72 Q20 shape: nested INs become layered semi joins, two-key correlation decorrelates") {
+    val p = plan("q72_tpch_q20_part_promotion")
+    // IN-inside-IN: part-name semi join under the ps rollup, supplier semi
+    // join above it — never an expression-level IN evaluation
+    assert(p.linesIterator.count(_.contains("LeftSemi")) >= 2, p)
+    // the two-key correlated sum runs as ONE aggregate shuffled on
+    // (l_partkey, l_suppkey), its threshold applied as a join residual
+    assert(p.contains("hashpartitioning(l_partkey") && p.contains("l_suppkey"), p)
+    assert(p.contains("StringStartsWith(p_name,small)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must
