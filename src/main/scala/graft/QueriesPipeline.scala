@@ -2160,6 +2160,52 @@ object QueriesPipeline {
                FROM assigned a JOIN assigned b
                  ON a.part = b.part AND a.vec_id < b.vec_id)
              SELECT part, id_a, id_b, cos FROM scored
-             WHERE cos >= 0.999 ORDER BY id_a, id_b"""))
+             WHERE cos >= 0.999 ORDER BY id_a, id_b""")),
+
+    // --------------------------------------------- p43 shard packing
+    // Pack the corpus into ~equal-byte training shards in doc_id order —
+    // the write-the-training-files step. The naive formulation is a global
+    // running sum (`sum() OVER (ORDER BY doc_id)`), which Spark executes
+    // in ONE partition — the classic scale trap. This is the distributed
+    // prefix-sum instead: (1) per-bucket byte totals (one small aggregate),
+    // (2) an exclusive prefix over the per-BUCKET table (a window over
+    // #buckets rows — bounded and broadcastable, NOT over the corpus),
+    // (3) a per-bucket window adds within-bucket running sums to the
+    // broadcast offsets. The corpus-sized windows are all partitioned.
+    // Bucketing uses doc_id ranges (ids are dense); on arbitrary keys use
+    // repartitionByRange + spark_partition_id for the same three phases.
+    // All-integer math, so the oracle (which runs the naive global window
+    // — fine for DuckDB) is bit-exact.
+    NamedQuery("p43_shard_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 8000L
+        val b = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            expr("doc_id div 100").as("bucket"))
+        val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("bsum"))
+          .withColumn("boff", sum(col("bsum")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("bucket"), coalesce(col("boff"), lit(0L)).as("boff"))
+        b.join(broadcast(offsets), "bucket")
+          .withColumn("wsum", sum(col("n_chars")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("start", col("boff") + coalesce(col("wsum"), lit(0L)))
+          .withColumn("shard", expr(s"start div $target"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"), sum(col("n_chars")).as("chars"))
+          .orderBy(col("shard"))
+      },
+      Some("""SELECT shard, count(*) AS n_docs, min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc, sum(n_chars)::BIGINT AS chars
+             FROM (SELECT doc_id, n_chars,
+                     (sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_chars) // 8000 AS shard
+                   FROM documents)
+             GROUP BY shard ORDER BY shard"""))
   )
 }

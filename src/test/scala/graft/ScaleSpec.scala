@@ -374,6 +374,17 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p43 shard packing: corpus windows are bucket-partitioned; only the per-bucket table is global") {
+    val p = plan("p43_shard_packing")
+    // the distributed prefix-sum: the corpus-sized running sum is a window
+    // PARTITIONED on bucket (shuffled on bucket, per-bucket sort)...
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    // ...and the ONLY single-partition stage is the exclusive prefix over
+    // the per-BUCKET aggregate (#buckets rows), which then broadcasts back
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1, p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must

@@ -268,6 +268,43 @@ def gen_exists_query(i):
             f"ORDER BY k")
 
 
+# correlated SCALAR subqueries — the decorrelation family (q64/q70/q72
+# plan shapes) randomized: a per-outer-key aggregate either filters the
+# outer row (WHERE threshold) or projects as a column. Determinism: exact
+# aggregates only (count / min / max / BIGINT-cast integer sum), integer
+# comparisons; an empty correlated group yields NULL → UNKNOWN → dropped
+# identically in both engines (count yields 0, also identical).
+CORR_SHAPES = [
+    # (outer, outer_key, outer_num_col, inner, inner_key, inner_int, inner_pred)
+    ("customer", "c_custkey", "c_nationkey", "orders", "o_custkey",
+     "o_orderkey % 100", "o_orderstatus = 'F'"),
+    ("part", "p_partkey", "p_size", "lineitem", "l_partkey",
+     "l_linenumber", "l_returnflag = 'R'"),
+    ("orders", "o_orderkey", "o_custkey % 50", "lineitem", "l_orderkey",
+     "l_linenumber * 7", "l_linestatus = 'F'"),
+]
+
+
+def gen_corr_scalar_query(i):
+    o_t, o_key, o_num, i_t, i_key, i_int, i_pred = rng.choice(CORR_SHAPES)
+    agg = rng.choice([f"CAST(count(*) AS BIGINT)",
+                      f"CAST(sum({i_int}) AS BIGINT)",
+                      f"min({i_int})", f"max({i_int})"])
+    preds = [f"{i_key} = {o_t}.{o_key}"]
+    if rng.random() < 0.5:
+        preds.append(i_pred)
+    sub = f"(SELECT {agg} FROM {i_t} WHERE {' AND '.join(preds)})"
+    if rng.random() < 0.5:  # WHERE-threshold variant (q70's shape)
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        return (f"c{i:03d}",
+                f"SELECT {o_key} AS k, {o_num} AS a0 FROM {o_t} "
+                f"WHERE {o_num} {op} {sub} ORDER BY k")
+    # projection variant (the enrich-with-rollup shape)
+    return (f"c{i:03d}",
+            f"SELECT {o_key} AS k, {sub} AS a0 FROM {o_t} "
+            f"WHERE {o_key} <= 500 ORDER BY k")
+
+
 def gen_query(i):
     r = rng.random()
     if r < 0.12:
@@ -280,9 +317,11 @@ def gen_query(i):
         return gen_argmax_query(i)
     if r < 0.42:
         return gen_exists_query(i)
-    if r < 0.52:
+    if r < 0.48:
+        return gen_corr_scalar_query(i)
+    if r < 0.56:
         return gen_window_query(i)
-    if r < 0.68:
+    if r < 0.70:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
