@@ -199,6 +199,30 @@ object QueriesCore {
                  AND l.l_returnflag = 'R'))
        ORDER BY s.s_suppkey"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q73).
+    * Q19's revenue sum is decimal-exact per addend with one double cast at
+    * the end — identical across engines and join orders.
+    */
+  private[graft] val tpchQ19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))
+              AS DOUBLE) AS revenue
+       FROM lineitem l, part p
+       WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+              AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+          OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+              AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+          OR (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#34'
+              AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q74). */
+  private[graft] val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             FROM customer c LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q67). */
   private[graft] val tpchQ21Sql: String =
     """SELECT s.s_name, count(*) AS numwait
@@ -1859,6 +1883,37 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.tpchQ20Sql)
       },
-      Some(QueriesCore.tpchQ20Sql)))
+      Some(QueriesCore.tpchQ20Sql)),
+
+    // --------------------------------------------- q73 TPC-H Q19 shape
+    // Disjunctive join: three OR'd conjunctions each repeating the
+    // p_partkey = l_partkey equality. Catalyst extracts the COMMON equi-key
+    // out of the disjunction, so this plans as a hash equi-join with the
+    // brand/quantity/size disjunction as a residual — not the nested-loop
+    // cross product a naive reading implies — and pushes the OR of each
+    // side's local predicates down to its scan. At 100 TB this is the
+    // difference between |lineitem| × |part| and one broadcast hash probe.
+    NamedQuery("q73_tpch_q19_disjunctive_join",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ19Sql)
+      },
+      Some(QueriesCore.tpchQ19Sql)),
+
+    // --------------------------------------------- q74 TPC-H Q13 shape
+    // Customer order-count distribution: LEFT OUTER join with a predicate
+    // on the JOIN (not WHERE — customers with zero matching orders must
+    // survive as count 0), then a histogram-of-counts double aggregation.
+    // Scale: under the shuffle-join plan both sides exchange on the key
+    // once and the per-customer aggregate reuses that clustering; at
+    // fixture scale filtered orders broadcasts instead (the pinned plan)
+    // and the only fact exchange is the aggregate's. The second groupBy's
+    // input is at most |distinct counts| per task either way.
+    NamedQuery("q74_tpch_q13_custdist",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ13Sql)
+      },
+      Some(QueriesCore.tpchQ13Sql)))
 
 }

@@ -654,6 +654,94 @@ object QueriesStreaming {
                     min(o) AS min_off, max(o) AS max_off
              FROM rows GROUP BY event_type ORDER BY event_type""")),
 
+    // s04's PRODUCTION twin: stream-stream LEFT OUTER join. Matched pairs
+    // emit like the inner join; an UNMATCHED click emits null-padded only
+    // when its join-state row is evicted. Eviction is governed by the
+    // state-watermark predicate, which subtracts the range SPAN from the
+    // condition (click_ts − err_ts ∈ [0, 3600 s] ⇒ left state watermark =
+    // watermark − 3600 s) — null rows at or below that horizon are
+    // GUARANTEED out; whether clicks in the last band (wm − span, wm] also
+    // flush depends on terminal-batch timing (both behaviors observed
+    // across fixture scales — Spark emitted the band at sf0.1 and held it
+    // at sf0.01). So the gate pins the deterministic region: ALL matched
+    // pairs (exact at every scale — time-ordered chunks mean a needed
+    // error is never evicted before its click arrives) plus null-padded
+    // rows ≤ wm − span, with the ambiguous band filtered AFTER the run
+    // (batch post-filter on the sink — the stream itself is untouched).
+    // The staged chunks advance the watermark batch-by-batch, so null
+    // rows emit INCREMENTALLY mid-run; unmatched clicks inside the final
+    // horizon stay in state forever — exactly what an unbounded production
+    // stream would do. Oracle replays the ms-floored cutoff (s10's rule).
+    NamedQuery("s14_stream_outer_join",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev0 =>
+          // The join's effective watermark is the MIN over the two sides,
+          // and EACH SIDE TRACKS ONLY ITS OWN ROWS: even with
+          // withWatermark placed before the event-type split, the
+          // optimizer pushes the filter below the watermark node, so the
+          // click side's max is the last CLICK and the error side's the
+          // last ERROR (instrumented: the sf0.001 terminal batch ran at
+          // wm = max click ts − 1 h, hours before max event ts). A quiet
+          // side therefore stalls eviction for both — the production
+          // lesson this entry pins; the cutoffs below use
+          // min(max click, max error) accordingly.
+          val ev = ev0.withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+          val c = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_ts"))
+          val e = ev.filter(col("event_type") === "error")
+            .select(col("user_id").as("e_user"), col("ts").as("err_ts"))
+          val j = c.join(e,
+            col("user_id") === col("e_user")
+              && col("err_ts") >= col("click_ts") - expr("INTERVAL 3600 SECONDS")
+              && col("err_ts") <= col("click_ts"),
+            "left_outer")
+            .select(col("user_id"), col("click_ts"), col("err_ts"))
+          // deterministic-region cutoff: floor_ms(min over sides of that
+          // side's max ts) − watermark − span, from the batch table AFTER
+          // the stream finished (gate-only determinism; production has no
+          // such cutoff — it just keeps running)
+          val maxUs = Tables.load(s, dir, "events")
+            .filter(col("event_type").isin("click", "error"))
+            .groupBy(col("event_type"))
+            .agg(max(unix_micros(col("ts").cast("timestamp"))).as("mx"))
+            .agg(min(col("mx"))).head.getLong(0)
+          val cutoffUs = (maxUs / 1000 - 3600000L - 3600000L) * 1000
+          runToTable(s, sink("s14", dir), j, mode = "append")
+            .filter(col("err_ts").isNotNull ||
+              unix_micros(col("click_ts")) <= cutoffUs)
+            .select(col("user_id"),
+              col("click_ts").cast("timestamp_ntz").as("click_ts"),
+              col("err_ts").cast("timestamp_ntz").as("err_ts"))
+            .orderBy(col("user_id"), col("click_ts"), col("err_ts"))
+        }
+      },
+      Some("""WITH wm AS (
+               SELECT (epoch_ms(least(
+                        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                        (SELECT max(ts) FROM events WHERE event_type = 'error')))
+                       - 3600000) * 1000 AS wus FROM events LIMIT 1),
+             matched AS (
+               SELECT c.user_id, c.ts AS click_ts, e.ts AS err_ts
+               FROM events c JOIN events e
+                 ON e.user_id = c.user_id
+                AND c.event_type = 'click' AND e.event_type = 'error'
+                AND e.ts >= c.ts - INTERVAL 3600 SECONDS AND e.ts <= c.ts),
+             unmatched AS (
+               SELECT c.user_id, c.ts AS click_ts,
+                      CAST(NULL AS TIMESTAMP) AS err_ts
+               FROM events c, wm
+               WHERE c.event_type = 'click'
+                 AND NOT EXISTS (
+                   SELECT 1 FROM events e
+                   WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                     AND e.ts >= c.ts - INTERVAL 3600 SECONDS AND e.ts <= c.ts)
+                 AND epoch_us(c.ts) <= wm.wus - 3600000000)
+             SELECT user_id, click_ts, err_ts FROM matched
+             UNION ALL
+             SELECT user_id, click_ts, err_ts FROM unmatched
+             ORDER BY user_id, click_ts, err_ts""")),
+
     // Stream-static enrichment: the event stream broadcast-joined to a
     // BATCH dimension table per micro-batch, then rolled up per nation.
     // The production staple — enrich clickstream with the customer dim

@@ -385,6 +385,25 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
 
+  test("q73 Q19 shape: the common equi-key is extracted from the disjunction, ORs pushed to scans") {
+    val p = plan("q73_tpch_q19_disjunctive_join")
+    // the partkey equality repeated in every disjunct becomes THE join key;
+    // the brand/quantity/size disjunction stays a residual
+    assert(p.contains("BroadcastHashJoin [l_partkey"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // each side's OR-of-local-predicates is pushed to ITS parquet scan
+    assert(p.linesIterator.count(_.contains("Or(Or(And(")) >= 2, p)
+  }
+
+  test("q74 Q13 shape: join-side predicate stays on the join, customer scans its key alone") {
+    val p = plan("q74_tpch_q13_custdist")
+    assert(p.contains("LeftOuter"), p)
+    // the priority filter prunes ORDERS at its scan but never touches
+    // customer (outer-join semantics: zero-order customers survive)
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"), p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must

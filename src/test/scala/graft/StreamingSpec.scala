@@ -116,6 +116,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream join: a quiet side stalls null emission; its advance releases it") {
+    // pins s14's two measured semantics: the join watermark is the MIN
+    // over the sides (each tracking only its own rows), and null-padded
+    // emission happens at state eviction = watermark − range span
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx = s0.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id", $"ts".as("click_ts"))
+    val e = errors.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id".as("e_user"), $"ts".as("err_ts"))
+    val j = c.join(e,
+      col("user_id") === col("e_user")
+        && col("err_ts") >= col("click_ts") - expr("INTERVAL 30 SECONDS")
+        && col("err_ts") <= col("click_ts"), "left_outer")
+      .select(col("user_id"), col("click_ts"), col("err_ts"))
+    val q = j.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append").start()
+    try {
+      // u1's click has no matching error; the click side races far ahead
+      errors.addData(Event(2, "error", ts(10), 0))
+      clicks.addData(Event(1, "click", ts(20), 0), Event(9, "click", ts(500), 0))
+      q.processAllAvailable()
+      assert(s0.table("ssoj").filter(col("err_ts").isNull).count() == 0,
+        "null rows emitted while the error side's watermark was behind")
+      // the error side catches up → min watermark 490, eviction 460:
+      // click@20 is released null-padded, click@500 stays in state
+      errors.addData(Event(8, "error", ts(500), 0))
+      q.processAllAvailable()
+      val nulls = s0.table("ssoj").filter(col("err_ts").isNull).collect()
+        .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000)).toSet
+      assert(nulls == Set((1L, 20L)), s"got $nulls")
+    } finally q.stop()
+  }
+
   test("sessionize merges very-late events into one past session (no fragmentation)") {
     val s0 = spark
     import s0.implicits._
