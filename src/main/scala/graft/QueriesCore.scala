@@ -240,6 +240,105 @@ object QueriesCore {
          AND rg.r_name = 'AMERICA'
        GROUP BY s.s_name ORDER BY numwait DESC, s.s_name"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q75).
+    * year() is INT in Spark but BIGINT in DuckDB — the explicit BIGINT
+    * cast keeps the driver's typed value hash identical across engines.
+    */
+  private[graft] val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(CAST(volume AS DECIMAL(23,6))) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier s, lineitem l, orders o, customer c,
+                  nation n1, nation n2
+             WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+               AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+               AND c.c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+               AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                    AND TIMESTAMP '1997-12-31') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q76). The
+    * ratio divides two decimal-summed DOUBLEs — identical operands on both
+    * engines, and IEEE division is deterministic, so the quotient hashes
+    * bit-exact without any decimal-division scale divergence.
+    */
+  private[graft] val tpchQ8Sql: String =
+    """SELECT o_year,
+              CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                            THEN CAST(volume AS DECIMAL(23,6))
+                            ELSE CAST(0 AS DECIMAL(23,6)) END) AS DOUBLE)
+              / CAST(SUM(CAST(volume AS DECIMAL(23,6))) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume,
+                    n2.n_name AS supp_nation
+             FROM part p, supplier s, lineitem l, orders o, customer c,
+                  nation n1, nation n2, region r
+             WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+               AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+               AND c.c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+               AND s.s_nationkey = n2.n_nationkey
+               AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                     AND TIMESTAMP '1997-12-31'
+               AND p.p_type = 'ECONOMY') all_nations
+       GROUP BY o_year ORDER BY o_year"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q77). The
+    * canonical shape orders by revenue alone; c_custkey is added as a
+    * total-order tiebreak so the LIMIT cutoff is engine-independent.
+    */
+  private[graft] val tpchQ10Sql: String =
+    """SELECT c.c_custkey, c.c_name,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(23,6))) AS DOUBLE) AS revenue,
+              c.c_acctbal, n.n_name
+       FROM customer c, orders o, lineitem l, nation n
+       WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+         AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q78). The
+    * fixture's p_type is a single word, so the canonical LIKE 'PROMO%%'
+    * becomes equality.
+    */
+  private[graft] val tpchQ14Sql: String =
+    """SELECT CAST(100 AS DOUBLE)
+              * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                        AS DECIMAL(23,6))
+                              ELSE CAST(0 AS DECIMAL(23,6)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(23,6))) AS DOUBLE) AS promo_revenue
+       FROM lineitem l, part p
+       WHERE l.l_partkey = p.p_partkey
+         AND l.l_shipdate >= TIMESTAMP '1997-09-01'
+         AND l.l_shipdate <  TIMESTAMP '1997-10-01'"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q79). The
+    * fixture has no partsupp table or s_comment — lineitem stands in as
+    * the part↔supplier association and a negative account balance as the
+    * complaint predicate; the shape (NOT IN over a scan subquery under a
+    * COUNT DISTINCT rollup) is the canonical one.
+    */
+  private[graft] val tpchQ16Sql: String =
+    """SELECT p.p_brand, p.p_type, p.p_size,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM lineitem l, part p
+       WHERE p.p_partkey = l.l_partkey AND p.p_brand <> 'Brand#12'
+         AND p.p_size IN (1, 5, 9, 14, 20)
+         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+
   // (defined ABOVE `all`: entries capture these eagerly at object init)
 
   val all: Seq[NamedQuery] = Seq(
@@ -1914,6 +2013,75 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.tpchQ13Sql)
       },
-      Some(QueriesCore.tpchQ13Sql)))
+      Some(QueriesCore.tpchQ13Sql)),
+
+    // ---------------------------------------------- q75 TPC-H Q7 shape
+    // Volume shipping between two nations: a 6-table join where the SAME
+    // dimension (nation) enters twice under different roles, constrained
+    // by a symmetric OR over the role pair. Scale: supplier/customer/
+    // nation are broadcast; lineitem↔orders is the only fact-fact join,
+    // one shuffle on the orderkey, and the disjunction over (n1, n2) is a
+    // residual on broadcast-joined rows — never a blowup. The final
+    // (nation, nation, year) aggregate is at most 2×|years| groups.
+    NamedQuery("q75_tpch_q7_volume_shipping",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ7Sql)
+      },
+      Some(QueriesCore.tpchQ7Sql)),
+
+    // ---------------------------------------------- q76 TPC-H Q8 shape
+    // National market share: an 8-table join (nation twice, region once)
+    // feeding a conditional-over-total ratio per year. Scale: every
+    // dimension broadcasts; the CASE numerator and the denominator are
+    // computed in the SAME aggregate pass — one shuffle on o_year (a
+    // handful of groups), not two plans over the fact table.
+    NamedQuery("q76_tpch_q8_market_share",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ8Sql)
+      },
+      Some(QueriesCore.tpchQ8Sql)),
+
+    // --------------------------------------------- q77 TPC-H Q10 shape
+    // Returned-item reporting: quarter-windowed orders joined to returned
+    // lineitems, grouped per customer, top-20 by lost revenue. Scale: the
+    // o_orderdate window prunes orders BEFORE the fact join (pushed scan
+    // filter), the per-customer aggregate is one keyed shuffle, and the
+    // LIMIT plans as TakeOrderedAndProject — each task keeps 20 rows, the
+    // driver merges 20×tasks, never a global sort.
+    NamedQuery("q77_tpch_q10_returned_items",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ10Sql)
+      },
+      Some(QueriesCore.tpchQ10Sql)),
+
+    // --------------------------------------------- q78 TPC-H Q14 shape
+    // Promo revenue ratio: one month of lineitem joined to part, a single
+    // global conditional/total ratio. Scale: the shipdate window is a
+    // pushed scan filter (a fraction of the fact read at 100 TB), part
+    // broadcasts, and both sums fold map-side into ONE partial-aggregate
+    // pass — the result is a single row with no keyed shuffle at all.
+    NamedQuery("q78_tpch_q14_promo_revenue",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ14Sql)
+      },
+      Some(QueriesCore.tpchQ14Sql)),
+
+    // --------------------------------------------- q79 TPC-H Q16 shape
+    // Supplier count per part profile: COUNT(DISTINCT supplier) under a
+    // NOT IN scan subquery. Scale: NOT IN is null-aware — Catalyst plans a
+    // broadcast null-aware anti join against the (tiny) complained-
+    // supplier set, NOT a per-row probe; the distinct-count then shuffles
+    // once on the (brand, type, size) profile with the suppkey carried as
+    // the distinct child — two exchanges total, both on bounded keys.
+    NamedQuery("q79_tpch_q16_supplier_cnt",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ16Sql)
+      },
+      Some(QueriesCore.tpchQ16Sql)))
 
 }

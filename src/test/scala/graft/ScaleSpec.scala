@@ -474,6 +474,51 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<c_custkey:bigint>"), p)
   }
 
+  test("q75 Q7 shape: dims broadcast, one fact-fact shuffle at most, disjunction is a residual") {
+    val p = plan("q75_tpch_q7_volume_shipping")
+    // nation enters twice, both broadcast; the symmetric OR over the
+    // (supplier-nation, customer-nation) pair must not force a
+    // nested-loop join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p)
+    // the shipdate window reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q76 Q8 shape: numerator and denominator share ONE aggregate pass") {
+    val p = plan("q76_tpch_q8_market_share")
+    // CASE-sum and total-sum must be columns of the same HashAggregate
+    // (2 nodes = partial+final), not two plans over the fact table
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q77 Q10 shape: top-20 is TakeOrderedAndProject, order window pushed to the scan") {
+    val p = plan("q77_tpch_q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // quarter window prunes ORDERS at its scan; returnflag prunes lineitem
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q78 Q14 shape: single global aggregate, no keyed shuffle, month pushed to the scan") {
+    val p = plan("q78_tpch_q14_promo_revenue")
+    // both sums fold map-side; the only exchange is the one-row gather
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q79 Q16 shape: NOT IN is the null-aware anti join, distinct count shuffles on bounded keys") {
+    val p = plan("q79_tpch_q16_supplier_cnt")
+    // trailing `true` on the LeftAnti BHJ = isNullAwareAntiJoin against
+    // the tiny complained-supplier set
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    // two keyed exchanges: (brand,type,size,suppkey) dedup then the
+    // (brand,type,size) count — plus only the presentation range sort
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must
