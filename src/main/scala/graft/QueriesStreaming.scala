@@ -766,5 +766,105 @@ object QueriesStreaming {
       Some(s"""SELECT c.c_nationkey, e.event_type, count(*) AS n,
              ${sqlDecSum("e.value")} AS sum_value
              FROM events e JOIN customer c ON e.user_id = c.c_custkey
-             GROUP BY 1, 2 ORDER BY c_nationkey, event_type""")))
+             GROUP BY 1, 2 ORDER BY c_nationkey, event_type""")),
+
+    // s01's UPDATE-MODE twin: the live-dashboard sink shape. Update mode
+    // emits, per micro-batch, ONLY the (day, type) groups that batch
+    // touched — the foreachBatch upsert a real dashboard runs — so sink
+    // traffic per trigger is O(touched keys), not O(all keys) as in
+    // complete mode. The run captures every update row with its batch id,
+    // reconstructs the final table as each key's LAST update (max_by on
+    // batch id — at most one emission per key per batch, so no ties), and
+    // REQUIREs the touched-keys discipline: total emitted rows stay within
+    // chunk-boundary overlap of the key count (time-ranged chunks touch
+    // disjoint day ranges except at the ≤3 boundary days), where complete
+    // mode would have emitted ~2.5× (every key seen so far, every batch).
+    // Scale: per-trigger sink write is bounded by data arrival, not by
+    // accumulated state — the property that keeps a year-old dashboard's
+    // refresh cost flat. State itself is bounded by adding a watermark
+    // (s10 gates that path); update mode without one suits a finite
+    // backfill or a keyed table whose key space is the bound.
+    NamedQuery("s15_stream_update_mode",
+      (s, dir) => withStatePartitions(s, 8) {
+        val outDir = java.nio.file.Files.createTempDirectory("graft_s15_out_")
+        try withStagedEventsStream(s, dir, 4) { ev =>
+          val agg = ev
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+            .select(col("window.start").cast("date").as("day"),
+              col("event_type"), col("n"), col("sum_value"))
+          val writeBatch: (DataFrame, Long) => Unit = (batch, bid) =>
+            batch.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(outDir.toString)
+          val q = agg.writeStream
+            .outputMode("update").trigger(Trigger.AvailableNow())
+            .foreachBatch(writeBatch)
+            .start()
+          try require(q.awaitTermination(180000L), "stream s15 did not finish")
+          finally q.stop()
+          val updates = s.read.parquet(outDir.toString).localCheckpoint()
+          val finals = updates
+            .groupBy(col("day"), col("event_type"))
+            .agg(max_by(struct(col("n"), col("sum_value")), col("batch_id"))
+              .as("last"))
+            .select(col("day"), col("event_type"),
+              col("last.n").as("n"), col("last.sum_value").as("sum_value"))
+            .localCheckpoint()
+          val emitted = updates.count()
+          val keys = finals.count()
+          require(emitted < 1.5 * keys,
+            s"update mode re-emitted untouched keys: $emitted updates for $keys keys")
+          finals.orderBy(col("day"), col("event_type"))
+        } finally graft.util.Fs.deleteRecursively(outDir)
+      },
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // CHAINED stateful operators: a 6-hour tumbling count per type feeding
+    // a SECOND windowed aggregation (daily total + peak 6h bucket) in one
+    // streaming query — the multi-level rollup every metrics pipeline
+    // needs, runnable since Spark supports multiple stateful operators in
+    // append mode. window_time() re-exposes the first aggregate's window
+    // as an event-time column so the day window nests the closed 6h
+    // windows; watermark propagation closes a day only after all its 6h
+    // buckets closed, within the same micro-batch when the watermark jumps
+    // past both. Scale: state is two window stores — O(open 6h windows) +
+    // O(open days) per key — instead of a second full pass over the
+    // stream or a batch re-aggregation job bolted onto the side; both
+    // stores evict by the same watermark. Oracle: 6h epoch buckets nest
+    // exactly in days (both epoch-aligned), day closed ⇔ its end cleared
+    // the final watermark (max ts − 1h), replaying s10's cutoff rule.
+    NamedQuery("s16_stream_chained_aggs",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev =>
+          val sixHour = ev
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n6"))
+          val daily = sixHour
+            .groupBy(window(window_time(col("window")), "1 day"),
+              col("event_type"))
+            .agg(sum(col("n6")).as("n_day"), max(col("n6")).as("peak_6h"))
+            .select(col("window.start").cast("date").as("day"),
+              col("event_type"), col("n_day"), col("peak_6h"))
+          runToTable(s, sink("s16", dir), daily, mode = "append")
+            .orderBy(col("day"), col("event_type"))
+        }
+      },
+      Some("""WITH wm AS (
+               SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wus FROM events),
+             h AS (
+               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(floor(epoch(ts) / 21600) AS BIGINT) AS hw,
+                      event_type, count(*) AS n6
+               FROM events GROUP BY 1, 2, 3)
+             SELECT day, event_type, CAST(sum(n6) AS BIGINT) AS n_day,
+                    max(n6) AS peak_6h
+             FROM h, wm
+             GROUP BY day, event_type
+             HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+                    <= any_value(wm.wus)
+             ORDER BY day, event_type""")))
 }

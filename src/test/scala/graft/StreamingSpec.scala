@@ -206,6 +206,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful aggs: two state stores, rollup closes with its sub-windows") {
+    // the s16 shape in miniature: 10 s tumbling counts per type feeding a
+    // 60 s rollup (sum + peak) in ONE query — pins that Spark really runs
+    // TWO stateful operators and that watermark propagation closes the
+    // outer window in the same cascade that evicts its inner windows
+    import org.apache.spark.sql.functions._
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val rollup = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "10 seconds"), $"event_type")
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(window_time($"window"), "1 minute"), $"event_type")
+      .agg(sum($"n10").as("n_min"), max($"n10").as("peak"))
+      .select($"window.start".as("w_start"), $"event_type", $"n_min", $"peak")
+    val q = rollup.writeStream.format("memory").queryName("chained")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, "click", ts(5), 0), Event(2, "click", ts(8), 0),
+        Event(3, "click", ts(15), 0), Event(4, "click", ts(15), 0),
+        Event(5, "click", ts(17), 0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.length == 2,
+        s"expected 2 stateful operators, got ${q.lastProgress.stateOperators.length}")
+      // nothing may emit before the watermark passes the MINUTE end —
+      // even though the 10 s windows are long closed
+      input.addData(Event(9, "click", ts(55), 0))
+      q.processAllAvailable()
+      assert(s0.table("chained").isEmpty, "rollup emitted before its window closed")
+      // one event far ahead closes [0,60): both 10 s windows evict into
+      // the rollup and the rollup row emits, all in the same cascade
+      input.addData(Event(9, "click", ts(300), 0))
+      q.processAllAvailable()
+      val rows = s0.table("chained").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 1000,
+          r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set((0L, "click", 6L, 3L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow file stream reproduces the batch result exactly") {
     // batch/stream parity: the SAME aggregation over the SAME parquet must
     // yield identical rows whether executed as one batch plan or through
