@@ -2206,6 +2206,95 @@ object QueriesPipeline {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       - n_chars) // 8000 AS shard
                    FROM documents)
-             GROUP BY shard ORDER BY shard"""))
+             GROUP BY shard ORDER BY shard""")),
+
+    // ---------------------------------------------- p44 doc novelty
+    // Per-document novelty: the fraction of a doc's distinct shingles that
+    // appear in NO other document (df = 1 over the corpus) — the
+    // uniqueness signal quality filters use to upweight original content
+    // and zero out boilerplate. Planted exact copies score 0 (every
+    // shingle shared with the original), which the oracle verifies for
+    // free. Scale: df is a map-side-combined rollup of the SAME shared
+    // inverted index every dedup op reads, the join back is h-keyed (the
+    // index's own clustering — bucketed, it's exchange-free like the p02
+    // pin), and the per-doc rollup is one doc_id shuffle. Crucially the
+    // df=1 test never materializes candidate PAIRS — novelty is O(index),
+    // not O(collisions), so a 100 TB boilerplate-heavy corpus can't blow
+    // it up the way a hot shingle blows up an uncapped pair join.
+    NamedQuery("p44_doc_novelty",
+      (s, dir) => {
+        val sh = sharedShingleHashes(s, dir)
+        val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        sh.join(df, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+            (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             dfx AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+             SELECT s2.doc_id, count(*) AS n_shingles,
+                    CAST(sum(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_unique,
+                    CAST(sum(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*) AS novelty
+             FROM sh s2 JOIN dfx ON s2.h = dfx.h
+             GROUP BY s2.doc_id ORDER BY s2.doc_id""")),
+
+    // ---------------------------------------------- p45 mixture allocation
+    // Data-mixture planning: per-source sampling weights for a
+    // char-uniform target mixture, plus a LARGEST-REMAINDER allocation of
+    // a fixed sample budget (N=1000) across sources — integer quotas that
+    // sum to exactly N, ties broken by source name. The weight is a ratio
+    // of exact integers (total/(k·chars)) so the double hashes bit-exact;
+    // the allocation is all-integer. Scale: per-source stats are one
+    // map-side-combined aggregate; everything after operates on the
+    // #sources-row table (bounded, broadcast) — the remainder-ranking
+    // window orders THAT table, never the corpus, the same bounded-window
+    // discipline as p43's per-bucket offsets.
+    NamedQuery("p45_mixture_allocation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = 1000L
+        val per = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val tot = per.agg(sum(col("n_chars")).as("t_chars"),
+          count(lit(1)).as("k"))
+        val based = per.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($n * n_chars) div t_chars"))
+          .withColumn("rem", expr(s"($n * n_chars) % t_chars"))
+        val deficit = based.agg((lit(n) - sum(col("base"))).as("d"))
+        based.crossJoin(broadcast(deficit))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            (col("t_chars").cast("double") / (col("k") * col("n_chars")))
+              .as("weight"),
+            (col("base") + when(col("rk") <= col("d"), 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH per AS (
+               SELECT source, count(*) AS n_docs,
+                      sum(n_chars)::BIGINT AS n_chars
+               FROM documents GROUP BY source),
+             tot AS (SELECT sum(n_chars)::BIGINT AS t_chars,
+                            count(*) AS k FROM per),
+             based AS (
+               SELECT per.*, tot.t_chars, tot.k,
+                      (1000 * n_chars) // t_chars AS base,
+                      (1000 * n_chars) % t_chars AS rem
+               FROM per, tot),
+             deficit AS (SELECT 1000 - sum(base)::BIGINT AS d FROM based),
+             ranked AS (
+               SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+               FROM based)
+             SELECT source, n_docs, n_chars,
+                    CAST(t_chars AS DOUBLE) / (k * n_chars) AS weight,
+                    (base + CASE WHEN rk <= d THEN 1 ELSE 0 END)::BIGINT AS alloc
+             FROM ranked, deficit ORDER BY source"""))
   )
 }

@@ -455,6 +455,32 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
 
+  test("p44 doc novelty: O(index) — no candidate pairs, bounded exchange count") {
+    val p = plan("p44_doc_novelty")
+    // novelty is df-counting over the shared index joined back on h — a
+    // hot shingle adds rows to ONE group, it never fans out into pairs
+    assert(!p.contains("id_a") && !p.contains("id_b"), p)
+    // h-rollup, doc_id-rollup, plus the shared index's own build exchange.
+    // Count DISTINCT partitioning signatures, not lines or plan_ids: the
+    // cached subplan prints under both scans, and once materialized its
+    // AdaptiveSparkPlan prints Final AND Initial sections whose copies of
+    // the same exchange carry different plan_ids
+    val exKeys = p.linesIterator
+      .flatMap("Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findFirstMatchIn(_).map(_.group(1).replaceAll("#\\d+L?", ""))).toSet
+    assert(exKeys.size <= 3, p)
+  }
+
+  test("p45 mixture allocation: corpus touched by ONE aggregate, windows over the source table only") {
+    val p = plan("p45_mixture_allocation")
+    // every keyed exchange is the per-source rollup (or a re-read of it);
+    // the remainder-ranking window and both totals run on the bounded
+    // #sources-row table, which broadcasts back
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("source")), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q73 Q19 shape: the common equi-key is extracted from the disjunction, ORs pushed to scans") {
     val p = plan("q73_tpch_q19_disjunctive_join")
     // the partkey equality repeated in every disjunct becomes THE join key;
