@@ -339,6 +339,73 @@ object QueriesCore {
        GROUP BY p.p_brand, p.p_type, p.p_size
        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q80). */
+  private[graft] val tpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,6)))
+              AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate <  TIMESTAMP '1998-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q81). The
+    * canonical shape orders by revenue alone; n_name is added as a
+    * total-order tiebreak so ties are engine-independent.
+    */
+  private[graft] val tpchQ5Sql: String =
+    """SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(23,6))) AS DOUBLE) AS revenue
+       FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+       WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+         AND r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+       GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q82). The
+    * fixture has no partsupp table, so p_retailprice * l_quantity stands in
+    * for ps_supplycost * l_quantity in the profit expression and
+    * '%widget%' for the canonical '%green%'; the shape (5-table star with
+    * a LIKE-filtered part dim, an expression-derived amount, grouping on
+    * nation × extracted year) is the canonical one.
+    */
+  private[graft] val tpchQ9Sql: String =
+    """SELECT nation, o_year,
+              CAST(SUM(CAST(amount AS DECIMAL(23,6))) AS DOUBLE) AS sum_profit
+       FROM (SELECT n.n_name AS nation,
+                    CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity AS amount
+             FROM part p, supplier s, lineitem l, orders o, nation n
+             WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+               AND o.o_orderkey = l.l_orderkey
+               AND s.s_nationkey = n.n_nationkey
+               AND p.p_name LIKE '%widget%') profit
+       GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q83). The
+    * fixture has no l_shipmode or receipt/commit dates — l_linestatus
+    * stands in for the shipmode grouping and the shipdate window for the
+    * receipt-window filter; the shape (fact join + priority-bucketed
+    * conditional counts) is the canonical one.
+    */
+  private[graft] val tpchQ12Sql: String =
+    """SELECT l.l_linestatus AS shipmode,
+              CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                              OR o.o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                             AND o.o_orderpriority <> '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders o, lineitem l
+       WHERE o.o_orderkey = l.l_orderkey
+         AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+       GROUP BY l.l_linestatus ORDER BY shipmode"""
+
   // (defined ABOVE `all`: entries capture these eagerly at object init)
 
   val all: Seq[NamedQuery] = Seq(
@@ -2082,6 +2149,70 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.tpchQ16Sql)
       },
-      Some(QueriesCore.tpchQ16Sql)))
+      Some(QueriesCore.tpchQ16Sql)),
+
+    // --------------------------------------------- q80 TPC-H Q6 shape
+    // Forecast-revenue-change: the pure scan→filter→global-agg query — the
+    // floor of TPC-H. Scale: every predicate (date window, discount band,
+    // quantity cap) is scan-evaluable so the filter runs columnar before
+    // any exchange; the only exchange in the plan is the SinglePartition
+    // gather of 32 one-row partials. At 100 TB this query is I/O-bound by
+    // construction — row-group min/max pruning on l_shipdate does the real
+    // work, and nothing downstream can become a bottleneck.
+    NamedQuery("q80_tpch_q6_forecast_revenue",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ6Sql)
+      },
+      Some(QueriesCore.tpchQ6Sql)),
+
+    // --------------------------------------------- q81 TPC-H Q5 shape
+    // Local-supplier volume: the CYCLIC join graph — lineitem joins
+    // supplier on l_suppkey AND customer joins supplier on nationkey
+    // (c_nationkey = s_nationkey closes the cycle), so join order matters
+    // and one edge must be checked as a non-tree condition. Scale: the one
+    // big exchange is lineitem⨝orders on orderkey; customer, supplier,
+    // nation, region all broadcast (each is ≤ SF·15k rows), so the cycle
+    // edge resolves inside the stream side's hash probes without a second
+    // fact shuffle; the final rollup groups on ~25 nations.
+    NamedQuery("q81_tpch_q5_local_supplier",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ5Sql)
+      },
+      Some(QueriesCore.tpchQ5Sql)),
+
+    // --------------------------------------------- q82 TPC-H Q9 shape
+    // Product-type profit: 5-table star, part dim filtered by a
+    // non-sargable LIKE '%widget%' (contains — can't push to row-group
+    // stats, but still evaluates scan-side before the join), amount is a
+    // two-term product expression, grouping on nation × year(date) — a
+    // derived key. Scale: lineitem shuffles ONCE (⨝orders on orderkey);
+    // the LIKE-pruned part, supplier, and nation broadcast; the rollup
+    // groups on ~25 nations × ~7 years — the aggregate is map-side
+    // partial so the derived-key exchange carries ~175 rows per task.
+    NamedQuery("q82_tpch_q9_product_profit",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ9Sql)
+      },
+      Some(QueriesCore.tpchQ9Sql)),
+
+    // --------------------------------------------- q83 TPC-H Q12 shape
+    // Shipmode priority: fact⨝fact join (orders × lineitem, both large at
+    // scale) feeding PIVOTED conditional counts — the CASE buckets fold
+    // the priority dimension into columns at aggregation time, so the
+    // output is one row per mode, never a (mode × priority) cross table.
+    // Scale: both sides shuffle on orderkey (co-partitioned — AQE can
+    // coalesce), the date filter prunes lineitem scan-side FIRST so the
+    // shuffled fact is the filtered year only, and the final agg groups
+    // on 2 statuses — partial aggregation collapses each task to ≤2 rows
+    // before the last exchange.
+    NamedQuery("q83_tpch_q12_shipmode_priority",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.tpchQ12Sql)
+      },
+      Some(QueriesCore.tpchQ12Sql)))
 
 }

@@ -545,6 +545,44 @@ class ScaleSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
   }
 
+  test("q80 Q6 shape: all three predicates reach the scan, only exchange is the one-row gather") {
+    val p = plan("q80_tpch_q6_forecast_revenue")
+    // the PushedFilters list is elided mid-string in toString, so pin the
+    // pushdown by its (visible) head and the predicates via the Filter node
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), p)
+    assert(p.contains("< 24.0)"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q81 Q5 shape: cyclic join graph resolves with broadcast dims, no nested loop") {
+    val p = plan("q81_tpch_q5_local_supplier")
+    // the c_nationkey = s_nationkey cycle edge must close inside hash
+    // probes, never as a cartesian/BNLJ residual
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p)
+    // the order-date year prunes ORDERS at its scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q82 Q9 shape: contains-LIKE evaluates at the part scan, derived-key rollup is partial") {
+    val p = plan("q82_tpch_q9_product_profit")
+    // '%widget%' can't prune row groups but DOES push to the scan
+    assert(p.contains("StringContains(p_name,widget)"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one aggregate pass (partial+final) over the joined fact
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+  }
+
+  test("q83 Q12 shape: both CASE buckets fold in ONE aggregate pass, date window pushed") {
+    val p = plan("q83_tpch_q12_shipmode_priority")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // high/low counts are columns of the same HashAggregate pair, not two
+    // plans over the join
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+  }
+
   test("q68 salted skew join: shuffle keyed on (hot_key, salt), dim replicated, no broadcast") {
     val p = plan("q68_salted_skew_join")
     // the whole point is spreading the hot key: the join's exchange must
