@@ -866,5 +866,63 @@ object QueriesStreaming {
              GROUP BY day, event_type
              HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
                     <= any_value(wm.wus)
-             ORDER BY day, event_type""")))
+             ORDER BY day, event_type""")),
+
+    // Spark 4 state-v2 (`transformWithState`): s07's sessionization
+    // re-expressed as a StatefulProcessor — named ValueState in a RocksDB
+    // column family, EXPLICIT event-time timers re-armed per batch — and
+    // checked bit-exact against the SAME oracle, pinning that the two
+    // state APIs implement identical semantics. This is the 100 TB state
+    // path: RocksDB keeps per-key state off-heap (the fMGWS HDFS-backed
+    // store is JVM-heap-bound), changelog checkpointing ships per-batch
+    // deltas instead of full store snapshots, and the processor model
+    // composes multiple typed state variables + TTL where fMGWS forces
+    // one state blob. The provider conf is scoped to this entry and
+    // restored after (sequential harness, same discipline as
+    // withStatePartitions).
+    NamedQuery("s17_stream_state_v2_sessions",
+      (s, dir) => withStatePartitions(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key,
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val gapMs = 6L * 3600 * 1000
+          val ev = eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"),
+              col("ts").cast("timestamp").as("ts"), col("value"))
+            .as[graft.streaming.EventStreams.Event]
+          val sessions = graft.streaming.EventStreams
+            .sessionizeV2(ev, gapMs = gapMs, watermark = "1 hour")
+          runToTable(s, sink("s17", dir), sessions.toDF(), mode = "append")
+            .select(col("user_id"), col("start").as("s_start"),
+              col("end").as("s_end"), col("n_events"))
+            .orderBy(col("user_id"), col("s_start"))
+        } finally s.conf.set(key, prev)
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             marked AS (
+               SELECT user_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                           OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             sess AS (
+               SELECT user_id, ms,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM marked),
+             agg AS (
+               SELECT user_id, sid, min(ms) AS sms, max(ms) AS ems,
+                      count(*) AS n_events
+               FROM sess GROUP BY user_id, sid),
+             tail AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
+             wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+             SELECT user_id, make_timestamp(sms * 1000) AS s_start,
+                    make_timestamp(ems * 1000) AS s_end, n_events
+             FROM agg JOIN tail USING (user_id), wm
+             WHERE sid < last_sid OR ems + 21600000 < w
+             ORDER BY user_id, s_start""")))
 }

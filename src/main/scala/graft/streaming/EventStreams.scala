@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming mode over event tables — the north-star extension
   * the reference never had (its "streaming" was repeated batch over a
@@ -143,5 +144,85 @@ object EventStreams {
               new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total))
           }
       }
+  }
+
+  /** [[sessionize]] re-expressed on Spark 4's state-v2 API
+    * (`transformWithState` + [[SessionProcessor]]): same semantics, same
+    * oracle — but the state lives in named RocksDB column families with
+    * EXPLICIT event-time timers instead of the single implicit fMGWS
+    * timeout. The v2 API is the production path at 100 TB state: RocksDB
+    * spills state off-heap (fMGWS's HDFS-backed store is JVM-heap-bound),
+    * changelog checkpointing ships per-batch deltas instead of full
+    * snapshots, and a processor can compose several typed state variables
+    * (value/list/map, optional TTL) per key where fMGWS forces one blob.
+    */
+  def sessionizeV2(events: Dataset[Event], gapMs: Long, watermark: String = "10 seconds")
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** State-v2 sessionization processor. The per-batch merge logic is the
+    * same as [[sessionize]]'s (and shares its append-mode fragment
+    * caveat); the lifecycle differs: the open session is a named
+    * `ValueState`, and closure is an explicit event-time timer at
+    * `lastMs + gapMs` that we re-arm on every extending batch —
+    * `handleExpiredTimer` then emits exactly once and clears the state.
+    */
+  final class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var open: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionBuf](
+        "open", Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val built = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        built.lastOption match {
+          case Some(b) if t - b.lastMs <= gapMs =>
+            built(built.length - 1) =
+              b.copy(lastMs = t, n = b.n + 1, total = b.total + e.value)
+          case _ => built += SessionBuf(t, t, 1, e.value)
+        }
+      }
+      val carried = if (open.exists()) Seq(open.get()) else Seq.empty
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+      (carried ++ built).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+        merged.lastOption match {
+          case Some(b) if s.startMs <= b.lastMs + gapMs =>
+            merged(merged.length - 1) = SessionBuf(
+              math.min(b.startMs, s.startMs), math.max(b.lastMs, s.lastMs),
+              b.n + s.n, b.total + s.total)
+          case _ => merged += s
+        }
+      }
+      val stillOpen = merged.last
+      open.update(stillOpen)
+      // one armed timer per key: re-arm to the open session's new horizon
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(stillOpen.lastMs + gapMs)
+      merged.init.iterator.map(s => Session(userId,
+        new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total))
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(Session(userId, new Timestamp(s.startMs),
+          new Timestamp(s.lastMs), s.n, s.total))
+      }
+    }
   }
 }

@@ -206,6 +206,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("state-v2 transformWithState sessionization: timer re-arms on extension, fires on expiry") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s0.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s0.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val sessions = EventStreams.sessionizeV2(input.toDS(), gapMs = 30000L)
+      val q = sessions.writeStream.format("memory").queryName("twsv2")
+        .outputMode("append").start()
+      try {
+        input.addData(Event(7, "a", ts(0), 1.5), Event(7, "b", ts(20), 2.5))
+        q.processAllAvailable()
+        // watermark at 50s > first horizon (20+30) WOULD fire the original
+        // timer — but this batch also EXTENDS the session, so the re-armed
+        // timer (40+30) keeps it open and nothing emits
+        input.addData(Event(7, "c", ts(40), 4.0), Event(8, "z", ts(60), 0.0))
+        q.processAllAvailable()
+        assert(s0.table("twsv2").isEmpty,
+          "session emitted despite the re-armed timer")
+        // watermark past 40+30 → timer fires, the EXTENDED session emits once
+        input.addData(Event(8, "z2", ts(600), 0.0))
+        q.processAllAvailable()
+        val rows = s0.table("twsv2").collect()
+          .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+            (r.getTimestamp(2).getTime - Base) / 1000, r.getLong(3), r.getDouble(4))).toSet
+        // user 8's session at 60s expires in the same watermark jump
+        assert(rows == Set((7L, 0L, 40L, 3L, 8.0), (8L, 60L, 60L, 1L, 0.0)),
+          s"got $rows")
+      } finally q.stop()
+    } finally s0.conf.set(key, prev)
+  }
+
   test("chained stateful aggs: two state stores, rollup closes with its sub-windows") {
     // the s16 shape in miniature: 10 s tumbling counts per type feeding a
     // 60 s rollup (sum + peak) in ONE query — pins that Spark really runs
