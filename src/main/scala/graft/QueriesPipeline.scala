@@ -2295,6 +2295,94 @@ object QueriesPipeline {
              SELECT source, n_docs, n_chars,
                     CAST(t_chars AS DOUBLE) / (k * n_chars) AS weight,
                     (base + CASE WHEN rk <= d THEN 1 ELSE 0 END)::BIGINT AS alloc
-             FROM ranked, deficit ORDER BY source"""))
+             FROM ranked, deficit ORDER BY source""")),
+
+    // ------------------------------------------------ p46 PII redaction
+    // PII detection + redaction rates per source: email / phone / IPv4
+    // regex hits counted on each document, the text scrubbed by chained
+    // regexp_replace (email → phone → IP, fixed order so engines agree on
+    // overlaps), and the per-source rollup reports hit counts plus
+    // characters removed. The fixture's word-soup text carries no PII, so
+    // each engine deterministically injects contact strings into the SAME
+    // doc_id-keyed subset first — the contract under test is the scrubbing
+    // machinery (pattern semantics, replace-all, chained order), not the
+    // corpus. All outputs are integers → hash-exact. Scale: pure per-row
+    // codegen'd regex natives (regexp_count / regexp_replace — no UDF, no
+    // Python), one map-side-combined rollup on the bounded source key; at
+    // 100 TB this is scan-bound, embarrassingly parallel, zero fact
+    // shuffle — the same discipline as p08-p11.
+    NamedQuery("p46_pii_redaction",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b555-01[0-9]{2}\\b"
+        val ip = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+        val injected = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), (col("doc_id") % 100).cast("string"),
+              lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com")))
+            .otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-01"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+            .otherwise(""),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(""))
+        val scrubbed = regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), lit(email), lit("<PII>")),
+            lit(phone), lit("<PII>")),
+          lit(ip), lit("<PII>"))
+        Tables.load(s, dir, "documents")
+          .select(col("source"), injected.as("t"))
+          .select(col("source"),
+            regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+            regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+            (length(col("t")) - length(scrubbed)).cast("long").as("removed"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).as("n_emails"),
+            sum(col("n_phones")).as("n_phones"),
+            sum(col("n_ips")).as("n_ips"),
+            sum(col("removed")).as("removed_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH injected AS (
+               SELECT doc_id, source,
+                 text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact u' || CAST(doc_id % 100 AS VARCHAR)
+                             || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call 555-01'
+                             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                           ELSE '' END
+                   AS t
+               FROM documents),
+             scanned AS (
+               SELECT source,
+                 len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                 len(regexp_extract_all(t, '\b555-01[0-9]{2}\b')) AS n_phones,
+                 len(regexp_extract_all(t,
+                   '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ips,
+                 len(t) - len(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+                   '\b555-01[0-9]{2}\b', '<PII>', 'g'),
+                   '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<PII>', 'g')) AS removed
+               FROM injected)
+             SELECT source, count(*) AS n_docs,
+                    CAST(sum(n_emails) AS BIGINT) AS n_emails,
+                    CAST(sum(n_phones) AS BIGINT) AS n_phones,
+                    CAST(sum(n_ips) AS BIGINT) AS n_ips,
+                    CAST(sum(removed) AS BIGINT) AS removed_chars
+             FROM scanned GROUP BY source ORDER BY source"""))
   )
 }

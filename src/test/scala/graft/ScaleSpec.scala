@@ -481,6 +481,15 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p46 PII redaction: per-row regex natives, only exchange is the bounded source rollup") {
+    val p = plan("p46_pii_redaction")
+    // detection+scrub must stay codegen'd scalar work in the scan stage —
+    // every keyed exchange is the per-source rollup
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("source")), p)
+    assert(p.contains("regexp_replace"), p)
+  }
+
   test("q73 Q19 shape: the common equi-key is extracted from the disjunction, ORs pushed to scans") {
     val p = plan("q73_tpch_q19_disjunctive_join")
     // the partkey equality repeated in every disjunct becomes THE join key;
