@@ -2213,6 +2213,34 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.tpchQ12Sql)
       },
-      Some(QueriesCore.tpchQ12Sql)))
+      Some(QueriesCore.tpchQ12Sql)),
+
+    // --------------------------------------------- q84 ordered LISTAGG
+    // SQL:2016 LISTAGG ... WITHIN GROUP (new in Spark 4): per-priority
+    // ordered concatenation of the DISTINCT status set — the
+    // report-friendly "show me the values" aggregate (DuckDB spells it
+    // string_agg with ORDER BY). Determinism needs BOTH the explicit
+    // within-group order and a bounded value domain; that boundedness is
+    // also the scale contract: the aggregation buffer is the concatenated
+    // string, so LISTAGG over an unbounded-cardinality column is an OOM
+    // by design — aggregate a bounded domain (statuses here) or cap
+    // first. DISTINCT folds each group to ≤3 values before any
+    // concatenation; the rollup groups on 5 priorities.
+    NamedQuery("q84_listagg_within_group",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT o_orderpriority,
+                 listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                 count(*) AS n
+                 FROM orders GROUP BY o_orderpriority
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+             count(*) AS n
+             FROM orders GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")))
 
 }
