@@ -2383,6 +2383,52 @@ object QueriesPipeline {
                     CAST(sum(n_phones) AS BIGINT) AS n_phones,
                     CAST(sum(n_ips) AS BIGINT) AS n_ips,
                     CAST(sum(removed) AS BIGINT) AS removed_chars
-             FROM scanned GROUP BY source ORDER BY source"""))
+             FROM scanned GROUP BY source ORDER BY source""")),
+
+    // --------------------------------- p47 temperature resampling weights
+    // Temperature-based language rebalancing (the mC4/XLM-R recipe):
+    // sampling probability ∝ share^α flattens the language distribution —
+    // head languages damped, tail languages upweighted — with α the
+    // temperature knob. α = 0.5 here ON PURPOSE: share^0.5 = sqrt(share),
+    // and IEEE-754 requires sqrt to be CORRECTLY ROUNDED, so both engines
+    // compute bit-identical weights from the same exact-integer char
+    // totals (a generic pow(x, α) is not correctly rounded and may differ
+    // by 1 ulp between libm and the JVM — the α=0.5 case is the one
+    // hash-exact temperature). Every division keeps one fixed association
+    // order shared with the oracle. Scale: like p45, the corpus is
+    // touched by ONE map-side-combined rollup on lang; weights and
+    // normalization run on the bounded #languages-row table, broadcast
+    // back — nothing downstream of the rollup scales with the corpus.
+    NamedQuery("p47_temperature_resampling",
+      (s, dir) => {
+        val per = Tables.load(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val tot = per.agg(sum(col("n_chars")).as("t"))
+        val w = per.crossJoin(broadcast(tot))
+          .withColumn("raw_w", sqrt(col("n_chars").cast("double") / col("t")))
+        // zsum through decimal quantization (decSum discipline): a plain
+        // double sum's association order is partition-dependent
+        val z = w.agg(NamedQuery.decSumAt(col("raw_w"), 28, 18).as("zsum"))
+        w.crossJoin(broadcast(z))
+          .select(col("lang"), col("n_docs"), col("n_chars"),
+            (col("raw_w") / col("zsum")).as("p_sample"),
+            ((col("raw_w") / col("zsum"))
+              / (col("n_chars").cast("double") / col("t"))).as("upweight"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH per AS (
+               SELECT lang, count(*) AS n_docs,
+                      sum(n_chars)::BIGINT AS n_chars
+               FROM documents GROUP BY lang),
+             tot AS (SELECT sum(n_chars)::BIGINT AS t FROM per),
+             w AS (SELECT lang, n_docs, n_chars, t,
+                          sqrt(CAST(n_chars AS DOUBLE) / t) AS raw_w
+                   FROM per, tot),
+             z AS (SELECT CAST(SUM(CAST(raw_w AS DECIMAL(28,18))) AS DOUBLE)
+                          AS zsum FROM w)
+             SELECT lang, n_docs, n_chars, raw_w / zsum AS p_sample,
+                    (raw_w / zsum) / (CAST(n_chars AS DOUBLE) / t) AS upweight
+             FROM w, z ORDER BY lang"""))
   )
 }

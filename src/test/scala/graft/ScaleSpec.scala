@@ -490,6 +490,13 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("regexp_replace"), p)
   }
 
+  test("p47 temperature resampling: corpus touched by ONE rollup, weights on the bounded lang table") {
+    val p = plan("p47_temperature_resampling")
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(_.contains("lang")), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q73 Q19 shape: the common equi-key is extracted from the disjunction, ORs pushed to scans") {
     val p = plan("q73_tpch_q19_disjunctive_join")
     // the partkey equality repeated in every disjunct becomes THE join key;
