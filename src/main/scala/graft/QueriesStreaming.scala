@@ -924,5 +924,46 @@ object QueriesStreaming {
                     make_timestamp(ems * 1000) AS s_end, n_events
              FROM agg JOIN tail USING (user_id), wm
              WHERE sid < last_sid OR ems + 21600000 < w
-             ORDER BY user_id, s_start""")))
+             ORDER BY user_id, s_start""")),
+
+    // State-v2 MAP state: custom tumbling 6 h windows per user held as
+    // MapState[windowStart → (n, max)] with one event-time timer per
+    // window END — the idiom for window semantics built-in window() can't
+    // express (per-window custom finalization, dynamic per-key window
+    // sets). Updates are POINT lookups (no per-batch scan of the map),
+    // state is O(open windows per key), eviction is timer-driven. The
+    // aggregates (count, max) are order-insensitive so incremental merge
+    // order can't move the result; the oracle replays the timer cutoff:
+    // a window emits iff its end is at or below the final watermark.
+    NamedQuery("s18_stream_mapstate_windows",
+      (s, dir) => withStatePartitions(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key,
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val ev = eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"),
+              col("ts").cast("timestamp").as("ts"), col("value"))
+            .as[graft.streaming.EventStreams.Event]
+          val wins = graft.streaming.EventStreams
+            .mapStateWindows(ev, windowMs = 6L * 3600 * 1000, watermark = "1 hour")
+          runToTable(s, sink("s18", dir), wins.toDF(), mode = "append")
+            .orderBy(col("user_id"), col("w_start"))
+        } finally s.conf.set(key, prev)
+      },
+      Some("""WITH wm AS (
+               SELECT max(epoch_ms(ts)) - 3600000 AS w FROM events),
+             b AS (
+               SELECT user_id,
+                      (epoch_ms(ts) // 21600000) * 21600000 AS ws, value
+               FROM events)
+             SELECT user_id, make_timestamp(ws * 1000) AS w_start,
+                    count(*) AS n_events, max(value) AS max_value
+             FROM b, wm
+             GROUP BY user_id, ws, wm.w
+             HAVING ws + 21600000 <= wm.w
+             ORDER BY user_id, w_start""")))
 }

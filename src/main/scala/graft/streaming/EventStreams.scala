@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming mode over event tables — the north-star extension
   * the reference never had (its "streaming" was repeated batch over a
@@ -224,5 +224,70 @@ object EventStreams {
           new Timestamp(s.lastMs), s.n, s.total))
       }
     }
+  }
+
+  /** Per-window aggregate buffer for [[WindowedMapStateProcessor]]. */
+  final case class WinAgg(n: Long, maxV: Double)
+
+  /** One closed per-user window emitted by [[WindowedMapStateProcessor]]. */
+  final case class UserWindow(
+      user_id: Long, w_start: Timestamp, n_events: Long, max_value: Double)
+
+  /** Custom tumbling windows on the state-v2 MAP state: each key holds a
+    * `MapState[windowStart → (n, max)]` — one entry per OPEN window — with
+    * one event-time timer armed per window END; expiry emits that window
+    * and removes its entry. This is the idiom for window semantics the
+    * built-in `window()` can't express (per-window custom finalization,
+    * dynamic per-key window sets): state is O(open windows per key), every
+    * update is a point lookup — no per-batch scan of the map — and
+    * eviction is driven by timers, not by re-reading state. The aggregates
+    * are order-insensitive (count, max) so incremental merge order can't
+    * affect the result.
+    */
+  final class WindowedMapStateProcessor(windowMs: Long)
+      extends StatefulProcessor[Long, Event, UserWindow] {
+    @transient private var wins: MapState[Long, WinAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getMapState[Long, WinAgg](
+        "wins", Encoders.scalaLong, Encoders.product[WinAgg], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserWindow] = {
+      rows.foreach { e =>
+        val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+        val cur = if (wins.containsKey(w)) wins.getValue(w) else WinAgg(0L, Double.MinValue)
+        wins.updateValue(w, WinAgg(cur.n + 1, math.max(cur.maxV, e.value)))
+      }
+      val armed = getHandle.listTimers().toSet
+      wins.keys().foreach { w =>
+        val end = w + windowMs
+        if (!armed.contains(end)) getHandle.registerTimer(end)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[UserWindow] = {
+      val w = expiredTimerInfo.getExpiryTimeInMs - windowMs
+      if (!wins.containsKey(w)) Iterator.empty
+      else {
+        val a = wins.getValue(w)
+        wins.removeKey(w)
+        Iterator.single(UserWindow(userId, new Timestamp(w), a.n, a.maxV))
+      }
+    }
+  }
+
+  /** Tumbling per-user windows over [[WindowedMapStateProcessor]]. */
+  def mapStateWindows(events: Dataset[Event], windowMs: Long, watermark: String)
+      : Dataset[UserWindow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new WindowedMapStateProcessor(windowMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

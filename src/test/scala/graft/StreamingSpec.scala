@@ -243,6 +243,49 @@ class StreamingSpec extends SparkTestBase {
     } finally s0.conf.set(key, prev)
   }
 
+  test("state-v2 MapState windows: per-key map holds several open windows, timers close them independently") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s0.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s0.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      // 10 s windows, zero-delay watermark: user 1 populates THREE windows
+      // in one batch — the MapState must hold all three open at once
+      val wins = EventStreams.mapStateWindows(input.toDS(),
+        windowMs = 10000L, watermark = "0 seconds")
+      val q = wins.writeStream.format("memory").queryName("mapwins")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          Event(1, "a", ts(1), 5.0), Event(1, "b", ts(3), 2.0),
+          Event(1, "c", ts(11), 7.0), Event(1, "d", ts(25), 1.0))
+        q.processAllAvailable()
+        // the 40 s row advances the watermark past all three of user 1's
+        // window ends within this processAllAvailable — all three emit
+        // (independent timers), while user 2's [40,50) stays open
+        input.addData(Event(2, "z", ts(40), 0.0))
+        q.processAllAvailable()
+        val afterFirst = s0.table("mapwins").collect()
+          .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+            r.getLong(2), r.getDouble(3))).toSet
+        assert(afterFirst == Set((1L, 0L, 2L, 5.0), (1L, 10L, 1L, 7.0),
+          (1L, 20L, 1L, 1.0)), s"got $afterFirst")
+        // advance far: user 2's [40,50) closes too
+        input.addData(Event(3, "y", ts(600), 0.0))
+        q.processAllAvailable()
+        val all = s0.table("mapwins").collect()
+          .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+            r.getLong(2), r.getDouble(3))).toSet
+        assert(all == afterFirst + ((2L, 40L, 1L, 0.0)), s"got $all")
+      } finally q.stop()
+    } finally s0.conf.set(key, prev)
+  }
+
   test("chained stateful aggs: two state stores, rollup closes with its sub-windows") {
     // the s16 shape in miniature: 10 s tumbling counts per type feeding a
     // 60 s rollup (sum + peak) in ONE query — pins that Spark really runs
