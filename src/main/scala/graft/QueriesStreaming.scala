@@ -965,5 +965,125 @@ object QueriesStreaming {
              FROM b, wm
              GROUP BY user_id, ws, wm.w
              HAVING ws + 21600000 <= wm.w
-             ORDER BY user_id, w_start""")))
+             ORDER BY user_id, w_start""")),
+
+    // State BOOTSTRAP (StatefulProcessorWithInitialState): the production
+    // migration path — start a streaming job MID-HISTORY with state
+    // computed by a batch backfill instead of replaying the whole log.
+    // The fixture splits at its time midpoint: sessions fully closed
+    // before the cut come from a BATCH lag-flag-cumsum plan; per-user
+    // OPEN sessions at the cut seed the processor's initial state (timer
+    // pre-armed); the stream processes only post-cut events. The union
+    // must equal s07/s17's full-stream output — the SAME oracle gates all
+    // three, pinning that backfill + seeded stream composes exactly. At
+    // 100 TB this is the difference between replaying months of log
+    // through the streaming engine and one batch job + catch-up from an
+    // offset.
+    NamedQuery("s19_stream_seeded_bootstrap",
+      (s, dir) => withStatePartitions(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key,
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          import org.apache.spark.sql.expressions.Window
+          val gapMs = 6L * 3600 * 1000
+          val ev = Tables.load(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              col("ts").cast("timestamp").as("ts"), col("value"))
+          val bounds = ev.agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+          val cutMs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+          val sess = ev.filter(unix_millis(col("ts")) < cutMs)
+            .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+            .withColumn("new_s", when(lag(col("ms"), 1).over(w).isNull
+              || col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1).otherwise(0))
+            .withColumn("sid", sum(col("new_s"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy(col("user_id"), col("sid"))
+            .agg(min(col("ms")).as("sms"), max(col("ms")).as("ems"),
+              count(lit(1)).as("n"), sum(col("value")).as("total"))
+          // a session is closed by the cut iff no post-cut event can
+          // extend it: lastMs + gap < cut. At most one per user survives
+          // open (any earlier session is gap-separated from a later
+          // pre-cut start, hence closed).
+          val closed = sess.filter(col("ems") + gapMs < cutMs)
+            .select(col("user_id"), timestamp_millis(col("sms")).as("s_start"),
+              timestamp_millis(col("ems")).as("s_end"), col("n").as("n_events"))
+          val seed = sess.filter(col("ems") + gapMs >= cutMs)
+            .select(col("user_id"), col("sms"), col("ems"), col("n"), col("total"))
+            .as[(Long, Long, Long, Long, Double)]
+            .map { case (u, sms, ems, n, tot) =>
+              (u, graft.streaming.EventStreams.SessionBuf(sms, ems, n, tot)) }
+            .groupByKey(_._1).mapValues(_._2)
+          val post = eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"),
+              col("ts").cast("timestamp").as("ts"), col("value"))
+            .filter(unix_millis(col("ts")) >= cutMs)
+            .as[graft.streaming.EventStreams.Event]
+          val streamed = graft.streaming.EventStreams
+            .sessionizeV2Seeded(post, seed, gapMs = gapMs, watermark = "1 hour")
+          val streamPart = runToTable(s, sink("s19", dir), streamed.toDF(), mode = "append")
+            .select(col("user_id"), col("start").as("s_start"),
+              col("end").as("s_end"), col("n_events"))
+          closed.unionByName(streamPart)
+            .orderBy(col("user_id"), col("s_start"))
+        } finally s.conf.set(key, prev)
+      },
+      Some("""WITH e AS (
+               SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             marked AS (
+               SELECT user_id, ms,
+                      CASE WHEN lag(ms) OVER w IS NULL
+                           OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+             sess AS (
+               SELECT user_id, ms,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS UNBOUNDED PRECEDING) AS sid
+               FROM marked),
+             agg AS (
+               SELECT user_id, sid, min(ms) AS sms, max(ms) AS ems,
+                      count(*) AS n_events
+               FROM sess GROUP BY user_id, sid),
+             tail AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id),
+             wm AS (SELECT max(ms) - 3600000 AS w FROM e)
+             SELECT user_id, make_timestamp(sms * 1000) AS s_start,
+                    make_timestamp(ems * 1000) AS s_end, n_events
+             FROM agg JOIN tail USING (user_id), wm
+             WHERE sid < last_sid OR ems + 21600000 < w
+             ORDER BY user_id, s_start""")),
+
+    // State-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark` — the
+    // production twin of s03. s03's plain `dropDuplicates` keeps every key
+    // it has ever seen (state grows with the key universe: fine for a
+    // bounded dimension, fatal on a 100 TB unbounded topic);
+    // WithinWatermark evicts a key's dedup state once the event-time
+    // watermark passes its expiry, bounding state to the delay window.
+    // Over the finite fixture the delay is set beyond the fixture's span,
+    // so the gated quiescent result is the global first-occurrence dedup
+    // (same oracle as s03 — deliberate: the capability differs in its
+    // STATE BOUND, not its bounded-input output). The semantics that
+    // matter on an unbounded stream — a duplicate inside the delay window
+    // is dropped, one arriving after eviction is re-admitted — are pinned
+    // in StreamingSpec with controlled micro-batches. Only counts are
+    // gated: which physical row survives dedup is processing-order-
+    // dependent, so per-row `ts` is dropped before the sink.
+    NamedQuery("s20_stream_dedup_within_wm",
+      (s, dir) => withStatePartitions(s, 8) {
+        val dedup = eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"),
+            col("ts").cast("timestamp").as("ts"))
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+        runToTable(s, sink("s20", dir), dedup.drop("ts"), mode = "append")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+             FROM (SELECT DISTINCT user_id, event_type FROM events)
+             GROUP BY event_type ORDER BY event_type""")))
 }

@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming mode over event tables — the north-star extension
   * the reference never had (its "streaming" was repeated batch over a
@@ -174,6 +175,37 @@ object EventStreams {
     * `lastMs + gapMs` that we re-arm on every extending batch —
     * `handleExpiredTimer` then emits exactly once and clears the state.
     */
+  /** Shared by [[SessionProcessor]] and [[SessionProcessorSeeded]]: fold a
+    * batch's events into gap-sessions, then merge with the carried open
+    * session as gap-separated sorted intervals (late-above-watermark
+    * events extend sessions instead of fragmenting them). The LAST merged
+    * interval is still open; every earlier one is complete.
+    */
+  private def foldAndMerge(carried: Seq[SessionBuf], rows: Iterator[Event],
+                           gapMs: Long): scala.collection.mutable.ArrayBuffer[SessionBuf] = {
+    val built = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      built.lastOption match {
+        case Some(b) if t - b.lastMs <= gapMs =>
+          built(built.length - 1) =
+            b.copy(lastMs = t, n = b.n + 1, total = b.total + e.value)
+        case _ => built += SessionBuf(t, t, 1, e.value)
+      }
+    }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
+    (carried ++ built).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+      merged.lastOption match {
+        case Some(b) if s.startMs <= b.lastMs + gapMs =>
+          merged(merged.length - 1) = SessionBuf(
+            math.min(b.startMs, s.startMs), math.max(b.lastMs, s.lastMs),
+            b.n + s.n, b.total + s.total)
+        case _ => merged += s
+      }
+    }
+    merged
+  }
+
   final class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, Session] {
     @transient private var open: ValueState[SessionBuf] = _
@@ -184,27 +216,8 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[Session] = {
-      val built = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
-        built.lastOption match {
-          case Some(b) if t - b.lastMs <= gapMs =>
-            built(built.length - 1) =
-              b.copy(lastMs = t, n = b.n + 1, total = b.total + e.value)
-          case _ => built += SessionBuf(t, t, 1, e.value)
-        }
-      }
       val carried = if (open.exists()) Seq(open.get()) else Seq.empty
-      val merged = scala.collection.mutable.ArrayBuffer.empty[SessionBuf]
-      (carried ++ built).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
-        merged.lastOption match {
-          case Some(b) if s.startMs <= b.lastMs + gapMs =>
-            merged(merged.length - 1) = SessionBuf(
-              math.min(b.startMs, s.startMs), math.max(b.lastMs, s.lastMs),
-              b.n + s.n, b.total + s.total)
-          case _ => merged += s
-        }
-      }
+      val merged = foldAndMerge(carried, rows, gapMs)
       val stillOpen = merged.last
       open.update(stillOpen)
       // one armed timer per key: re-arm to the open session's new horizon
@@ -224,6 +237,68 @@ object EventStreams {
           new Timestamp(s.lastMs), s.n, s.total))
       }
     }
+  }
+
+  /** [[SessionProcessor]] with WARM-STARTED state
+    * (`StatefulProcessorWithInitialState`): before any input,
+    * `handleInitialState` seeds each key's open session from a
+    * batch-computed dataset and arms its eviction timer — the production
+    * bootstrap/migration path (start a streaming job mid-history with
+    * state computed by a batch backfill, instead of replaying the entire
+    * log through the stream). Identical semantics after the seed.
+    */
+  final class SessionProcessorSeeded(gapMs: Long)
+      extends StatefulProcessorWithInitialState[Long, Event, Session, SessionBuf] {
+    @transient private var open: ValueState[SessionBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionBuf](
+        "open", Encoders.product[SessionBuf], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, initial: SessionBuf,
+                                    timerValues: TimerValues): Unit = {
+      open.update(initial)
+      getHandle.registerTimer(initial.lastMs + gapMs)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val carried = if (open.exists()) Seq(open.get()) else Seq.empty
+      val merged = foldAndMerge(carried, rows, gapMs)
+      val stillOpen = merged.last
+      open.update(stillOpen)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(stillOpen.lastMs + gapMs)
+      merged.init.iterator.map(s => Session(userId,
+        new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n, s.total))
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(Session(userId, new Timestamp(s.startMs),
+          new Timestamp(s.lastMs), s.n, s.total))
+      }
+    }
+  }
+
+  /** [[sessionizeV2]] warm-started from batch-computed per-key open
+    * sessions. Emits ONLY stream-side sessions; the caller unions the
+    * batch-closed ones.
+    */
+  def sessionizeV2Seeded(events: Dataset[Event],
+                         initial: org.apache.spark.sql.KeyValueGroupedDataset[Long, SessionBuf],
+                         gapMs: Long, watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessorSeeded(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(), initial)
   }
 
   /** Per-window aggregate buffer for [[WindowedMapStateProcessor]]. */

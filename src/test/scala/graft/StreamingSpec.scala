@@ -243,6 +243,77 @@ class StreamingSpec extends SparkTestBase {
     } finally s0.conf.set(key, prev)
   }
 
+  test("state-v2 seeded bootstrap: initial state merges with early input, quiet seed expires by timer") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s0.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s0.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      // seeds: user 1 open [0s..20s] n=2 (will be EXTENDED by stream);
+      // user 5 open [0s..5s] n=1 (no stream events — must expire by the
+      // pre-armed timer alone)
+      val seeds = Seq(
+        (1L, EventStreams.SessionBuf(Base, Base + 20000L, 2, 4.0)),
+        (5L, EventStreams.SessionBuf(Base, Base + 5000L, 1, 1.0)))
+        .toDS().groupByKey(_._1).mapValues(_._2)
+      val sessions = EventStreams.sessionizeV2Seeded(input.toDS(), seeds,
+        gapMs = 30000L, watermark = "0 seconds")
+      val q = sessions.writeStream.format("memory").queryName("seeded")
+        .outputMode("append").start()
+      try {
+        // 40s is within one gap of user 1's seeded lastMs (20s) → extends
+        input.addData(Event(1, "a", ts(40), 3.0))
+        q.processAllAvailable()
+        // advance the watermark far past both horizons
+        input.addData(Event(9, "z", ts(600), 0.0))
+        q.processAllAvailable()
+        input.addData(Event(9, "z2", ts(1200), 0.0))
+        q.processAllAvailable()
+        val rows = s0.table("seeded").collect()
+          .map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 1000,
+            (r.getTimestamp(2).getTime - Base) / 1000, r.getLong(3), r.getDouble(4))).toSet
+        assert(rows.contains((1L, 0L, 40L, 3L, 7.0)), s"seed not extended: $rows")
+        assert(rows.contains((5L, 0L, 5L, 1L, 1.0)), s"quiet seed lost: $rows")
+      } finally q.stop()
+    } finally s0.conf.set(key, prev)
+  }
+
+  test("dropDuplicatesWithinWatermark: dup inside delay dropped, dup after state eviction re-admitted") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val input = MemoryStream[Event]
+    val dedup = input.toDS()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = dedup.writeStream.format("memory").queryName("ddwm")
+      .outputMode("append").start()
+    try {
+      // first occurrence emits; a same-batch duplicate is dropped
+      input.addData(Event(1, "a", ts(0), 1.0), Event(1, "a", ts(5), 2.0))
+      q.processAllAvailable()
+      // watermark → 90 s: (1,a)'s dedup state (expiry 0+10 s) is evicted
+      input.addData(Event(2, "b", ts(100), 0.0))
+      q.processAllAvailable()
+      // duplicate AFTER eviction: re-admitted (bounded state ⇒ re-emission
+      // beyond the delay window — the documented WithinWatermark contract)
+      input.addData(Event(1, "a", ts(200), 3.0))
+      q.processAllAvailable()
+      input.addData(Event(9, "z", ts(600), 0.0))
+      q.processAllAvailable()
+      val byKey = s0.table("ddwm").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(identity).map { case (k, v) => (k, v.length) }
+      assert(byKey((1L, "a")) == 2, s"expected re-admission after eviction: $byKey")
+      assert(byKey((2L, "b")) == 1 && byKey((9L, "z")) == 1, byKey.toString)
+    } finally q.stop()
+  }
+
   test("state-v2 MapState windows: per-key map holds several open windows, timers close them independently") {
     val s0 = spark
     import s0.implicits._
