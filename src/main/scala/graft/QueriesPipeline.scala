@@ -2429,6 +2429,101 @@ object QueriesPipeline {
                           AS zsum FROM w)
              SELECT lang, n_docs, n_chars, raw_w / zsum AS p_sample,
                     (raw_w / zsum) / (CAST(n_chars AS DOUBLE) / t) AS upweight
-             FROM w, z ORDER BY lang"""))
+             FROM w, z ORDER BY lang""")),
+
+    // ------------------------------------------------- p48 bigram-LM fluency
+    // Corpus-trained count-based bigram LM as a fluency filter — the
+    // CCNet/C4 "perplexity filter" recast on the corpus's own transition
+    // statistics: train bigram counts over ALL documents (one aggregate;
+    // output is vocab²-bounded, in practice Heaps-law far below corpus
+    // size), then score each document by how RARE its transitions are
+    // corpus-wide (n_rare = transitions seen ≤2 times anywhere; gibberish
+    // and boilerplate-noise docs surface first). A true log-prob needs
+    // ln(), whose last-ulp rounding differs across engines — the
+    // count-backbone (exact BIGINTs + ONE IEEE division for the rate)
+    // carries the same filtering decision bit-exactly. At 100 TB: the
+    // doc-side bigram explode is map-side; the LM table shards by bigram
+    // key (or broadcasts once pruned to the df≤2 rare set — rare-set size
+    // is bounded by corpus novelty, and only membership is needed); the
+    // score is one keyed join + one reduce by doc_id.
+    NamedQuery("p48_bigram_lm_score",
+      (s, dir) => {
+        val t = col("t")
+        val bigr = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), GF.tokens(col("text")).as("t"))
+          .filter(size(t) >= 2)
+          .select(col("doc_id"), explode(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r"))))
+            .as("p"))
+          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        val lm = bigr.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+        bigr.join(lm, Seq("l", "r"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bg"), sum(col("c")).as("sum_c"),
+            sum(when(col("c") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_bg"), col("sum_c"), col("n_rare"),
+            (col("n_rare").cast("double") / col("n_bg").cast("double"))
+              .as("rare_rate"))
+          .orderBy(col("rare_rate").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM documents),
+             bigr AS (
+               SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i])) AS l,
+                      unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i+1])) AS r
+               FROM toks WHERE len(t) >= 2),
+             lm AS (SELECT l, r, count(*) AS c FROM bigr GROUP BY l, r),
+             sc AS (
+               SELECT doc_id, count(*) AS n_bg, sum(c)::BIGINT AS sum_c,
+                      sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+               FROM bigr JOIN lm USING (l, r) GROUP BY doc_id)
+             SELECT doc_id, n_bg, sum_c, n_rare,
+                    CAST(n_rare AS DOUBLE) / CAST(n_bg AS DOUBLE) AS rare_rate
+             FROM sc ORDER BY rare_rate DESC, doc_id LIMIT 100""")),
+
+    // ------------------------------------------------- p49 BPE merge step
+    // One iteration of byte-pair-encoding vocabulary induction (Sennrich
+    // et al. 2016, the tokenizer-training shape): collapse the corpus to
+    // WORD TYPES with occurrence counts FIRST — the Heaps-law-bounded
+    // aggregate that is precisely why real BPE trainers scale — then
+    // explode each type into adjacent character pairs weighted by the
+    // type count and rank pairs by total corpus frequency. The top row IS
+    // the next merge a trainer would apply. 100 TB story: the only
+    // corpus-sized operation is the word-type count (one shuffle with
+    // map-side partials); the pair explode, weighting, and ranking all
+    // run over the vocab, not the corpus. Pure integer backbone.
+    NamedQuery("p49_bpe_merge_step",
+      (s, dir) => {
+        val w = col("w")
+        val types = Tables.load(s, dir, "documents")
+          .select(explode(GF.tokens(col("text"))).as("w"))
+          .groupBy(w).agg(count(lit(1)).as("n_w"))
+        types.filter(length(w) >= 2)
+          .select(col("n_w"), explode(transform(sequence(lit(1), length(w) - 1),
+            i => struct(w.substr(i, lit(1)).as("l"),
+              w.substr(i + lit(1), lit(1)).as("r")))).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"), col("n_w"))
+          .groupBy(col("l"), col("r"))
+          .agg(sum(col("n_w")).as("n_pair"), count(lit(1)).as("n_types"))
+          .orderBy(col("n_pair").desc, col("l"), col("r"))
+          .limit(30)
+      },
+      Some(s"""WITH words AS (
+               SELECT unnest(${GF.sqlTokens("text")}) AS w FROM documents),
+             wt AS (SELECT w, count(*) AS n_w FROM words GROUP BY w),
+             pairs AS (
+               SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                        i -> substring(w, i, 1))) AS l,
+                      unnest(list_transform(generate_series(1, length(w) - 1),
+                        i -> substring(w, i + 1, 1))) AS r,
+                      n_w
+               FROM wt WHERE length(w) >= 2)
+             SELECT l, r, sum(n_w)::BIGINT AS n_pair, count(*) AS n_types
+             FROM pairs GROUP BY l, r
+             ORDER BY n_pair DESC, l, r LIMIT 30"""))
   )
 }
