@@ -131,6 +131,55 @@ def gen_window_query(i):
             f"WHERE rn <= 10 ORDER BY g0, rn")
 
 
+# explicit window FRAMES — sliding ROWS, value-based RANGE, ntile,
+# nth_value. Determinism rules: ORDER BY the unique key so ROWS frame
+# membership is well-defined; frame sums are integer-only (a sliding
+# DOUBLE sum's association order is engine-specific: segment trees vs
+# running accumulation); RANGE bounds are integer offsets on the key.
+def gen_frame_query(i):
+    t = rng.choice(list(WINDOW_TABLES))
+    spec = WINDOW_TABLES[t]
+    part = rng.choice(spec["part"])
+    ukey = spec["ukey"]
+    win = f"PARTITION BY {part} ORDER BY {ukey}"
+    sels = [f"{part} AS g0", f"{ukey} AS k"]
+    for j in range(rng.randint(1, 3)):
+        kind = rng.choice(["rows_sum", "rows_minmax", "range_cnt", "range_minmax",
+                           "ntile", "nth"])
+        if kind == "rows_sum":
+            a, b = rng.randint(0, 5), rng.randint(0, 5)
+            c = rng.choice(spec["int"])
+            sels.append(f"CAST(sum({c}) OVER ({win} ROWS BETWEEN {a} PRECEDING "
+                        f"AND {b} FOLLOWING) AS BIGINT) AS a{j}")
+        elif kind == "rows_minmax":
+            a = rng.randint(1, 8)
+            c = rng.choice(spec["val"])
+            f = rng.choice(["min", "max"])
+            sels.append(f"{f}({c}) OVER ({win} ROWS BETWEEN {a} PRECEDING "
+                        f"AND CURRENT ROW) AS a{j}")
+        elif kind == "range_cnt":
+            w = rng.randint(1, 2000)
+            sels.append(f"CAST(count(*) OVER ({win} RANGE BETWEEN {w} PRECEDING "
+                        f"AND CURRENT ROW) AS BIGINT) AS a{j}")
+        elif kind == "range_minmax":
+            w = rng.randint(1, 2000)
+            c = rng.choice(spec["int"])
+            f = rng.choice(["min", "max"])
+            sels.append(f"{f}({c}) OVER ({win} RANGE BETWEEN CURRENT ROW "
+                        f"AND {w} FOLLOWING) AS a{j}")
+        elif kind == "ntile":
+            sels.append(f"ntile({rng.randint(2, 7)}) OVER ({win}) AS a{j}")
+        else:
+            c = rng.choice(spec["val"])
+            sels.append(f"nth_value({c}, {rng.randint(1, 4)}) OVER ({win} "
+                        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a{j}")
+    where = f" WHERE {gen_pred(t)}" if rng.random() < 0.6 else ""
+    return (f"r{i:03d}",
+            f"SELECT * FROM (SELECT {', '.join(sels)}, "
+            f"row_number() OVER ({win}) AS rn FROM {t}{where}) "
+            f"WHERE rn <= 12 ORDER BY g0, rn")
+
+
 SCALARS = {
     "part": {"key": "p_partkey", "str": ["p_name", "p_brand", "p_type"],
              "num": ["p_retailprice", "p_size"], "date": []},
@@ -319,9 +368,11 @@ def gen_query(i):
         return gen_exists_query(i)
     if r < 0.48:
         return gen_corr_scalar_query(i)
-    if r < 0.56:
+    if r < 0.54:
         return gen_window_query(i)
-    if r < 0.70:
+    if r < 0.62:
+        return gen_frame_query(i)
+    if r < 0.72:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
