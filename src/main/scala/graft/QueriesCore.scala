@@ -2241,6 +2241,38 @@ object QueriesCore {
                AS statuses,
              count(*) AS n
              FROM orders GROUP BY o_orderpriority
-             ORDER BY o_orderpriority""")))
+             ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------ q85 VARIANT extraction
+    // Spark 4's VARIANT type over the semi-structured props payload:
+    // `parse_json` decodes the JSON text ONCE into the binary-encoded
+    // variant; typed paths come out via `variant_get` without re-parsing
+    // per extraction — the decode-once discipline that matters when a
+    // 100 TB event stream carries JSON payloads (contrast q61's
+    // regex-over-string and get_json_object, which re-scan the text per
+    // field). The parse is per-row codegen'd, map-side; the only shuffle
+    // is the final event_type rollup. DuckDB's oracle reaches the same
+    // values through its native JSON path operator — the gate pins that
+    // the typed extraction agrees with a JSON-native engine. try-variant
+    // semantics (malformed → NULL, not error) mirror the connector's
+    // drop-malformed policy; the fixture exercises the happy path and
+    // FunctionsSpec pins the malformed case.
+    NamedQuery("q85_variant_extract",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT event_type, count(*) AS n,
+                 sum(variant_get(pv, '$.k', 'bigint')) AS sum_k,
+                 min(variant_get(pv, '$.k', 'bigint')) AS min_k,
+                 max(variant_get(pv, '$.k', 'bigint')) AS max_k,
+                 count(try_variant_get(pv, '$.missing', 'bigint')) AS n_missing
+                 FROM (SELECT event_type, parse_json(props) AS pv FROM events)
+                 GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+             min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+             count(CAST(props->>'$.missing' AS BIGINT)) AS n_missing
+             FROM events GROUP BY event_type ORDER BY event_type""")))
 
 }

@@ -21,6 +21,19 @@ class FunctionsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("variant: malformed JSON → NULL via try_parse_json; typed variant_get extraction") {
+    import spark.implicits._
+    val rows = Seq("""{"k": 7}""", """{"k": "s"}""", "not json").toDF("j")
+      .selectExpr("try_parse_json(j) AS v")
+      .selectExpr("try_variant_get(v, '$.k', 'bigint') AS k")
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSeq
+    // well-formed int extracts; type-mismatched and malformed both NULL
+    // (the q85 drop-malformed policy), never an error
+    assert(rows == Seq(Some(7L), None, None))
+  }
+
   test("poly_hash evaluates in a plan (codegen path) and handles null") {
     import spark.implicits._
     val df = Seq(Some("hello world"), Some(""), None).toDF("s")
