@@ -497,6 +497,27 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p48 bigram LM: keyed exchanges only on the bigram key and doc_id, top-N is TakeOrdered") {
+    val p = plan("p48_bigram_lm_score")
+    // train = one (l,r) aggregate; score = (l,r) join + doc_id reduce —
+    // no other keyed shuffle may appear, and the ranked output must be a
+    // bounded TakeOrdered, never a global sort
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(l => (l.contains("l#") && l.contains("r#")) || l.contains("doc_id")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p49 BPE merge step: only corpus-sized shuffle is the word-type count, pairs vocab-keyed") {
+    val p = plan("p49_bpe_merge_step")
+    // the w-keyed exchange is the Heaps-bounded type collapse (with
+    // map-side partial counts); everything downstream keys on the
+    // vocab-sized (l,r) pair space
+    assert(p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(l => l.contains("w#") || (l.contains("l#") && l.contains("r#"))), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q73 Q19 shape: the common equi-key is extracted from the disjunction, ORs pushed to scans") {
     val p = plan("q73_tpch_q19_disjunctive_join")
     // the partkey equality repeated in every disjunct becomes THE join key;
