@@ -440,6 +440,122 @@ object QueriesPipeline {
   private def sqlPairScore(ea: String, eb: String, na: String, nb: String): String =
     s"CAST(${GF.sqlDotDecimal(ea, eb)} AS DOUBLE) / ($na * $nb)"
 
+  /** p33's synthetic ingest batch: re-ingested docs with their first two
+    * tokens dropped + novel docs in reversed token order. Shared by p33
+    * (one batch probe) and s21 (the same rows arriving as a stream).
+    */
+  private[graft] def syntheticIngestBatch(d: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    d.filter(col("doc_id") % 9 === 0).select(
+        (col("doc_id") + 90000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))).as("text"))
+      .unionAll(d.filter(col("doc_id") % 9 === 3).select(
+        (col("doc_id") + 95000).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text")))
+  }
+
+  /** Probe a batch of NEW documents against the corpus shingle index
+    * `csh`: MinHash band join nominates candidates, exact Jaccard ≥ 0.6
+    * verifies, best match by (jac DESC, match_id). Cost is O(batch) —
+    * the corpus side is the family's shared (at 100 TB: bucketed,
+    * materialized) index and is never rescanned. Shared by p33 and by
+    * s21, which runs it per micro-batch under foreachBatch — each doc's
+    * verdict depends only on (doc, corpus), so chunking cannot change
+    * the result and the two entries gate against the SAME oracle.
+    */
+  private[graft] def probeCorpusDedup(batch: DataFrame, csh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsh = shingleHashes(batch)
+    val cand = minhashBands(minhashSig(bsh))
+      .select(col("band"), col("key"), col("doc_id").as("new_id"))
+      .join(minhashBands(minhashSig(csh))
+        .select(col("band"), col("key"), col("doc_id").as("match_id")),
+        Seq("band", "key"))
+      .select(col("new_id"), col("match_id")).distinct()
+    val inter = cand
+      .join(bsh.withColumnRenamed("doc_id", "new_id"), "new_id")
+      .join(csh.withColumnRenamed("doc_id", "match_id"), Seq("match_id", "h"))
+      .groupBy(col("new_id"), col("match_id")).agg(count(lit(1)).as("ni"))
+    val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val csz = csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val best = inter
+      .join(bsz.select(col("doc_id").as("new_id"), col("n").as("nb")), "new_id")
+      .join(csz.select(col("doc_id").as("match_id"), col("n").as("nc")), "match_id")
+      .select(col("new_id"), col("match_id"),
+        (col("ni").cast("double") / (col("nb") + col("nc") - col("ni"))).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("new_id")).orderBy(col("jac").desc, col("match_id"))))
+      .filter(col("rn") === 1)
+    batch.select(col("doc_id").as("new_id"))
+      .join(best.select(col("new_id"), col("match_id"), col("jac")), Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("jac").isNotNull, "dup").otherwise("novel").as("status"),
+        col("match_id"), col("jac"))
+  }
+
+  /** p33's oracle — also gates s21 (the same rows via a stream). */
+  private[graft] lazy val IncrementalDedupOracleSql: String = {
+    import MinHashParams._
+    val sigExprs = (0 until K)
+      .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
+    def bandSel(sigCte: String) = (0 until Bands).map { bd =>
+      val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM $sigCte"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlShingleCtes,
+           newb AS (
+             SELECT doc_id + 90000 AS doc_id,
+                    array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+             WHERE doc_id % 9 = 0
+             UNION ALL
+             SELECT doc_id + 95000 AS doc_id,
+                    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+             FROM documents WHERE doc_id % 9 = 3),
+           btoksh AS (
+             SELECT doc_id, list_transform(${GF.sqlTokens("text")},
+                      tk -> ${PolyHash.oracleSql("tk")}) AS ht
+             FROM newb),
+           bshingles AS (
+             SELECT doc_id, unnest(list_transform(generate_series(1, len(ht) - 2),
+                      i -> ((ht[i] * $ShingleB + ht[i+1]) % $ShingleM * $ShingleB
+                            + ht[i+2]) % $ShingleM)) AS h
+             FROM btoksh WHERE len(ht) >= 3),
+           bsh AS (SELECT DISTINCT doc_id, h FROM bshingles),
+           bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+           csig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+           bsig AS (SELECT doc_id, $sigExprs FROM bsh GROUP BY doc_id),
+           cbands AS (${bandSel("csig")}),
+           bbands AS (${bandSel("bsig")}),
+           cand AS (
+             SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+             FROM bbands a JOIN cbands b ON a.band = b.band AND a.key = b.key),
+           inter AS (
+             SELECT new_id, match_id, count(*) AS ni
+             FROM cand
+             JOIN bsh ON bsh.doc_id = new_id
+             JOIN sh ON sh.doc_id = match_id AND sh.h = bsh.h
+             GROUP BY new_id, match_id),
+           jacs AS (
+             SELECT new_id, match_id,
+                    CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) AS jac
+             FROM inter
+             JOIN bsz bz ON bz.doc_id = new_id
+             JOIN sz cz ON cz.doc_id = match_id
+             WHERE CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) >= 0.6),
+           best AS (
+             SELECT new_id, match_id, jac,
+                    row_number() OVER (PARTITION BY new_id
+                      ORDER BY jac DESC, match_id) AS rn
+             FROM jacs)
+           SELECT newb.doc_id AS new_id,
+                  CASE WHEN b.jac IS NOT NULL THEN 'dup' ELSE 'novel' END AS status,
+                  b.match_id, b.jac
+           FROM newb LEFT JOIN best b ON b.new_id = newb.doc_id AND b.rn = 1
+           ORDER BY new_id"""
+  }
+
   val all: Seq[NamedQuery] = Seq(
 
     // ------------------------------------------------------------ p01 exact
@@ -1702,105 +1818,11 @@ object QueriesPipeline {
     // per ingest.
     NamedQuery("p33_incremental_dedup",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        val toks = split(col("text"), " ")
-        val batch = d.filter(col("doc_id") % 9 === 0).select(
-            (col("doc_id") + 90000).as("doc_id"),
-            concat_ws(" ", slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))).as("text"))
-          .unionAll(d.filter(col("doc_id") % 9 === 3).select(
-            (col("doc_id") + 95000).as("doc_id"),
-            concat_ws(" ", reverse(toks)).as("text")))
-        val bsh = shingleHashes(batch)
-        val csh = sharedShingleHashes(s, dir)
-        val cand = minhashBands(minhashSig(bsh))
-          .select(col("band"), col("key"), col("doc_id").as("new_id"))
-          .join(minhashBands(minhashSig(csh))
-            .select(col("band"), col("key"), col("doc_id").as("match_id")),
-            Seq("band", "key"))
-          .select(col("new_id"), col("match_id")).distinct()
-        val inter = cand
-          .join(bsh.withColumnRenamed("doc_id", "new_id"), "new_id")
-          .join(csh.withColumnRenamed("doc_id", "match_id"), Seq("match_id", "h"))
-          .groupBy(col("new_id"), col("match_id")).agg(count(lit(1)).as("ni"))
-        val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val csz = csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val best = inter
-          .join(bsz.select(col("doc_id").as("new_id"), col("n").as("nb")), "new_id")
-          .join(csz.select(col("doc_id").as("match_id"), col("n").as("nc")), "match_id")
-          .select(col("new_id"), col("match_id"),
-            (col("ni").cast("double") / (col("nb") + col("nc") - col("ni"))).as("jac"))
-          .filter(col("jac") >= 0.6)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("new_id")).orderBy(col("jac").desc, col("match_id"))))
-          .filter(col("rn") === 1)
-        batch.select(col("doc_id").as("new_id"))
-          .join(best.select(col("new_id"), col("match_id"), col("jac")), Seq("new_id"), "left")
-          .select(col("new_id"),
-            when(col("jac").isNotNull, "dup").otherwise("novel").as("status"),
-            col("match_id"), col("jac"))
+        probeCorpusDedup(syntheticIngestBatch(d), sharedShingleHashes(s, dir))
           .orderBy(col("new_id"))
       },
-      Some {
-        import MinHashParams._
-        val sigExprs = (0 until K)
-          .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
-        def bandSel(sigCte: String) = (0 until Bands).map { bd =>
-          val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
-          s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM $sigCte"
-        }.mkString(" UNION ALL ")
-        s"""WITH $sqlShingleCtes,
-           newb AS (
-             SELECT doc_id + 90000 AS doc_id,
-                    array_to_string(list_slice(t, 3, len(t)), ' ') AS text
-             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-             WHERE doc_id % 9 = 0
-             UNION ALL
-             SELECT doc_id + 95000 AS doc_id,
-                    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
-             FROM documents WHERE doc_id % 9 = 3),
-           btoksh AS (
-             SELECT doc_id, list_transform(${GF.sqlTokens("text")},
-                      tk -> ${PolyHash.oracleSql("tk")}) AS ht
-             FROM newb),
-           bshingles AS (
-             SELECT doc_id, unnest(list_transform(generate_series(1, len(ht) - 2),
-                      i -> ((ht[i] * $ShingleB + ht[i+1]) % $ShingleM * $ShingleB
-                            + ht[i+2]) % $ShingleM)) AS h
-             FROM btoksh WHERE len(ht) >= 3),
-           bsh AS (SELECT DISTINCT doc_id, h FROM bshingles),
-           bsz AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
-           csig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
-           bsig AS (SELECT doc_id, $sigExprs FROM bsh GROUP BY doc_id),
-           cbands AS (${bandSel("csig")}),
-           bbands AS (${bandSel("bsig")}),
-           cand AS (
-             SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
-             FROM bbands a JOIN cbands b ON a.band = b.band AND a.key = b.key),
-           inter AS (
-             SELECT new_id, match_id, count(*) AS ni
-             FROM cand
-             JOIN bsh ON bsh.doc_id = new_id
-             JOIN sh ON sh.doc_id = match_id AND sh.h = bsh.h
-             GROUP BY new_id, match_id),
-           jacs AS (
-             SELECT new_id, match_id,
-                    CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) AS jac
-             FROM inter
-             JOIN bsz bz ON bz.doc_id = new_id
-             JOIN sz cz ON cz.doc_id = match_id
-             WHERE CAST(ni AS DOUBLE) / (bz.n + cz.n - ni) >= 0.6),
-           best AS (
-             SELECT new_id, match_id, jac,
-                    row_number() OVER (PARTITION BY new_id
-                      ORDER BY jac DESC, match_id) AS rn
-             FROM jacs)
-           SELECT newb.doc_id AS new_id,
-                  CASE WHEN b.jac IS NOT NULL THEN 'dup' ELSE 'novel' END AS status,
-                  b.match_id, b.jac
-           FROM newb LEFT JOIN best b ON b.new_id = newb.doc_id AND b.rn = 1
-           ORDER BY new_id"""
-      }),
+      Some(IncrementalDedupOracleSql)),
 
     // ------------------------------------------ p34 edit-distance join
     // Fuzzy string join, done the only way it scales: the O(L²)

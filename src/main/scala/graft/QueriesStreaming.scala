@@ -1085,5 +1085,49 @@ object QueriesStreaming {
       },
       Some("""SELECT event_type, count(*) AS n_users
              FROM (SELECT DISTINCT user_id, event_type FROM events)
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // Streaming INGEST dedup — p33's incremental dedup run as a stream:
+    // the same synthetic ingest rows arrive over three micro-batches and
+    // each batch is probed against the STATIC corpus band index inside
+    // foreachBatch (stream side: band signatures map-side; corpus side:
+    // the family's shared index, persisted once across batches — at
+    // 100 TB the bucketed materialized index), verdicts appended to the
+    // sink. No streaming state at all: a doc's verdict depends only on
+    // (doc, corpus), so per-trigger cost is O(batch) and chunking cannot
+    // change the result — pinned by gating against p33's EXACT oracle.
+    // This is the continuous-ingest shape of a production corpus: dedup
+    // runs as data lands, not as a nightly full-corpus job.
+    NamedQuery("s21_stream_ingest_dedup",
+      (s, dir) => withStatePartitions(s, 8) {
+        val stage = java.nio.file.Files.createTempDirectory("graft_s21_stage_")
+        val outDir = java.nio.file.Files.createTempDirectory("graft_s21_out_")
+        try {
+          val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          QueriesPipeline.syntheticIngestBatch(d)
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val csh = QueriesPipeline.sharedShingleHashes(s, dir).persist()
+          try {
+            val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stage.toString)
+            val probeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+              QueriesPipeline.probeCorpusDedup(batch, csh)
+                .write.mode("append").parquet(outDir.toString)
+            val q = src.writeStream.outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch(probeBatch)
+              .start()
+            try require(q.awaitTermination(180000L), "stream s21 did not finish")
+            finally q.stop()
+            s.read.parquet(outDir.toString).localCheckpoint()
+              .orderBy(col("new_id"))
+          } finally csh.unpersist(false)
+        } finally {
+          graft.util.Fs.deleteRecursively(stage)
+          graft.util.Fs.deleteRecursively(outDir)
+        }
+      },
+      Some(QueriesPipeline.IncrementalDedupOracleSql)))
 }
