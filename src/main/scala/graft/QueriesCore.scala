@@ -2273,6 +2273,88 @@ object QueriesCore {
              min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
              max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
              count(CAST(props->>'$.missing' AS BIGINT)) AS n_missing
-             FROM events GROUP BY event_type ORDER BY event_type""")))
+             FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----------------------------------------------- q86 JSON quarantine
+    // Batch malformed-payload policy: `from_json` in PERMISSIVE mode with
+    // a columnNameOfCorruptRecord — the quarantine-don't-crash discipline
+    // for a 100 TB ingest (the batch twin of the connector's streaming
+    // drop-malformed path, but KEEPING the bad rows for triage instead of
+    // dropping them). The fixture payloads are all well-formed, so three
+    // deterministically malformed rows are injected identically in both
+    // engines; valid rows aggregate, corrupt rows count into the
+    // quarantine bucket with their raw text preserved. Parse is per-row
+    // codegen'd map-side work; the only shuffle is the two-row status
+    // rollup. Strict-parser agreement (Jackson vs yyjson) is pinned by
+    // using unambiguously broken payloads, not dialect-edge JSON.
+    NamedQuery("q86_json_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val bad = Seq((900001L, "{bad"), (900002L, "[1, 2"), (900003L, ""))
+          .toDF("event_id", "props")
+        val raw = t(s, dir, "events").select(col("event_id"), col("props"))
+          .unionAll(bad)
+        raw.select(
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
+              "k BIGINT, _corrupt STRING"),
+              Map("mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+          .select(
+            // empty input parses to a NULL struct (not a corrupt record)
+            // in Spark — both forms are quarantine here
+            when(col("j").isNotNull && col("j._corrupt").isNull, "ok")
+              .otherwise("quarantined").as("status"),
+            col("j.k").as("k"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH raw AS (
+               SELECT props FROM events
+               UNION ALL
+               SELECT * FROM (VALUES ('{bad'), ('[1, 2'), ('')) v(props)),
+             parsed AS (
+               SELECT CASE WHEN json_valid(props)
+                           THEN 'ok' ELSE 'quarantined' END AS status,
+                      CASE WHEN json_valid(props)
+                           THEN CAST(props->>'$.k' AS BIGINT) END AS k
+               FROM raw)
+             SELECT status, count(*) AS n, sum(k)::BIGINT AS sum_k
+             FROM parsed GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------ q87 schema-evolution union
+    // unionByName(allowMissingColumns): reading two VERSIONS of a table —
+    // a legacy extract missing a later column and a current one — into one
+    // frame, aligning columns BY NAME and null-filling the gap. This is
+    // the schema-evolution migration staple (position-based UNION silently
+    // mis-binds reordered columns; name-based cannot). DuckDB's
+    // `UNION ALL BY NAME` is the oracle's native twin. The union is
+    // map-side concatenation — no shuffle until the rollup.
+    NamedQuery("q87_union_by_name_evolution",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        // legacy v1: no o_orderpriority column, and a different col order
+        val v1 = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"))
+        val v2 = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH u AS (
+               SELECT o_totalprice, o_orderkey, o_orderstatus
+               FROM orders WHERE o_orderkey % 3 = 0
+               UNION ALL BY NAME
+               SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+               FROM orders WHERE o_orderkey % 3 <> 0)
+             SELECT o_orderstatus, count(*) AS n,
+                    count(o_orderpriority) AS n_with_priority,
+                    max(o_totalprice) AS max_price
+             FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
 
 }
