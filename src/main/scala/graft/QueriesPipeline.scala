@@ -463,21 +463,35 @@ object QueriesPipeline {
     * verdict depends only on (doc, corpus), so chunking cannot change
     * the result and the two entries gate against the SAME oracle.
     */
-  private[graft] def probeCorpusDedup(batch: DataFrame, csh: DataFrame): DataFrame = {
+  /** The corpus side of [[probeCorpusDedup]], computed ONCE: the shingle
+    * index plus its derived band signatures and per-doc sizes. s21
+    * persists all three across micro-batches (the production ingest loop
+    * keeps the index hot / bucketed-materialized); p33 builds it inline
+    * for its single batch.
+    */
+  private[graft] final case class CorpusIndex(sh: DataFrame, bands: DataFrame,
+                                              sizes: DataFrame)
+
+  private[graft] def corpusIndex(csh: DataFrame): CorpusIndex = CorpusIndex(
+    csh,
+    minhashBands(minhashSig(csh))
+      .select(col("band"), col("key"), col("doc_id").as("match_id")),
+    csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
+  private[graft] def probeCorpusDedup(batch: DataFrame, idx: CorpusIndex): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val csh = idx.sh
     val bsh = shingleHashes(batch)
     val cand = minhashBands(minhashSig(bsh))
       .select(col("band"), col("key"), col("doc_id").as("new_id"))
-      .join(minhashBands(minhashSig(csh))
-        .select(col("band"), col("key"), col("doc_id").as("match_id")),
-        Seq("band", "key"))
+      .join(idx.bands, Seq("band", "key"))
       .select(col("new_id"), col("match_id")).distinct()
     val inter = cand
       .join(bsh.withColumnRenamed("doc_id", "new_id"), "new_id")
       .join(csh.withColumnRenamed("doc_id", "match_id"), Seq("match_id", "h"))
       .groupBy(col("new_id"), col("match_id")).agg(count(lit(1)).as("ni"))
     val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val csz = csh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val csz = idx.sizes
     val best = inter
       .join(bsz.select(col("doc_id").as("new_id"), col("n").as("nb")), "new_id")
       .join(csz.select(col("doc_id").as("match_id"), col("n").as("nc")), "match_id")
@@ -1819,7 +1833,8 @@ object QueriesPipeline {
     NamedQuery("p33_incremental_dedup",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-        probeCorpusDedup(syntheticIngestBatch(d), sharedShingleHashes(s, dir))
+        probeCorpusDedup(syntheticIngestBatch(d),
+            corpusIndex(sharedShingleHashes(s, dir)))
           .orderBy(col("new_id"))
       },
       Some(IncrementalDedupOracleSql)),

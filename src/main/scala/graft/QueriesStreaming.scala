@@ -1107,13 +1107,18 @@ object QueriesStreaming {
           QueriesPipeline.syntheticIngestBatch(d)
             .repartitionByRange(3, col("doc_id"))
             .write.mode("overwrite").parquet(stage.toString)
-          val csh = QueriesPipeline.sharedShingleHashes(s, dir).persist()
+          // corpus side computed ONCE and kept hot across micro-batches
+          // (shingle index + band signatures + sizes — recomputing the
+          // signatures per trigger tripled the corpus-side work)
+          val idx = QueriesPipeline.corpusIndex(
+            QueriesPipeline.sharedShingleHashes(s, dir))
+          idx.sh.persist(); idx.bands.persist(); idx.sizes.persist()
           try {
             val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(stage.toString)
             val probeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-              QueriesPipeline.probeCorpusDedup(batch, csh)
+              QueriesPipeline.probeCorpusDedup(batch, idx)
                 .write.mode("append").parquet(outDir.toString)
             val q = src.writeStream.outputMode("append")
               .trigger(Trigger.AvailableNow())
@@ -1123,7 +1128,10 @@ object QueriesStreaming {
             finally q.stop()
             s.read.parquet(outDir.toString).localCheckpoint()
               .orderBy(col("new_id"))
-          } finally csh.unpersist(false)
+          } finally {
+            idx.sh.unpersist(false); idx.bands.unpersist(false)
+            idx.sizes.unpersist(false)
+          }
         } finally {
           graft.util.Fs.deleteRecursively(stage)
           graft.util.Fs.deleteRecursively(outDir)
