@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg}
+import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt}
 
 /** Query-layer operator inventory (SURVEY.md §2.2): the relational surface
   * Presto supplied over the reference connector's tables, re-expressed as
@@ -2355,6 +2355,155 @@ object QueriesCore {
              SELECT o_orderstatus, count(*) AS n,
                     count(o_orderpriority) AS n_with_priority,
                     max(o_totalprice) AS max_price
-             FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
+             FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------ q88 statistical aggregates
+    // Linear regression + correlation per group (regr_slope / regr_intercept
+    // / corr semantics) computed from an EXACT decimal moment backbone
+    // (n, Σx, Σy, Σxx, Σyy, Σxy) so the result is order-insensitive and
+    // bit-identical in both engines: the moments sum exactly (quantity is
+    // integer-valued, discount has ≤2 decimals → all products exact at the
+    // chosen scales), then one identically-factored IEEE double formula on
+    // both sides. The built-in one-pass corr/regr_* (Welford-style) are
+    // order-DEPENDENT in the last ulps, so the moment backbone is also the
+    // right 100 TB design: six decimal sums are map-side partial aggregates
+    // (one shuffle, 3 groups), while a merge-order-stable built-in would
+    // need a deterministic reduction tree. FunctionsSpec pins the built-in
+    // corr/regr_slope to the backbone values within 1e-9.
+    NamedQuery("q88_stats_aggregates",
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            decSumAt(col("l_quantity"), 23, 2).as("sx"),
+            decSumAt(col("l_discount"), 23, 2).as("sy"),
+            decSumAt(col("l_quantity") * col("l_quantity"), 23, 2).as("sxx"),
+            decSumAt(col("l_discount") * col("l_discount"), 23, 4).as("syy"),
+            decSumAt(col("l_quantity") * col("l_discount"), 23, 2).as("sxy"))
+        val sl = m.withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        sl.select(
+            col("l_returnflag"),
+            col("n").cast("bigint").as("n"),
+            col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH m AS (
+               SELECT l_returnflag,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      ${sqlDecSumAt("l_quantity", 23, 2)} AS sx,
+                      ${sqlDecSumAt("l_discount", 23, 2)} AS sy,
+                      ${sqlDecSumAt("l_quantity * l_quantity", 23, 2)} AS sxx,
+                      ${sqlDecSumAt("l_discount * l_discount", 23, 4)} AS syy,
+                      ${sqlDecSumAt("l_quantity * l_discount", 23, 2)} AS sxy
+               FROM lineitem GROUP BY l_returnflag),
+             sl AS (
+               SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+               FROM m)
+             SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+                    (sy - slope * sx) / n AS intercept,
+                    (n * sxy - sx * sy) /
+                      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy
+             FROM sl ORDER BY l_returnflag""")),
+
+    // --------------------------------------- q89 bitwise/boolean aggregates
+    // bit_and / bit_or / bit_xor and bool_and / bool_or — the flag-rollup
+    // family (feature masks, per-group invariant checks). All five are
+    // commutative+associative, so Catalyst plans them as map-side partial
+    // aggregates; the shuffle carries one long+bool row per group. Booleans
+    // are cast to INT in BOTH dialects so the compared schema is identical.
+    NamedQuery("q89_bitwise_bool_agg",
+      (s, dir) => {
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            expr("bit_and(user_id)").as("uid_and"),
+            expr("bit_or(user_id)").as("uid_or"),
+            expr("bit_xor(user_id)").as("uid_xor"),
+            expr("bool_and(value >= 0)").cast("int").as("all_nonneg"),
+            expr("bool_or(value > 900)").cast("int").as("any_huge"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+                     bit_and(user_id) AS uid_and,
+                     bit_or(user_id) AS uid_or,
+                     bit_xor(user_id) AS uid_xor,
+                     CAST(bool_and(value >= 0) AS INT) AS all_nonneg,
+                     CAST(bool_or(value > 900) AS INT) AS any_huge
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------- q90 try_ arithmetic
+    // Safe arithmetic over dirty data: try_divide maps division-by-zero to
+    // NULL instead of failing the job (ANSI) or poisoning aggregates with
+    // Inf (legacy) — the quarantine-don't-crash discipline applied to
+    // expressions. The denominator user_id % 7 is genuinely zero for ~1/7
+    // of rows. try_cast demonstrates the same policy for parsing a column
+    // that is only sometimes numeric. Aggregates avoid double SUMs (quotient
+    // decimals are unbounded): counts are exact and min/max compare the
+    // identical IEEE quotients both engines produce. All map-side; one
+    // 4-group shuffle.
+    NamedQuery("q90_try_arithmetic",
+      (s, dir) => {
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("try_divide(value, user_id % 7)").as("q"),
+            expr("try_cast(CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS STRING) " +
+              "ELSE event_type END AS BIGINT)").as("parsed"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("q")).as("n_safe_div"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"),
+            count(col("parsed")).as("n_parsed"),
+            sum(col("parsed")).as("sum_parsed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                     count(value / NULLIF(user_id % 7, 0)) AS n_safe_div,
+                     min(value / NULLIF(user_id % 7, 0)) AS min_q,
+                     max(value / NULLIF(user_id % 7, 0)) AS max_q,
+                     count(TRY_CAST(CASE WHEN user_id % 3 = 0
+                                         THEN CAST(user_id AS VARCHAR)
+                                         ELSE event_type END AS BIGINT)) AS n_parsed,
+                     sum(TRY_CAST(CASE WHEN user_id % 3 = 0
+                                       THEN CAST(user_id AS VARCHAR)
+                                       ELSE event_type END AS BIGINT))::BIGINT AS sum_parsed
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------- q91 windowed COUNT(DISTINCT)
+    // Running distinct-user count per event_type — an operator Spark's
+    // window engine does NOT support natively (COUNT(DISTINCT) OVER throws);
+    // the bridge is size(collect_set() OVER), which keeps the dedup inside
+    // the window frame. The RANGE frame (not ROWS) makes ties on ts
+    // deterministic: all peer rows see the same running value. Scale: one
+    // shuffle on event_type, per-partition sort on ts — but the collect_set
+    // state is bounded by per-group distinct cardinality, so at 100 TB the
+    // right variant is the bounded sketch (q18's HLL over a window) once
+    // exactness can be traded; this entry is the exact form. DuckDB supports
+    // windowed DISTINCT aggregates natively — the oracle uses them directly.
+    NamedQuery("q91_window_count_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("ts"),
+            size(collect_set(col("user_id")).over(w)).cast("bigint")
+              .as("running_distinct_users"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, ts,
+                     count(DISTINCT user_id) OVER (
+                       PARTITION BY event_type ORDER BY ts
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running_distinct_users
+              FROM events ORDER BY event_id""")))
 
 }

@@ -34,6 +34,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows == Seq(Some(7L), None, None))
   }
 
+  test("q88 backbone matches Spark's built-in corr/regr_slope/regr_intercept") {
+    // The oracle-gated q88 computes slope/intercept/corr from exact decimal
+    // moments (order-insensitive); the built-ins are one-pass and
+    // order-dependent in the last ulps. Pin agreement to 1e-9 so the
+    // backbone can't drift from the semantics it claims to implement.
+    val backbone = SparkEntry.queries("q88_stats_aggregates")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_discount, l_quantity)").as("slope"),
+        expr("regr_intercept(l_discount, l_quantity)").as("intercept"),
+        expr("corr(l_quantity, l_discount)").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(backbone.keySet == builtin.keySet)
+    for ((k, (s1, i1, c1)) <- backbone; (s2, i2, c2) = builtin(k)) {
+      assert(math.abs(s1 - s2) < 1e-9, s"$k slope $s1 vs $s2")
+      assert(math.abs(i1 - i2) < 1e-9, s"$k intercept $i1 vs $i2")
+      assert(math.abs(c1 - c2) < 1e-9, s"$k corr $c1 vs $c2")
+    }
+  }
+
   test("poly_hash evaluates in a plan (codegen path) and handles null") {
     import spark.implicits._
     val df = Seq(Some("hello world"), Some(""), None).toDF("s")

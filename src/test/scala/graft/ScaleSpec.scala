@@ -644,4 +644,26 @@ class ScaleSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("q88 stats backbone: six moments fold in one partial+final aggregate pair") {
+    val p = plan("q88_stats_aggregates")
+    // all six decimal moments are columns of the SAME map-side partial
+    // aggregate — the shuffle carries one row per group, and the regression
+    // formula is scalar projection above already-tiny data
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q89 bit/bool aggregates are map-side partial") {
+    val p = plan("q89_bitwise_bool_agg")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("q91 windowed count-distinct: one keyed shuffle feeds the window, no join") {
+    val p = plan("q91_window_count_distinct")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }
