@@ -2561,6 +2561,117 @@ object QueriesPipeline {
                FROM wt WHERE length(w) >= 2)
              SELECT l, r, sum(n_w)::BIGINT AS n_pair, count(*) AS n_types
              FROM pairs GROUP BY l, r
-             ORDER BY n_pair DESC, l, r LIMIT 30"""))
-  )
+             ORDER BY n_pair DESC, l, r LIMIT 30""")),
+
+    // -------------------------------------- p50 line-level boilerplate dedup
+    // C4-style SEGMENT-granular cleaning (Raffel et al. 2020 §2.2 removed
+    // duplicate three-sentence spans corpus-wide): split each doc into
+    // non-overlapping 10-token chunks, count how many DISTINCT docs each
+    // chunk occurs in, and mark chunks seen in ≥2 docs as boilerplate. The
+    // output is the cleaning ledger per doc: chunks/tokens before and after
+    // removal. This is the transform BETWEEN doc-level dedup (p01-p04: drop
+    // whole docs) and intra-doc repetition (p24: score a doc by itself) —
+    // cross-doc shared spans are removed while the doc survives. Scale: the
+    // chunk-frequency aggregate is one shuffle with map-side partials whose
+    // key in production is the chunk HASH (the string key here keeps the
+    // oracle portable); the boilerplate set is df-bounded (shared chunks
+    // only) so the mark join is a broadcast/bloom semi join at 100 TB, and
+    // chunking itself is per-row map-side array slicing.
+    NamedQuery("p50_line_dedup",
+      (s, dir) => {
+        val t = col("t")
+        val chunks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), GF.tokens(col("text")).as("t"))
+          .filter(size(t) > 0)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), ((size(t) + lit(9)) / lit(10)).cast("int") - 1),
+            c => slice(t, c * 10 + 1, lit(10)))).as("ctoks"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("ctoks")).as("chunk"),
+            size(col("ctoks")).cast("long").as("n_toks"))
+        val boiler = chunks.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("chunk"), lit(1).as("is_b"))
+        chunks.join(boiler, Seq("chunk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+            sum(col("n_toks")).as("toks_before"),
+            sum(when(col("is_b").isNotNull, 0L).otherwise(col("n_toks")))
+              .as("toks_after"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM documents),
+             chunks AS (
+               SELECT doc_id,
+                      unnest(list_transform(generate_series(0, (len(t)+9)//10 - 1),
+                        c -> array_to_string(t[c*10+1 : c*10+10], ' '))) AS chunk,
+                      unnest(list_transform(generate_series(0, (len(t)+9)//10 - 1),
+                        c -> len(t[c*10+1 : c*10+10])::BIGINT)) AS n_toks
+               FROM toks WHERE len(t) > 0),
+             boiler AS (
+               SELECT chunk, 1 AS is_b FROM chunks
+               GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+             SELECT doc_id, count(*) AS n_chunks,
+                    sum(CASE WHEN is_b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                      AS n_boiler,
+                    sum(n_toks)::BIGINT AS toks_before,
+                    sum(CASE WHEN is_b IS NOT NULL THEN 0 ELSE n_toks END)::BIGINT
+                      AS toks_after
+             FROM chunks LEFT JOIN boiler USING (chunk)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----------------------------------------- p51 vocabulary coverage
+    // Tokenizer-vocab fit: build the corpus top-V vocabulary (V=15 here —
+    // the fixture corpus has 31 distinct tokens, so half the vocab is OOV
+    // and the histogram actually spreads; production V is 32k-256k with
+    // the same plan. Tie-break count DESC, token ASC) and score each doc by
+    // the fraction of its token OCCURRENCES covered — the standard check
+    // that a tokenizer trained on one distribution fits a new corpus
+    // (out-of-vocab mass → UNK explosion → wasted context length). Output
+    // is the decile histogram of coverage, computed with INTEGER
+    // arithmetic ((10*in_vocab) div total, capped at 9) so bucketing can't
+    // flap on float rounding. Scale: token counts are one map-side-partial
+    // shuffle; the top-V rank is over the VOCABULARY (Heaps-bounded), not
+    // the corpus; the vocab is broadcast for the coverage join; the decile
+    // rollup carries 10 rows.
+    NamedQuery("p51_vocab_coverage",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(GF.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(15)
+          .select(col("tok"), lit(1).as("in_v"))
+        val cov = toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("in_v").isNotNull, 1L).otherwise(0L)).as("in_vocab"))
+        cov.select(col("doc_id"),
+            least(lit(9L), expr("(10 * in_vocab) div total")).as("bucket"),
+            col("in_vocab"), col("total"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("in_vocab")).as("covered_toks"),
+            sum(col("total")).as("total_toks"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, unnest(${GF.sqlTokens("text")}) AS tok
+               FROM documents),
+             vocab AS (
+               SELECT tok, 1 AS in_v FROM (
+                 SELECT tok, count(*) AS c FROM toks GROUP BY tok
+                 ORDER BY c DESC, tok LIMIT 15)),
+             cov AS (
+               SELECT doc_id, count(*) AS total,
+                      sum(CASE WHEN in_v IS NOT NULL THEN 1 ELSE 0 END)
+                        AS in_vocab
+               FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id)
+             SELECT least(9, (10 * in_vocab) // total) AS bucket,
+                    count(*) AS n_docs,
+                    sum(in_vocab)::BIGINT AS covered_toks,
+                    sum(total)::BIGINT AS total_toks
+             FROM cov GROUP BY bucket ORDER BY bucket""")))
 }

@@ -1137,5 +1137,96 @@ object QueriesStreaming {
           graft.util.Fs.deleteRecursively(outDir)
         }
       },
-      Some(QueriesPipeline.IncrementalDedupOracleSql)))
+      Some(QueriesPipeline.IncrementalDedupOracleSql)),
+
+    // Stream-static LEFT ANTI join — in-stream DECONTAMINATION: documents
+    // arrive over three micro-batches and docs whose 10-token prefix
+    // matches the static benchmark blocklist (src0's prefixes — p23's
+    // contamination discipline applied at INGEST time) are dropped before
+    // they ever land in the corpus. The anti join is STATELESS (each
+    // micro-batch probes the static side and emits immediately — no join
+    // state, no watermark), so per-trigger cost is O(batch) and chunking
+    // cannot change the result: the gate runs the identical anti join as
+    // one batch in DuckDB. At 100 TB/day the static side is the broadcast
+    // (blocklists are benchmark-sized), refreshed by restarting the
+    // query — the same slowly-changing-dim story as s13.
+    NamedQuery("s22_stream_static_anti",
+      (s, dir) => withStatePartitions(s, 8) {
+        val stage = java.nio.file.Files.createTempDirectory("graft_s22_stage_")
+        try {
+          val pfx = concat_ws(" ",
+            slice(graft.functions.GraftFunctions.tokens(col("text")), 1, 10))
+          val docs = Tables.load(s, dir, "documents")
+          docs.select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val blocklist = docs.filter(col("source") === "src0")
+            .select(pfx.as("pfx")).distinct()
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+            .withColumn("pfx", pfx)
+          val clean = src.join(blocklist, Seq("pfx"), "left_anti")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          runToTable(s, sink("s22", dir), clean, mode = "append")
+            .orderBy(col("doc_id"))
+        } finally graft.util.Fs.deleteRecursively(stage)
+      },
+      Some("""WITH pref AS (
+               SELECT doc_id, lang, n_chars, source,
+                      array_to_string(
+                        list_filter(string_split(text, ' '), t -> t <> '')[1:10],
+                        ' ') AS pfx
+               FROM documents),
+             block AS (
+               SELECT DISTINCT pfx FROM pref WHERE source = 'src0')
+             SELECT doc_id, lang, n_chars
+             FROM pref ANTI JOIN block USING (pfx)
+             ORDER BY doc_id""")),
+
+    // Bounded per-key top-k on state-v2 LIST state: each user's state is
+    // exactly the k best (value, event_id) entries — the
+    // leaderboard/best-candidates idiom where MapState's point lookups
+    // don't fit an ORDERED small collection. No timers, no watermark: the
+    // top-k insert is monotone, so Update mode emits a refined snapshot
+    // per (key, batch) carrying a strictly-increasing n_seen, and the
+    // final snapshot per key (max n_seen) is batch-identical regardless
+    // of chunking — which is exactly what the gate selects and DuckDB
+    // replays with one ranked window. State per key is O(k), not
+    // O(events): the 100 TB property that distinguishes this from
+    // collect-and-sort.
+    NamedQuery("s23_stream_liststate_topk",
+      (s, dir) => withStatePartitions(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key,
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          import org.apache.spark.sql.expressions.Window
+          // 3 staged chunks → the per-key snapshot really REFINES across
+          // micro-batches (single-file streaming would make this one batch)
+          withStagedEventsStream(s, dir, 3) { evs =>
+            val ev = evs.select(col("user_id"), col("event_id"), col("value"))
+              .as[graft.streaming.EventStreams.EventIdVal]
+            val snaps = graft.streaming.EventStreams.listStateTopK(ev).toDF()
+            val latest = Window.partitionBy(col("user_id"))
+              .orderBy(col("n_seen").desc)
+            runToTable(s, sink("s23", dir), snaps, mode = "update")
+              .withColumn("rk", row_number().over(latest))
+              .filter(col("rk") === 1).drop("rk")
+              .orderBy(col("user_id"))
+          }
+        } finally s.conf.set(key, prev)
+      },
+      Some("""WITH r AS (
+               SELECT user_id, value, row_number() OVER (
+                 PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+               FROM events)
+             SELECT user_id, count(*) AS n_seen,
+                    max(CASE WHEN rk = 1 THEN value END) AS v1,
+                    max(CASE WHEN rk = 2 THEN value END) AS v2,
+                    max(CASE WHEN rk = 3 THEN value END) AS v3
+             FROM r GROUP BY user_id ORDER BY user_id""")))
 }

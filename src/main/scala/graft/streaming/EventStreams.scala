@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming mode over event tables — the north-star extension
   * the reference never had (its "streaming" was repeated batch over a
@@ -364,5 +364,72 @@ object EventStreams {
       .groupByKey(_.user_id)
       .transformWithState(new WindowedMapStateProcessor(windowMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Input row for [[TopKProcessor]] — event_id is the deterministic
+    * tie-break (fixture values have 2 decimals, so equal values across a
+    * user's events are common).
+    */
+  final case class EventIdVal(user_id: Long, event_id: Long, value: Double)
+
+  /** [[TopKProcessor]] emission: the key's CURRENT top-k after a batch,
+    * with the cumulative row count. n_seen increases strictly between
+    * emissions, so "row with max n_seen per key" is the final state
+    * regardless of how the input was chunked into micro-batches.
+    */
+  final case class TopKSnapshot(user_id: Long, n_seen: Long,
+      v1: java.lang.Double, v2: java.lang.Double, v3: java.lang.Double)
+
+  /** Per-key bounded top-k on the state-v2 LIST state: the idiom for a
+    * small ORDERED collection per key (leaderboards, best-n candidates,
+    * recent-n buffers) where MapState's point-lookup shape doesn't fit.
+    * State is exactly k entries per key — reading, merging a batch's rows,
+    * and rewriting is O(k + batch rows per key) — and a ValueState carries
+    * the cumulative count that makes snapshots ordered. No timers and no
+    * watermark: the aggregate is monotone (inserting a row never invalidates
+    * a previous top-k's correctness for its prefix), so Update mode emits
+    * each key's refined snapshot per batch and the LAST snapshot is the
+    * batch answer.
+    */
+  final class TopKProcessor(k: Int)
+      extends StatefulProcessor[Long, EventIdVal, TopKSnapshot] {
+    @transient private var best: ListState[TopEntry] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      best = getHandle.getListState[TopEntry](
+        "best", Encoders.product[TopEntry], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[EventIdVal],
+                                 timerValues: TimerValues): Iterator[TopKSnapshot] = {
+      val incoming = rows.map(e => TopEntry(e.value, e.event_id)).toArray
+      if (incoming.isEmpty) return Iterator.empty
+      val cur = best.get().toArray
+      // value DESC, event_id ASC — the same total order the oracle ranks by
+      val merged = (cur ++ incoming)
+        .sortBy(t => (-t.value, t.event_id)).take(k)
+      best.put(merged)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      def at(i: Int): java.lang.Double =
+        if (i < merged.length) java.lang.Double.valueOf(merged(i).value) else null
+      Iterator.single(TopKSnapshot(userId, n, at(0), at(1), at(2)))
+    }
+  }
+
+  /** Ordered entry in [[TopKProcessor]]'s list state. */
+  final case class TopEntry(value: Double, event_id: Long)
+
+  /** Per-user top-3 event values via [[TopKProcessor]]. */
+  def listStateTopK(events: Dataset[EventIdVal]): Dataset[TopKSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(3),
+        TimeMode.None(), OutputMode.Update())
   }
 }

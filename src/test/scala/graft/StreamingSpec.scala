@@ -357,6 +357,44 @@ class StreamingSpec extends SparkTestBase {
     } finally s0.conf.set(key, prev)
   }
 
+  test("state-v2 ListState top-k: snapshots refine across batches, state truncates to k") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx = s0.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s0.conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s0.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.EventIdVal]
+      val snaps = EventStreams.listStateTopK(input.toDS())
+      val q = snaps.writeStream.format("memory").queryName("topk")
+        .outputMode("update").start()
+      try {
+        // batch 1: four values — the k=3 list must truncate (drop 1.0)
+        input.addData(
+          EventStreams.EventIdVal(1, 10, 5.0), EventStreams.EventIdVal(1, 11, 1.0),
+          EventStreams.EventIdVal(1, 12, 9.0), EventStreams.EventIdVal(1, 13, 5.0))
+        q.processAllAvailable()
+        val b1 = s0.table("topk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4))).toSet
+        // ties on 5.0 break by event_id: 10 before 13
+        assert(b1 == Set((1L, 4L, 9.0, 5.0, 5.0)), s"got $b1")
+        // batch 2: 7.0 displaces the second 5.0; 0.5 is ignored. The
+        // truncated 1.0 from batch 1 must NOT resurface.
+        input.addData(
+          EventStreams.EventIdVal(1, 14, 7.0), EventStreams.EventIdVal(1, 15, 0.5))
+        q.processAllAvailable()
+        val b2 = s0.table("topk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4))).toSet
+        assert(b2 == b1 + ((1L, 6L, 9.0, 7.0, 5.0)), s"got $b2")
+      } finally q.stop()
+    } finally s0.conf.set(key, prev)
+  }
+
   test("chained stateful aggs: two state stores, rollup closes with its sub-windows") {
     // the s16 shape in miniature: 10 s tumbling counts per type feeding a
     // 60 s rollup (sum + peak) in ONE query — pins that Spark really runs
