@@ -2504,6 +2504,131 @@ object QueriesCore {
                        PARTITION BY event_type ORDER BY ts
                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS running_distinct_users
-              FROM events ORDER BY event_id""")))
+              FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------------ q92 CDC MERGE apply
+    // The MERGE/upsert kernel (Delta/Iceberg MERGE INTO, SCD maintenance)
+    // as its underlying relational plan: a change log with sequence
+    // numbers is COMPACTED to latest-per-key (row_number over seq DESC —
+    // without this, replaying an out-of-order CDC feed corrupts the
+    // table), then applied to the base via ONE full-outer join on the
+    // key: net-D drops, net-U rewrites, I inserts, untouched keys pass
+    // through. The change set is derived deterministically from orders
+    // (updates %10=3 with a second later update on %100=3, update-then-
+    // delete on %10=7, inserts at key+10M on %10=1) so both engines build
+    // the identical log. Scale: compaction shuffles the CHANGE LOG (small
+    // vs base), the apply is one co-keyed shuffle join — exactly how
+    // Delta executes MERGE; output rollup verifies every branch (new 'N'
+    // and rewritten 'F'/'P' statuses, deletes gone, sums shifted).
+    NamedQuery("q92_merge_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val k = col("o_orderkey")
+        val changes =
+          o.filter(k % 10 === 3).select(k.as("key"), lit(1L).as("seq"),
+              lit("U").as("op"), lit("P").as("status"), lit(0.0).as("price"))
+            .unionAll(o.filter(k % 100 === 3).select(k.as("key"), lit(2L).as("seq"),
+              lit("U").as("op"), lit("F").as("status"), lit(0.0).as("price")))
+            .unionAll(o.filter(k % 10 === 7).select(k.as("key"), lit(1L).as("seq"),
+              lit("U").as("op"), lit("P").as("status"), lit(0.0).as("price")))
+            .unionAll(o.filter(k % 10 === 7).select(k.as("key"), lit(2L).as("seq"),
+              lit("D").as("op"), lit("").as("status"), lit(0.0).as("price")))
+            .unionAll(o.filter(k % 10 === 1).select((k + 10000000L).as("key"),
+              lit(1L).as("seq"), lit("I").as("op"), lit("N").as("status"),
+              col("o_totalprice").as("price")))
+        val net = changes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("key")).orderBy(col("seq").desc)))
+          .filter(col("rk") === 1).drop("rk", "seq")
+        val merged = o.join(net, k === col("key"), "full_outer")
+          .filter(coalesce(col("op"), lit("")) =!= "D")
+          .select(
+            coalesce(k, col("key")).as("final_key"),
+            when(col("op") === "U", col("status"))
+              .when(col("op") === "I", col("status"))
+              .otherwise(col("o_orderstatus")).as("final_status"),
+            when(col("op") === "I", col("price"))
+              .otherwise(col("o_totalprice")).as("final_price"))
+        merged.groupBy(col("final_status"))
+          .agg(count(lit(1)).as("n"), sum(col("final_key")).as("sum_keys"),
+            decSum(col("final_price")).as("sum_price"))
+          .orderBy(col("final_status"))
+      },
+      Some(s"""WITH base AS (
+               SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             changes AS (
+               SELECT o_orderkey AS key, 1 AS seq, 'U' AS op, 'P' AS status,
+                      0.0 AS price FROM base WHERE o_orderkey % 10 = 3
+               UNION ALL
+               SELECT o_orderkey, 2, 'U', 'F', 0.0
+               FROM base WHERE o_orderkey % 100 = 3
+               UNION ALL
+               SELECT o_orderkey, 1, 'U', 'P', 0.0
+               FROM base WHERE o_orderkey % 10 = 7
+               UNION ALL
+               SELECT o_orderkey, 2, 'D', '', 0.0
+               FROM base WHERE o_orderkey % 10 = 7
+               UNION ALL
+               SELECT o_orderkey + 10000000, 1, 'I', 'N', o_totalprice
+               FROM base WHERE o_orderkey % 10 = 1),
+             net AS (
+               SELECT key, op, status, price FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY key ORDER BY seq DESC) AS rk
+                 FROM changes) WHERE rk = 1),
+             merged AS (
+               SELECT coalesce(b.o_orderkey, n.key) AS final_key,
+                      CASE WHEN n.op IN ('U', 'I') THEN n.status
+                           ELSE b.o_orderstatus END AS final_status,
+                      CASE WHEN n.op = 'I' THEN n.price
+                           ELSE b.o_totalprice END AS final_price
+               FROM base b FULL OUTER JOIN net n ON b.o_orderkey = n.key
+               WHERE coalesce(n.op, '') <> 'D')
+             SELECT final_status, count(*) AS n,
+                    sum(final_key)::BIGINT AS sum_keys,
+                    ${sqlDecSum("final_price")} AS sum_price
+             FROM merged GROUP BY final_status ORDER BY final_status""")),
+
+    // ------------------------------------------- q93 interval (range) join
+    // Point-in-interval join WITHOUT an equi-key — the operator Spark has
+    // no native support for (DuckDB/Flink ship dedicated interval joins;
+    // a naive Spark formulation becomes a nested-loop over every pair).
+    // The scalable bridge is BINNING: each interval explodes to the hour
+    // bins it covers (map-side sequence+explode), each point keys to its
+    // OWN single bin, and the equi-join on bin + residual ts∈[s,e) yields
+    // each matching pair exactly once (a point lives in one bin, so no
+    // dedup pass). Join cost is O(points + Σ interval-hours) with a plain
+    // hash shuffle — survives 10^8 intervals where the nested-loop dies.
+    // Intervals here: each sampled user's first 6 activity hours.
+    // ScaleSpec pins the no-nested-loop property.
+    NamedQuery("q93_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val iv = ev.filter(col("user_id") % 97 === 0)
+          .groupBy(col("user_id").as("iv_user"))
+          .agg(min(col("ts")).as("s"))
+          .withColumn("e", col("s") + expr("INTERVAL 6 HOURS"))
+        val ivb = iv.select(col("iv_user"), col("s"), col("e"),
+          explode(sequence(date_trunc("hour", col("s")),
+            date_trunc("hour", col("e")), expr("INTERVAL 1 HOUR"))).as("bin"))
+        val pts = ev.select(col("user_id"), col("ts"),
+          date_trunc("hour", col("ts")).as("bin"))
+        pts.join(ivb, Seq("bin"))
+          .filter(col("ts") >= col("s") && col("ts") < col("e"))
+          .groupBy(col("iv_user"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("iv_user"))
+      },
+      Some("""WITH iv AS (
+               SELECT user_id AS iv_user, min(ts) AS s,
+                      min(ts) + INTERVAL 6 HOUR AS e
+               FROM events WHERE user_id % 97 = 0 GROUP BY user_id)
+             SELECT iv.iv_user, count(*) AS n_events,
+                    count(DISTINCT e.user_id) AS n_users
+             FROM iv JOIN events e ON e.ts >= iv.s AND e.ts < iv.e
+             GROUP BY iv.iv_user ORDER BY iv.iv_user""")))
 
 }

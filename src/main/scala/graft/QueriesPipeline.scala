@@ -2673,5 +2673,62 @@ object QueriesPipeline {
                     count(*) AS n_docs,
                     sum(in_vocab)::BIGINT AS covered_toks,
                     sum(total)::BIGINT AS total_toks
-             FROM cov GROUP BY bucket ORDER BY bucket""")))
+             FROM cov GROUP BY bucket ORDER BY bucket""")),
+
+    // ---------------------------------------- p52 cross-source overlap matrix
+    // Which ingest sources duplicate each other — the provenance question
+    // asked before dropping/deprioritizing a source: pairwise shingle
+    // Jaccard BETWEEN SOURCES. Collapse the shingle index to distinct
+    // (source, h) FIRST — the corpus-sized step, one shuffle — then
+    // self-join on h: each h contributes at most sources²/2 pairs
+    // (sources is tens, not millions), so the pair counts are bounded by
+    // |distinct h| × a constant, never by docs². The Jaccard is one
+    // integer division over exact counts. Raw documents (not the planted
+    // corpus — provenance is about the REAL sources), matrix ordered
+    // (src_a < src_b).
+    NamedQuery("p52_source_overlap",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val sh = shingleHashes(d.select(col("doc_id"), col("text")))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("h")).distinct()
+        val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("source").as("src_a"), col("h"))
+          .join(sh.select(col("source").as("src_b"), col("h")), "h")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("inter"),
+            (col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH toksh AS (
+               SELECT doc_id, list_transform(${GF.sqlTokens("text")},
+                 tk -> ${PolyHash.oracleSql("tk")}) AS ht
+               FROM documents),
+             shing AS (
+               SELECT doc_id, unnest(list_transform(generate_series(1, len(ht) - 2),
+                 i -> ((ht[i] * $ShingleB + ht[i+1]) % $ShingleM * $ShingleB
+                       + ht[i+2]) % $ShingleM)) AS h
+               FROM toksh WHERE len(ht) >= 3),
+             sh AS (
+               SELECT DISTINCT d.source, s.h
+               FROM (SELECT DISTINCT doc_id, h FROM shing) s
+               JOIN documents d USING (doc_id)),
+             sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+             inter AS (
+               SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+               FROM sh a JOIN sh b USING (h)
+               WHERE a.source < b.source
+               GROUP BY a.source, b.source)
+             SELECT src_a, src_b, inter,
+                    CAST(inter AS DOUBLE) /
+                      CAST(na + nb - inter AS DOUBLE) AS jac
+             FROM inter
+             JOIN (SELECT source AS src_a, n AS na FROM sz) USING (src_a)
+             JOIN (SELECT source AS src_b, n AS nb FROM sz) USING (src_b)
+             ORDER BY src_a, src_b""")))
 }

@@ -1228,5 +1228,78 @@ object QueriesStreaming {
                     max(CASE WHEN rk = 1 THEN value END) AS v1,
                     max(CASE WHEN rk = 2 THEN value END) AS v2,
                     max(CASE WHEN rk = 3 THEN value END) AS v3
-             FROM r GROUP BY user_id ORDER BY user_id""")))
+             FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // Streaming DEAD-LETTER split — q86's quarantine policy at ingest:
+    // each micro-batch parses payloads PERMISSIVE and double-writes,
+    // clean rows to the corpus sink and malformed rows (raw text
+    // preserved) to a dead-letter dir for replay after the producer is
+    // fixed. Both writes happen inside ONE foreachBatch, so a batch is
+    // either fully split or fully retried — no row is dropped between
+    // sinks. Stateless per-row classification: chunking cannot change
+    // the result, and the gate replays the identical split as one batch
+    // in DuckDB (q86's oracle shape). Three deterministically malformed
+    // rows are injected pre-staging, identically in both engines.
+    NamedQuery("s24_stream_dead_letter",
+      (s, dir) => withStatePartitions(s, 8) {
+        import s.implicits._
+        val stage = java.nio.file.Files.createTempDirectory("graft_s24_stage_")
+        val cleanDir = java.nio.file.Files.createTempDirectory("graft_s24_clean_")
+        val dlqDir = java.nio.file.Files.createTempDirectory("graft_s24_dlq_")
+        try {
+          val bad = Seq((900001L, "{bad"), (900002L, "[1, 2"), (900003L, ""))
+            .toDF("event_id", "props")
+          Tables.load(s, dir, "events").select(col("event_id"), col("props"))
+            .unionAll(bad)
+            .repartitionByRange(3, col("event_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val split: (DataFrame, Long) => Unit = (batch, _) => {
+            val parsed = batch.select(col("event_id"), col("props"),
+              from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL(
+                "k BIGINT, _corrupt STRING"),
+                Map("mode" -> "PERMISSIVE",
+                  "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+            // empty input parses to a NULL struct in Spark — quarantine too.
+            // Complement FILTERS (not except): map-side, no dedup semantics.
+            val isOk = col("j").isNotNull && col("j._corrupt").isNull
+            parsed.filter(isOk).select(col("event_id"), col("j.k").as("k"))
+              .write.mode("append").parquet(cleanDir.toString)
+            parsed.filter(!isOk).select(col("event_id"), col("props"))
+              .write.mode("append").parquet(dlqDir.toString)
+          }
+          val q = src.writeStream.outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch(split)
+            .start()
+          try require(q.awaitTermination(180000L), "stream s24 did not finish")
+          finally q.stop()
+          val clean = s.read.parquet(cleanDir.toString)
+            .select(lit("ok").as("status"), col("k"))
+          val dlq = s.read.parquet(dlqDir.toString)
+            .select(lit("quarantined").as("status"), lit(null).cast("long").as("k"))
+          clean.unionAll(dlq).localCheckpoint()
+            .groupBy(col("status"))
+            .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+            .orderBy(col("status"))
+        } finally {
+          graft.util.Fs.deleteRecursively(stage)
+          graft.util.Fs.deleteRecursively(cleanDir)
+          graft.util.Fs.deleteRecursively(dlqDir)
+        }
+      },
+      Some("""WITH raw AS (
+               SELECT props FROM events
+               UNION ALL
+               SELECT * FROM (VALUES ('{bad'), ('[1, 2'), ('')) v(props)),
+             parsed AS (
+               SELECT CASE WHEN json_valid(props)
+                           THEN 'ok' ELSE 'quarantined' END AS status,
+                      CASE WHEN json_valid(props)
+                           THEN CAST(props->>'$.k' AS BIGINT) END AS k
+               FROM raw)
+             SELECT status, count(*) AS n, sum(k)::BIGINT AS sum_k
+             FROM parsed GROUP BY status ORDER BY status""")))
 }

@@ -666,4 +666,26 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("q92 MERGE apply: one full-outer join on the key, no nested loop") {
+    val p = plan("q92_merge_upsert")
+    // the apply is a single co-keyed join (how Delta executes MERGE);
+    // compaction shuffles only the change log
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q93 interval join: binned equi-join, never a nested loop") {
+    val p = plan("q93_interval_join")
+    // the entire point: the range predicate rides an equi-join on the hour
+    // bin as a residual — a nested-loop/cartesian plan would be the
+    // O(points × intervals) shape this entry exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("p52 source overlap: pair generation is an equi-join on h, no cross product") {
+    val p = plan("p52_source_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
