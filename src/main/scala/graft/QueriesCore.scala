@@ -26,6 +26,30 @@ object QueriesCore {
   private def ts(d: String) = lit(d).cast("timestamp_ntz")
 
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q94):
+    * SQL:2003 FILTER clause. The conditional average divides a
+    * decimal-exact filtered sum by a filtered count from the same
+    * aggregate pass (an empty filtered group yields NULL sum → NULL
+    * quotient identically in both engines — never a division by zero).
+    */
+  private[graft] val filterClauseSql: String =
+    """SELECT l_returnflag,
+              count(*) AS n,
+              count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(23,2)))
+                   FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+              max(l_extendedprice) FILTER (WHERE l_tax > 0.04) AS max_price_taxed,
+              CAST(SUM(CAST(l_discount AS DECIMAL(23,2)))
+                   FILTER (WHERE l_quantity >= 25) AS DOUBLE)
+                / count(*) FILTER (WHERE l_quantity >= 25) AS avg_disc_heavy
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q95). */
+  private[graft] val groupByAllSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS sum_price
+       FROM orders GROUP BY ALL ORDER BY ALL"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q44). */
   private[graft] val recursiveCteSql: String =
     """WITH RECURSIVE up AS (
@@ -2629,6 +2653,38 @@ object QueriesCore {
              SELECT iv.iv_user, count(*) AS n_events,
                     count(DISTINCT e.user_id) AS n_users
              FROM iv JOIN events e ON e.ts >= iv.s AND e.ts < iv.e
-             GROUP BY iv.iv_user ORDER BY iv.iv_user""")))
+             GROUP BY iv.iv_user ORDER BY iv.iv_user""")),
+
+    // ------------------------------------------ q94 FILTER-clause aggregates
+    // SQL:2003 `agg(...) FILTER (WHERE ...)` — the conditional-aggregation
+    // surface q33 builds with CASE, in its standard syntax (shared
+    // VERBATIM by both engines). Catalyst folds every filtered aggregate
+    // into the SAME partial+final HashAggregate pair — one pass over the
+    // fact, one 3-group shuffle, no matter how many FILTER variants ride
+    // along (pinned). The conditional average is numerator/denominator
+    // from the same pass (decimal-exact sum, exact count, one double
+    // division) — never avg() whose decimal finalization differs across
+    // engines.
+    NamedQuery("q94_filter_clause_agg",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.filterClauseSql)
+      },
+      Some(QueriesCore.filterClauseSql)),
+
+    // ----------------------------------------- q95 GROUP BY ALL / ORDER BY ALL
+    // The modern-dialect ergonomic surface (Spark 3.4+ / DuckDB both
+    // infer grouping keys from the non-aggregate select list, and ORDER
+    // BY ALL sorts by the full output column list left-to-right) — shared
+    // VERBATIM. Semantically identical to the explicit form, so the plan
+    // is the ordinary partial+final aggregate; the entry pins DIALECT
+    // parity, not a new plan shape. Determinism: the ALL-ordering is
+    // total because the grouping keys lead the select list.
+    NamedQuery("q95_group_by_all",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.groupByAllSql)
+      },
+      Some(QueriesCore.groupByAllSql)))
 
 }

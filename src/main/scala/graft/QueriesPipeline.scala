@@ -2730,5 +2730,34 @@ object QueriesPipeline {
              FROM inter
              JOIN (SELECT source AS src_a, n AS na FROM sz) USING (src_a)
              JOIN (SELECT source AS src_b, n AS nb FROM sz) USING (src_b)
-             ORDER BY src_a, src_b""")))
+             ORDER BY src_a, src_b""")),
+
+    // --------------------------------------- p53 duplicate-cluster histogram
+    // The dedup HEALTH metric: the size distribution of near-dup clusters
+    // from the SAME connected components p17/p19 consume (shared cache —
+    // zero extra corpus work). A healthy corpus shows many small clusters;
+    // a fat tail means the LSH banding is collapsing unrelated docs (or
+    // the corpus really is templated) and keeper selection is about to
+    // delete too much — the check run BEFORE p19's clean-corpus applies
+    // the keeper verdicts. Two aggregations over |paired docs| rows
+    // (already tiny next to the corpus): cluster sizes, then the
+    // histogram. Oracle replays the full recursive-CTE component closure.
+    NamedQuery("p53_cluster_size_histogram",
+      (s, dir) => {
+        sharedKeepers(s, dir)
+          .groupBy(col("keeper_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             $sqlCcLabelCtes,
+             sizes AS (
+               SELECT keeper_id, count(*) AS cluster_size
+               FROM labels GROUP BY keeper_id)
+             SELECT cluster_size, count(*) AS n_clusters,
+                    sum(cluster_size)::BIGINT AS n_docs
+             FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")))
 }

@@ -1301,5 +1301,29 @@ object QueriesStreaming {
                            THEN CAST(props->>'$.k' AS BIGINT) END AS k
                FROM raw)
              SELECT status, count(*) AS n, sum(k)::BIGINT AS sum_k
-             FROM parsed GROUP BY status ORDER BY status""")))
+             FROM parsed GROUP BY status ORDER BY status""")),
+
+    // Complete-mode RANKED output: the live leaderboard shape — a global
+    // aggregation ordered and limited, re-emitted in full each trigger
+    // (sort+limit on a streaming frame is legal ONLY in complete mode,
+    // where the sink holds the whole result). Three staged micro-batches
+    // so the rank really re-computes per trigger; the terminal table is
+    // the batch answer. Scale: complete mode is viable precisely because
+    // the aggregate is tiny (|event_type| rows) — the sort runs over the
+    // aggregate, never the stream; for large key spaces the append-mode
+    // top-k (s23's ListState) is the fallback. Tie-break on event_type
+    // keeps the limit deterministic.
+    NamedQuery("s25_stream_complete_topk",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 3) { evs =>
+          val ranked = evs.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("event_type"))
+            .limit(3)
+          runToTable(s, sink("s25", dir), ranked, mode = "complete")
+            .orderBy(col("n").desc, col("event_type"))
+        }
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events
+             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""")))
 }

@@ -688,4 +688,12 @@ class ScaleSpec extends SparkTestBase {
     val p = plan("p52_source_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q94 FILTER-clause aggregates fold into one aggregate pass") {
+    val p = plan("q94_filter_clause_agg")
+    // five filtered aggregates + two plain ones ride the SAME partial+final
+    // HashAggregate pair — one pass over lineitem, one 3-group shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

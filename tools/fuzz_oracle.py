@@ -354,8 +354,41 @@ def gen_corr_scalar_query(i):
             f"WHERE {o_key} <= 500 ORDER BY k")
 
 
+# FILTER-clause aggregates (the q94 surface) randomized: exact aggregates
+# only (count / min / max / BIGINT-cast integer sum), each with an
+# independent FILTER predicate, all folding into one aggregate pass.
+def gen_filter_query(i):
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    groups = rng.sample(spec["group"], k=rng.randint(1, min(2, len(spec["group"]))))
+    aggs = ["count(*) AS cnt"]
+    for j in range(rng.randint(1, 3)):
+        pred = gen_pred(t)
+        kind = rng.choice(["cnt", "sum_int", "minmax_int", "minmax_str"])
+        if kind == "cnt":
+            aggs.append(f"count(*) FILTER (WHERE {pred}) AS a{j}")
+        elif kind == "sum_int":
+            c = rng.choice(spec["int"])
+            aggs.append(f"CAST(sum({c}) FILTER (WHERE {pred}) AS BIGINT) AS a{j}")
+        elif kind == "minmax_int":
+            c = rng.choice(spec["int"])
+            f = rng.choice(["min", "max"])
+            aggs.append(f"{f}({c}) FILTER (WHERE {pred}) AS a{j}")
+        else:
+            c = rng.choice(spec["str"])
+            f = rng.choice(["min", "max"])
+            aggs.append(f"{f}({c}) FILTER (WHERE {pred}) AS a{j}")
+    gsel = [f"{g} AS g{k}" for k, g in enumerate(groups)]
+    gnames = [f"g{k}" for k in range(len(groups))]
+    return (f"l{i:03d}",
+            f"SELECT {', '.join(gsel + aggs)} FROM {t} "
+            f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
+
+
 def gen_query(i):
     r = rng.random()
+    if r < 0.06:
+        return gen_filter_query(i)
     if r < 0.12:
         return gen_scalar_query(i)
     if r < 0.22:
