@@ -275,14 +275,22 @@ object QueriesPipeline {
     // later consumers reuse that execution instead of re-running it
     pairsCache.get(s, dir, () => {
       val sh = sharedShingleHashes(s, dir)
-      val bands = minhashBands(minhashSig(sh))
-      val cand = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-        .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
-          Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      jaccardOf(cand, sh, 0.6)
+      jaccardOf(bandCandidates(sh), sh, 0.6)
     })
+
+  /** Distinct LSH band-collision candidate pairs (id_a < id_b) of a
+    * (doc_id, h) shingle frame — the pre-verification half of
+    * [[minhashPairs]], shared with p54's precision audit so the audited
+    * candidate set is exactly the production one.
+    */
+  private def bandCandidates(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSig(sh))
+    bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
 
   /** MinHash signature frame (doc_id, s0…sK) over a (doc_id, h) shingle
     * set — THE banding scheme, shared by the self-dedup pair generation
@@ -2759,5 +2767,46 @@ object QueriesPipeline {
                FROM labels GROUP BY keeper_id)
              SELECT cluster_size, count(*) AS n_clusters,
                     sum(cluster_size)::BIGINT AS n_docs
-             FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")))
+             FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")),
+
+    // ------------------------------------------- p54 LSH precision audit
+    // How good is the banding, really: every band-collision CANDIDATE pair
+    // (the exact production candidate set — shared code with p03/p17) is
+    // exact-verified and histogrammed by Jaccard decile, INCLUDING
+    // zero-overlap collisions (a LEFT join keeps candidates the inner
+    // verify join would drop — precisely the false positives the audit
+    // exists to count). Buckets ≥ 0.6 are what p03 confirms; mass below
+    // is wasted verification work — the knob is bands×rows. Integer
+    // bucketing ((ni·10) div (na+nb−ni)) can't flap on float rounding.
+    // Scale: the audit touches candidate PAIRS (LSH-bounded), never
+    // all-pairs; one extra aggregation over them.
+    NamedQuery("p54_lsh_precision",
+      (s, dir) => {
+        val sh = sharedShingleHashes(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val cand = bandCandidates(sh)
+        val inter = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni0"))
+        cand
+          .join(inter, Seq("id_a", "id_b"), "left")
+          .withColumn("ni", coalesce(col("ni0"), lit(0L)))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .select(expr("least(9, (ni * 10) div (na + nb - ni))").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $sqlMinhashCtes,
+             pj AS (
+               SELECT c.id_a, c.id_b, coalesce(i.ni, 0) AS ni,
+                      za.n AS na, zb.n AS nb
+               FROM cand c
+               LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+               JOIN sz za ON za.doc_id = c.id_a
+               JOIN sz zb ON zb.doc_id = c.id_b)
+             SELECT least(9, (ni * 10) // (na + nb - ni)) AS bucket,
+                    count(*) AS n_pairs
+             FROM pj GROUP BY bucket ORDER BY bucket""")))
 }

@@ -1325,5 +1325,65 @@ object QueriesStreaming {
         }
       },
       Some("""SELECT event_type, count(*) AS n FROM events
-             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""")))
+             GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""")),
+
+    // Streaming CDC APPLY — q92's MERGE kernel run as the continuous
+    // table-maintenance loop: each micro-batch of changes (event =
+    // upsert of user_id→value sequenced by event_id; 'error' = tombstone)
+    // is compacted to latest-per-key and merged into a persistent parquet
+    // TARGET by max-sequence argmax. Tombstones are RETAINED with their
+    // sequence number (never physically deleted mid-stream) so a stale
+    // upsert arriving in a later batch cannot resurrect a deleted key —
+    // the classic CDC design that makes the result chunk-order
+    // INDEPENDENT: the target always converges to the global argmax per
+    // key, whatever the arrival interleaving; the final read filters
+    // tombstones out. localCheckpoint materializes the merged state
+    // before the overwrite so the target is never read and clobbered in
+    // the same job. At 100 TB the overwrite becomes Delta/Iceberg MERGE
+    // or s08's partition overwrite; the loop semantics are identical.
+    NamedQuery("s26_stream_cdc_apply",
+      (s, dir) => withStatePartitions(s, 8) {
+        import org.apache.spark.sql.expressions.Window
+        val target = java.nio.file.Files.createTempDirectory("graft_s26_target_")
+        try {
+          withStagedEventsStream(s, dir, 3) { evs =>
+            @volatile var hasTarget = false
+            val latest = Window.partitionBy(col("user_id"))
+              .orderBy(col("seq").desc)
+            val apply: (DataFrame, Long) => Unit = (batch, _) => {
+              val net = batch.select(col("user_id"), col("event_id").as("seq"),
+                  col("value"), (col("event_type") === "error").as("del"))
+                .withColumn("rk", row_number().over(latest))
+                .filter(col("rk") === 1).drop("rk")
+              val merged =
+                if (!hasTarget) net
+                else batch.sparkSession.read.parquet(target.toString)
+                  .unionByName(net)
+                  .withColumn("rk", row_number().over(latest))
+                  .filter(col("rk") === 1).drop("rk")
+              merged.localCheckpoint()
+                .write.mode("overwrite").parquet(target.toString)
+              hasTarget = true
+            }
+            val q = evs.writeStream.outputMode("append")
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch(apply)
+              .start()
+            try require(q.awaitTermination(180000L), "stream s26 did not finish")
+            finally q.stop()
+            s.read.parquet(target.toString).localCheckpoint()
+              .filter(!col("del"))
+              .select(col("user_id"), col("seq"), col("value").as("last_value"))
+              .orderBy(col("user_id"))
+          }
+        } finally graft.util.Fs.deleteRecursively(target)
+      },
+      Some("""WITH r AS (
+               SELECT user_id, event_id, value, event_type,
+                      row_number() OVER (
+                        PARTITION BY user_id ORDER BY event_id DESC) AS rk
+               FROM events)
+             SELECT user_id, event_id AS seq, value AS last_value
+             FROM r WHERE rk = 1 AND event_type <> 'error'
+             ORDER BY user_id""")))
 }
