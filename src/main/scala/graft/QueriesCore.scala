@@ -2672,6 +2672,94 @@ object QueriesCore {
       },
       Some(QueriesCore.filterClauseSql)),
 
+    // ------------------------------------------- q96 multi-aggregate pivot
+    // q36's pivot widened to MULTIPLE measures per pivot value (the
+    // reporting-cube shape: count AND revenue per event type, one column
+    // pair per type). Spark names the columns {pivotValue}_{alias}.
+    // Plan shape (pinned): one partial+final pass collapses raw events
+    // to (user, type) rows, then pivotfirst pivots that already-tiny
+    // frame — raw data is scanned and shuffled ONCE, never once per
+    // pivot column. Counts null-fill to 0 (a user with no views has
+    // zero views); sums stay NULL for absent combinations (matching
+    // SUM(CASE) semantics in both engines — 0 would fabricate revenue).
+    NamedQuery("q96_pivot_multi_agg",
+      (s, dir) => t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("val"))
+        .na.fill(0L, Seq("click_cnt", "view_cnt"))
+        .orderBy(col("user_id")),
+      Some(s"""SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click_cnt,
+             ${sqlDecSum("CASE WHEN event_type = 'click' THEN value END")} AS click_val,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view_cnt,
+             ${sqlDecSum("CASE WHEN event_type = 'view' THEN value END")} AS view_val
+             FROM events WHERE user_id < 50
+             GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------- q97 multi-column IN
+    // Composite-key semi join via `(a, b) IN (subquery)` — the Q21-family
+    // "same order, same supplier" pattern in its tuple-IN spelling:
+    // lineitem rows whose (orderkey, suppkey) combination had a returned
+    // line. Catalyst plans the tuple IN as ONE left-semi join co-keyed on
+    // BOTH columns (pinned) — never a per-row subquery. The oracle spells
+    // the identical semantics as EXISTS (DuckDB rejects tuple-IN
+    // syntactically; keys are non-null so IN ≡ EXISTS here — the NULL
+    // divergence between the two is exactly what q57 pins separately).
+    NamedQuery("q97_multicol_in",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""SELECT l_linestatus, count(*) AS n,
+                 ${sqlDecSum("l_quantity")} AS sum_qty
+                 FROM lineitem
+                 WHERE (l_orderkey, l_suppkey) IN
+                   (SELECT l_orderkey, l_suppkey FROM lineitem
+                    WHERE l_returnflag = 'R')
+                 GROUP BY l_linestatus ORDER BY l_linestatus""")
+      },
+      Some(s"""SELECT l_linestatus, count(*) AS n,
+             ${sqlDecSum("l_quantity")} AS sum_qty
+             FROM lineitem l
+             WHERE EXISTS (SELECT 1 FROM lineitem r
+                           WHERE r.l_orderkey = l.l_orderkey
+                             AND r.l_suppkey = l.l_suppkey
+                             AND r.l_returnflag = 'R')
+             GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ------------------------------------------------- q98 outer explode
+    // posexplode_outer: exploding an array WITHOUT dropping rows whose
+    // array is empty — the LATERAL VIEW OUTER semantics ETL needs when
+    // the exploded attribute is optional (plain explode silently deletes
+    // the parent row; an audit downstream then can't tell "no tokens"
+    // from "row lost"). Long tokens (≥8 chars) are genuinely absent from
+    // many fixture docs, so the outer row actually exercises. Pure
+    // map-side generate; the NULL-padded row is the only row of its doc,
+    // so the declared (doc_id, pos) order has no NULL-placement
+    // ambiguity. DuckDB mirrors with CASE-padded parallel unnests.
+    NamedQuery("q98_outer_explode",
+      (s, dir) => {
+        val l = filter(split(col("text"), " "), x => length(x) >= 8)
+        t(s, dir, "documents")
+          .select(col("doc_id"), posexplode_outer(l).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("int").as("pos"), col("tok"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""WITH t AS (
+               SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                        x -> length(x) >= 8) AS l
+               FROM documents),
+             p AS (
+               SELECT doc_id,
+                      unnest(CASE WHEN len(l) = 0 THEN [NULL]::VARCHAR[]
+                                  ELSE l END) AS tok,
+                      unnest(CASE WHEN len(l) = 0 THEN [NULL]::INT[]
+                                  ELSE list_transform(generate_series(1, len(l)),
+                                         i -> (i - 1)::INT) END) AS pos
+               FROM t)
+             SELECT doc_id, pos, tok FROM p ORDER BY doc_id, pos""")),
+
     // ----------------------------------------- q95 GROUP BY ALL / ORDER BY ALL
     // The modern-dialect ergonomic surface (Spark 3.4+ / DuckDB both
     // infer grouping keys from the non-aggregate select list, and ORDER

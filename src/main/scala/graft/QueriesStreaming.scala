@@ -1385,5 +1385,44 @@ object QueriesStreaming {
                FROM events)
              SELECT user_id, event_id AS seq, value AS last_value
              FROM r WHERE rk = 1 AND event_type <> 'error'
-             ORDER BY user_id""")))
+             ORDER BY user_id""")),
+
+    // Stream-stream LEFT SEMI join — the third and last stream-stream
+    // join type Spark supports, completing the family (s04 inner, s14
+    // left outer): clicks that had AT LEAST ONE error from the same user
+    // in the preceding hour, each click emitted AT MOST ONCE (semi
+    // semantics — no pair explosion when a user has many errors, which
+    // at 100 TB is the difference between |clicks| and |clicks×errors|
+    // output). Same range condition and watermarks as s04, so join state
+    // stays bounded by watermark + range; a click emits as soon as its
+    // first match arrives, and chunking can't change the SET of matched
+    // clicks. Oracle: the equivalent EXISTS.
+    NamedQuery("s27_stream_semi_join",
+      (s, dir) => withStatePartitions(s, 8) {
+        val ev = eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+        val c = ev.filter(col("event_type") === "click")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        val e = ev.filter(col("event_type") === "error")
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id").as("e_user"), col("ts").as("err_ts"))
+        val semi = c.join(e,
+          col("user_id") === col("e_user")
+            && col("err_ts") >= col("click_ts") - expr("INTERVAL 3600 SECONDS")
+            && col("err_ts") <= col("click_ts"),
+          "left_semi")
+        runToTable(s, sink("s27", dir), semi, mode = "append")
+          .select(col("user_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"))
+          .orderBy(col("user_id"), col("click_ts"))
+      },
+      Some("""SELECT c.user_id AS user_id, c.ts AS click_ts
+             FROM events c
+             WHERE c.event_type = 'click'
+               AND EXISTS (SELECT 1 FROM events e
+                           WHERE e.user_id = c.user_id
+                             AND e.event_type = 'error'
+                             AND e.ts >= c.ts - INTERVAL 3600 SECONDS
+                             AND e.ts <= c.ts)
+             ORDER BY user_id, click_ts""")))
 }

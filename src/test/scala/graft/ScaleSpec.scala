@@ -689,6 +689,25 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q96 multi-aggregate pivot: pre-aggregate on (user,type), pivot over the collapsed frame") {
+    val p = plan("q96_pivot_multi_agg")
+    // Spark's multi-measure pivot strategy: ONE partial+final pass
+    // collapses raw events to (user_id, event_type) rows, then pivotfirst
+    // runs over that already-tiny frame — the raw data is scanned and
+    // shuffled once per key-pair, never once per pivot column
+    assert(p.contains("pivotfirst"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) == 4, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
+
+  test("q97 tuple-IN plans as one left-semi join co-keyed on both columns") {
+    val p = plan("q97_multicol_in")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.linesIterator.exists(l => l.contains("LeftSemi")
+      && l.contains("l_orderkey") && l.contains("l_suppkey")), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q94 FILTER-clause aggregates fold into one aggregate pass") {
     val p = plan("q94_filter_clause_agg")
     // five filtered aggregates + two plain ones ride the SAME partial+final
