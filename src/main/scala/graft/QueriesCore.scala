@@ -2773,6 +2773,100 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.groupByAllSql)
       },
-      Some(QueriesCore.groupByAllSql)))
+      Some(QueriesCore.groupByAllSql)),
+
+    // ------------------------------------- q99 interval concurrency sweep
+    // How many orders are OPEN (orderdate ≤ d ≤ last shipdate) on each
+    // transition day — interval stabbing aggregated over time. The naive
+    // plans both fail at 100 TB: exploding one row per open DAY multiplies
+    // the fact by the mean span, and a `d BETWEEN s AND e` join against a
+    // day spine is a quadratic range join. The sweep instead encodes each
+    // interval as two DELTA rows (+1 at start, −1 at end+1), aggregates
+    // deltas per day (map-side combined), and turns them into open counts
+    // with p43's distributed prefix-sum: per-MONTH subtotals, an exclusive
+    // prefix over the tiny month table (window over ~85 rows, broadcast
+    // back), and a within-month running sum — every corpus-sized window is
+    // partitioned; nothing single-partition (pinned in ScaleSpec). 2 rows
+    // per interval regardless of span, one day-level shuffle. All-integer,
+    // so the oracle — which CAN afford the explode at sf0.01 — is
+    // bit-exact. Day 'e+1' rows with net delta 0 still emit (count 0 in
+    // both formulations).
+    NamedQuery("q99_interval_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("sd"))
+          .agg(max(col("l_shipdate").cast("date")).as("ed"))
+          // well-formed intervals only: the synthetic fixture has orders
+          // whose last shipdate precedes the orderdate; an empty interval
+          // has no open days, and its reversed deltas would corrupt the
+          // sweep between e+1 and s
+          .filter(col("ed") >= col("sd"))
+        val deltas = iv.select(col("sd").as("d"), lit(1L).as("delta"))
+          .unionAll(iv.select(date_add(col("ed"), 1).as("d"), lit(-1L).as("delta")))
+          .groupBy(col("d")).agg(sum(col("delta")).as("dd"))
+          .withColumn("bucket", trunc(col("d"), "MM"))
+        val offsets = deltas.groupBy(col("bucket")).agg(sum(col("dd")).as("bsum"))
+          .withColumn("boff", sum(col("bsum")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("bucket"), coalesce(col("boff"), lit(0L)).as("boff"))
+        deltas.join(broadcast(offsets), "bucket")
+          .withColumn("n_open", col("boff") + sum(col("dd")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("d"), col("n_open"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH iv AS (
+               SELECT o.o_orderkey, o.o_orderdate::DATE AS s,
+                      max(l.l_shipdate)::DATE AS e
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_orderkey % 3 = 0 GROUP BY 1, 2
+               HAVING max(l.l_shipdate)::DATE >= o.o_orderdate::DATE),
+             td AS (SELECT s AS d FROM iv UNION SELECT e + 1 FROM iv),
+             od AS (SELECT unnest(generate_series(s::TIMESTAMP, e::TIMESTAMP,
+                      INTERVAL 1 DAY))::DATE AS d, o_orderkey FROM iv)
+             SELECT td.d AS d, count(od.o_orderkey)::BIGINT AS n_open
+             FROM td LEFT JOIN od ON td.d = od.d
+             GROUP BY td.d ORDER BY d""")),
+
+    // --------------------------------------- q100 temporal expansion join
+    // Active orders per calendar MONTH via sequence() + explode — the
+    // generator surface (q99's problem shaped for a bounded span). When
+    // the expansion unit is coarse enough that spans are small (here ≤ ~8
+    // months/order), exploding the month list IS the right 100 TB plan:
+    // pure map-side generate (no join, no window, no state), output ≈
+    // |facts| × mean-span, and the month rollup map-side-combines. The
+    // sweep (q99) wins when spans are unbounded; the SCALING.md entry
+    // carries the crossover rule. Month arithmetic: both engines step
+    // date_trunc'd month starts by exact calendar months, so the grids
+    // align bit-for-bit.
+    NamedQuery("q100_temporal_expand",
+      (s, dir) => {
+        val iv = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("sd"))
+          .agg(max(col("l_shipdate").cast("date")).as("ed"))
+          // q99's well-formedness guard; also keeps sequence() ascending
+          .filter(col("ed") >= col("sd"))
+        iv.select(explode(sequence(trunc(col("sd"), "MM"),
+            trunc(col("ed"), "MM"), expr("interval 1 month"))).as("month"))
+          .groupBy(col("month")).agg(count(lit(1)).as("n_active"))
+          .orderBy(col("month"))
+      },
+      Some("""WITH iv0 AS (
+               SELECT o.o_orderkey, o.o_orderdate::DATE AS s,
+                      max(l.l_shipdate)::DATE AS e
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_orderkey % 5 = 0 GROUP BY 1, 2),
+             iv AS (SELECT date_trunc('month', s)::DATE AS sm,
+                           date_trunc('month', e)::DATE AS em
+                    FROM iv0 WHERE e >= s),
+             m AS (SELECT unnest(generate_series(sm::TIMESTAMP, em::TIMESTAMP,
+                     INTERVAL 1 MONTH))::DATE AS month FROM iv)
+             SELECT month, count(*)::BIGINT AS n_active
+             FROM m GROUP BY month ORDER BY month""")))
 
 }

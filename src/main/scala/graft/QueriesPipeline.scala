@@ -2808,5 +2808,52 @@ object QueriesPipeline {
                JOIN sz zb ON zb.doc_id = c.id_b)
              SELECT least(9, (ni * 10) // (na + nb - ni)) AS bucket,
                     count(*) AS n_pairs
-             FROM pj GROUP BY bucket ORDER BY bucket""")))
+             FROM pj GROUP BY bucket ORDER BY bucket""")),
+
+    // ------------------------------------ p55 linear quality classifier
+    // A fastText-style quality gate as a FIXED linear model: integer
+    // feature vector (token count, punctuation count, digit count,
+    // chars÷10) · integer weights, accept when score ≥ 300 — the
+    // shape of a learned filter (e.g. a distilled wiki-vs-crawl
+    // classifier) with deterministic stand-in weights, since no model
+    // runtime ships in this container. Everything stays in integers
+    // until two final single divisions (accept rate, mean score — each
+    // one exact IEEE op), so the oracle is bit-exact. Scale: per-row
+    // codegen'd regex/length features (no UDF, no shuffle before the
+    // 25-group rollup, map-side combined); swapping real learned
+    // weights in changes constants, not the plan.
+    NamedQuery("p55_quality_classifier",
+      (s, dir) => {
+        val score =
+          lit(5L) * size(GF.tokens(col("text"))).cast("long") -
+          lit(3L) * regexp_count(col("text"), lit("[^a-z0-9 ]")).cast("long") -
+          lit(2L) * regexp_count(col("text"), lit("[0-9]")).cast("long") +
+          expr("n_chars div 10")
+        Tables.load(s, dir, "documents")
+          .select(col("source"), score.as("score"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 300L, 1L).otherwise(0L)).as("n_accept"),
+            sum(col("score")).as("sum_score"))
+          .select(col("source"), col("n_docs"), col("n_accept"),
+            (col("n_accept").cast("double") / col("n_docs")).as("accept_rate"),
+            (col("sum_score").cast("double") / col("n_docs")).as("mean_score"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = GF.sqlTokens("text")
+        s"""WITH f AS (
+             SELECT source,
+                    5 * len($toks)
+                    - 3 * len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                    - 2 * len(regexp_extract_all(text, '[0-9]'))
+                    + n_chars // 10 AS score
+             FROM documents)
+           SELECT source, count(*) AS n_docs,
+                  sum(CASE WHEN score >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_accept,
+                  sum(CASE WHEN score >= 300 THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*) AS accept_rate,
+                  sum(score)::DOUBLE / count(*) AS mean_score
+           FROM f GROUP BY source ORDER BY source"""
+      }))
 }

@@ -67,18 +67,19 @@ object QueriesStreaming {
 
   /** Streaming read of the events fixture with the same ns→µs TIMESTAMP_NTZ
     * normalization Tables.load applies to the batch read (the fixture's
-    * `ts` is parquet TIMESTAMP(NANOS), which Spark can only surface as a
-    * LONG — see Tables.nanosColumns).
+    * `ts` has shipped as both TIMESTAMP(NANOS) and micros across fixture
+    * vintages — see Tables.normalizeTs).
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source only accepts directories: stream the fixture
     // dir with a glob restricted to the events table
-    s.readStream.schema(s.read.parquet(path).schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    Tables.normalizeTs(
+      s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir),
+      "ts")
   }
 
   /** Stage the single-file events fixture as `chunks` time-ranged files in
@@ -125,10 +126,11 @@ object QueriesStreaming {
       }
       d
     })
-    val ev = s.readStream.schema(s.read.parquet(stage.toString).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val ev = Tables.normalizeTs(
+      s.readStream.schema(s.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString),
+      "ts")
     body(ev)
   }
 
@@ -1424,5 +1426,51 @@ object QueriesStreaming {
                              AND e.event_type = 'error'
                              AND e.ts >= c.ts - INTERVAL 3600 SECONDS
                              AND e.ts <= c.ts)
-             ORDER BY user_id, click_ts""")))
+             ORDER BY user_id, click_ts""")),
+
+    // ------------------------- s28 multi-input union, min-watermark policy
+    // Two watermarked inputs UNIONed into one windowed aggregation — the
+    // fan-in topology every multi-source 100 TB pipeline has (N Kafka
+    // topics → one rollup). The semantic under test is the GLOBAL
+    // watermark: with the default `multipleWatermarkPolicy=min`, the
+    // downstream watermark is the MINIMUM over inputs, so the laggier
+    // input (purchases, 3 h delay) governs eviction for everyone — a
+    // window emits only when BOTH inputs have passed it. That min-policy
+    // is what makes fan-in correct: the fast input can never force out a
+    // window the slow input still owes rows to. Chunked staging advances
+    // both watermarks batch-by-batch (real mid-run eviction); the oracle
+    // replays the terminal cutoff — per-input watermark = ms-floored max
+    // event time minus its delay, global = least of the two, emitted =
+    // window end ≤ global (StateStoreSaveExec's non-strict predicate).
+    NamedQuery("s28_stream_union_min_wm",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev =>
+          val in = ev.withColumn("ts", col("ts").cast("timestamp"))
+          val clicks = in.filter(col("event_type") === "click")
+            .withWatermark("ts", "1 hour")
+          val purchases = in.filter(col("event_type") === "purchase")
+            .withWatermark("ts", "3 hours")
+          val agg = clicks.unionByName(purchases)
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+            .select(col("window.start").cast("date").as("day"),
+              col("event_type"), col("n"), col("sum_value"))
+          runToTable(s, sink("s28", dir), agg, mode = "append")
+            .orderBy(col("day"), col("event_type"))
+        }
+      },
+      Some(s"""WITH wm AS (
+               SELECT least(
+                 (SELECT (epoch_ms(max(ts)) - 3600000) * 1000
+                  FROM events WHERE event_type = 'click'),
+                 (SELECT (epoch_ms(max(ts)) - 10800000) * 1000
+                  FROM events WHERE event_type = 'purchase')) AS wus)
+             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                    count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events, wm
+             WHERE event_type IN ('click', 'purchase')
+             GROUP BY day, event_type
+             HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+                      <= any_value(wm.wus)
+             ORDER BY day, event_type""")))
 }

@@ -11,22 +11,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns written as parquet TIMESTAMP(NANOS). Spark 4 cannot read nanos
-    * natively (PARQUET_TYPE_ILLEGAL); with the `nanosAsLong` legacy conf it
-    * reads them as LONG ns-since-epoch, which we truncate to µs
-    * TIMESTAMP_NTZ — the same ns→µs truncation DuckDB applies, keeping the
-    * oracle bit-identical.
+  /** Columns that MAY be written as parquet TIMESTAMP(NANOS) (fixture
+    * generators have shipped both nanos and micros across rounds). Spark 4
+    * cannot read nanos natively (PARQUET_TYPE_ILLEGAL); with the
+    * `nanosAsLong` legacy conf it reads them as LONG ns-since-epoch, which
+    * we truncate to µs TIMESTAMP_NTZ — the same ns→µs truncation DuckDB
+    * applies, keeping the oracle bit-identical. The normalization is
+    * TYPE-ADAPTIVE ([[normalizeTs]]): a micros fixture arrives as
+    * TIMESTAMP_NTZ already and passes through untouched, so the same build
+    * reads either vintage.
     */
   private val nanosColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** ns-long → µs-NTZ when the column materialized as LONG (nanos parquet
+    * under `nanosAsLong`); identity when the reader already produced a
+    * timestamp (micros parquet). TIMESTAMP (tz-adjusted) is re-tagged NTZ
+    * for cross-vintage schema stability — the session is pinned UTC, so
+    * the instant is unchanged.
+    */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+      case TimestampType => df.withColumn(c, col(c).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains).foldLeft(raw) {
-      (df, c) =>
-        df.withColumn(c,
-          timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
-    }
+    nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
+      .foldLeft(raw)(normalizeTs)
   }
 
   /** Register every fixture table as a temp view for `spark.sql`. */
