@@ -2855,5 +2855,55 @@ object QueriesPipeline {
                     / count(*) AS accept_rate,
                   sum(score)::DOUBLE / count(*) AS mean_score
            FROM f GROUP BY source ORDER BY source"""
-      }))
+      }),
+
+    // -------------------------------------------- p56 dedup funnel audit
+    // The per-stage removal report every production dedup pipeline ships:
+    // stage 1 removes exact copies (keeper = min doc_id per content,
+    // p01's rule), stage 2 removes near-dups among stage-1 survivors
+    // (MinHash-LSH connected components — the SAME sharedKeepers labels
+    // p17/p19/p35/p53 consume, zero extra corpus work). Stage-2
+    // soundness: a component's min doc_id is always a stage-1 survivor
+    // (its exact-copy group lies inside the component, so a smaller
+    // content-min would contradict component-min), so removing
+    // "survivor with keeper ≠ self" never orphans a cluster. One content
+    // shuffle (at 100 TB: group on the 64-bit fingerprint, not raw
+    // text) + one broadcast-sized label join; single-row output.
+    NamedQuery("p56_dedup_funnel",
+      (s, dir) => {
+        val docs = Corpus.docs(s, dir).select(col("doc_id"), col("text"))
+        val exact = docs.groupBy(col("text")).agg(min(col("doc_id")).as("ek"))
+        val s1 = docs.join(exact, "text")
+          .select(col("doc_id"), (col("doc_id") === col("ek")).as("keep1"))
+        val labels = sharedKeepers(s, dir)
+          .select(col("doc_id"), col("keeper_id"))
+        s1.join(labels, Seq("doc_id"), "left")
+          .select(col("keep1"),
+            (col("keeper_id").isNull ||
+              col("keeper_id") === col("doc_id")).as("keepn"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(!col("keep1"), 1L).otherwise(0L)).as("removed_exact"),
+            sum(when(col("keep1") && !col("keepn"), 1L).otherwise(0L))
+              .as("removed_near"),
+            sum(when(col("keep1") && col("keepn"), 1L).otherwise(0L))
+              .as("n_survivors"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             $sqlCcLabelCtes,
+             ex AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY text) AS ek
+                    FROM corpus),
+             flags AS (
+               SELECT e.doc_id, (e.doc_id = e.ek) AS keep1,
+                      (l.keeper_id IS NULL OR l.keeper_id = e.doc_id) AS keepn
+               FROM ex e LEFT JOIN labels l ON l.id = e.doc_id)
+             SELECT count(*) AS n_total,
+                    sum(CASE WHEN NOT keep1 THEN 1 ELSE 0 END)::BIGINT
+                      AS removed_exact,
+                    sum(CASE WHEN keep1 AND NOT keepn THEN 1 ELSE 0 END)::BIGINT
+                      AS removed_near,
+                    sum(CASE WHEN keep1 AND keepn THEN 1 ELSE 0 END)::BIGINT
+                      AS n_survivors
+             FROM flags""")))
 }

@@ -1472,5 +1472,38 @@ object QueriesStreaming {
              GROUP BY day, event_type
              HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
                       <= any_value(wm.wus)
-             ORDER BY day, event_type""")))
+             ORDER BY day, event_type""")),
+
+    // -------------------------- s29 streaming produce→ingest round-trip
+    // The reference's wire loop (KafkaLoader.java:89-148 produced keyed
+    // Avro messages; the connector decoded them) run STREAMING and
+    // broker-free: each micro-batch is encoded through the production
+    // sink shape — KafkaEventSink.toKafkaFrame's (topic, 8-byte
+    // big-endian key, Avro value), NumberEncoder.java:30-36 key parity —
+    // then decoded straight back (key via base-16, value via the same
+    // writer schema) and aggregated per user. Equality with the oracle
+    // over the ORIGINAL rows proves both codecs are lossless under
+    // micro-batch chunking. The encode/decode pair is per-row codegen'd
+    // map work; the only shuffle is the final per-user rollup.
+    NamedQuery("s29_stream_sink_roundtrip",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 3) { ev =>
+          import graft.functions.{AvroSchemas, GraftFunctions => GF}
+          import org.apache.spark.sql.types.StructType
+          val in = ev.select(col("user_id"), col("event_type"), col("value"))
+          val avroSchema = AvroSchemas.toAvro(
+            StructType(in.schema.filterNot(_.name == "user_id")),
+            "events_rt").toString
+          val enc = graft.sources.KafkaEventSink
+            .toKafkaFrame(in, "tpch", "events_rt", "user_id")
+          val agg = enc.select(
+              conv(hex(col("key")), 16, 10).cast("long").as("user_id"),
+              GF.from_avro(col("value"), avroSchema).as("e"))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"), decSum(col("e.value")).as("sum_value"))
+          runToTable(s, sink("s29", dir), agg).orderBy(col("user_id"))
+        }
+      },
+      Some(s"""SELECT user_id, count(*) AS n, ${sqlDecSum("value")} AS sum_value
+             FROM events GROUP BY user_id ORDER BY user_id""")))
 }

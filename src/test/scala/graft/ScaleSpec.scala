@@ -715,4 +715,35 @@ class ScaleSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("HashAggregate")) == 2, p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("q99 interval sweep: day-sized windows are month-partitioned; only the per-month prefix is global") {
+    val p = plan("q99_interval_sweep")
+    // p43's distributed prefix-sum shape on time: the day-level running
+    // sum is a window PARTITIONED on the month bucket...
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    // ...and the only single-partition stage is the exclusive prefix over
+    // the per-MONTH table (~85 rows), whose offsets broadcast back
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1, p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+    // never the naive day explode or a BETWEEN spine join
+    assert(!p.contains("Generate") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q100 temporal expansion is a pure map-side generate — no join after the interval build") {
+    val p = plan("q100_temporal_expand")
+    // sequence()+explode runs as Generate directly over the aggregated
+    // intervals; the month rollup is partial+final (map-side combined)
+    assert(p.contains("Generate explode"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("p56 dedup funnel: one content shuffle + label join, no candidate pairs beyond the shared keeper set") {
+    val p = plan("p56_dedup_funnel")
+    // the funnel itself adds only the exact-content rollup and the label
+    // join — near-dup pair generation lives in the SHARED keeper cache,
+    // so the funnel plan reads labels, it does not re-mine pairs
+    assert(p.contains("hashpartitioning(text"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
