@@ -50,6 +50,16 @@ object QueriesCore {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(23,2))) AS DOUBLE) AS sum_price
        FROM orders GROUP BY ALL ORDER BY ALL"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q101). */
+  private[graft] val scalarSubquerySql: String =
+    """SELECT n_name,
+              (SELECT count(*) FROM supplier s
+               WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)
+                AS n_rich_supp,
+              (SELECT max(c_acctbal) FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey) AS max_cust_bal
+       FROM nation n ORDER BY n_name"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q44). */
   private[graft] val recursiveCteSql: String =
     """WITH RECURSIVE up AS (
@@ -2867,6 +2877,25 @@ object QueriesCore {
              m AS (SELECT unnest(generate_series(sm::TIMESTAMP, em::TIMESTAMP,
                      INTERVAL 1 MONTH))::DATE AS month FROM iv)
              SELECT month, count(*)::BIGINT AS n_active
-             FROM m GROUP BY month ORDER BY month""")))
+             FROM m GROUP BY month ORDER BY month""")),
+
+    // -------------------------------- q101 SELECT-list scalar subqueries
+    // Correlated scalar subqueries in the projection — the decorrelation
+    // shape q09 (WHERE-clause) doesn't reach: each subquery becomes a
+    // LEFT OUTER aggregate join, and the COUNT one pins the classic
+    // "COUNT bug": a nation with NO high-balance suppliers must project
+    // 0, not NULL, so the rewrite has to coalesce the post-join count
+    // rather than count post-join rows. The acctbal predicate guarantees
+    // empty groups actually occur in the fixture. MAX over an empty
+    // group stays NULL (the contrasting case, same query). Shared
+    // VERBATIM by both engines. Scale: two broadcast-sized aggregate
+    // joins over a 25-row dimension; on big outers the same rewrite
+    // shuffles on the correlation key — never a per-row subquery.
+    NamedQuery("q101_scalar_subqueries",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.scalarSubquerySql)
+      },
+      Some(QueriesCore.scalarSubquerySql)))
 
 }

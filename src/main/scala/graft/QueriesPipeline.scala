@@ -316,7 +316,13 @@ object QueriesPipeline {
   /** Oracle twin of [[minhashPairs]], split as (CTE chain, final SELECT) so
     * p17 can extend the chain with its recursive reachability CTEs.
     */
-  private val sqlMinhashCtes: String = {
+  /** sig/bands/cand CTEs of the SHARED banding scheme over a given
+    * (doc_id, h) source CTE — one definition for the full-corpus pair
+    * mining ([[sqlMinhashCtes]]) and p57's sample-restricted recall audit,
+    * mirroring the single [[minhashSig]]/[[minhashBands]] on the Spark
+    * side.
+    */
+  private def sqlBandCtesOver(src: String): String = {
     import MinHashParams._
     val sigExprs = (0 until K)
       .map(i => s"min(${GF.sqlAffineHash("h", a(i), b(i))}) AS s$i").mkString(", ")
@@ -324,13 +330,17 @@ object QueriesPipeline {
       val key = (0 until Rows).map(r => s"s${bd * Rows + r}").mkString(", ")
       s"SELECT doc_id, $bd AS band, concat_ws(',', $key) AS key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$sqlShingleCtes,
-       sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $sigExprs FROM $src GROUP BY doc_id),
        bands AS ($bandSelects),
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-          AND a.doc_id < b.doc_id),
+          AND a.doc_id < b.doc_id)"""
+  }
+
+  private val sqlMinhashCtes: String = {
+    s"""$sqlShingleCtes,
+       ${sqlBandCtesOver("sh")},
        inter AS (
          SELECT id_a, id_b, count(*) AS ni
          FROM cand
@@ -2905,5 +2915,62 @@ object QueriesPipeline {
                       AS removed_near,
                     sum(CASE WHEN keep1 AND keepn THEN 1 ELSE 0 END)::BIGINT
                       AS n_survivors
-             FROM flags""")))
+             FROM flags""")),
+
+    // ---------------------------------------------- p57 LSH recall audit
+    // p54's complement: p54 measures how much candidate mass is junk
+    // (precision); p57 measures what the banding MISSES (recall) — the
+    // audit that justifies trusting LSH dedup at all. Ground truth needs
+    // exact pairwise Jaccard, which is unaffordable corpus-wide, so the
+    // audit runs on a deterministic SAMPLE (doc_id % 20): within it,
+    // exact pairs come from the inverted-index join, candidates from the
+    // SAME banding scheme (shared minhashSig/minhashBands code — banding
+    // a doc is independent of other docs, so sample-local banding yields
+    // exactly the full run's candidates restricted to the sample).
+    // Planted copy offsets are multiples of 20, so original+copy pairs
+    // survive sampling together — the audit population is non-trivial by
+    // construction. Per true-Jaccard decile: n_true, n_hit, recall. At
+    // 100 TB the sample rate is the knob; cost is |sample|² worst case,
+    // index-bounded in practice.
+    NamedQuery("p57_lsh_recall",
+      (s, dir) => {
+        val ssh = sharedShingleHashes(s, dir).filter(col("doc_id") % 20 === 0)
+        val sizes = ssh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val tp = ssh.select(col("doc_id").as("id_a"), col("h"))
+          .join(ssh.select(col("doc_id").as("id_b"), col("h")), "h")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            expr("least(9, (ni * 10) div (na + nb - ni))").as("bucket"))
+          .filter(col("bucket") >= 6)
+        val cand = bandCandidates(ssh).withColumn("hit", lit(1))
+        tp.join(cand, Seq("id_a", "id_b"), "left")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .select(col("bucket"), col("n_true"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_true")).as("recall"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $sqlShingleCtes,
+             ssh AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+             ssz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+             it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                    FROM ssh a JOIN ssh b ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+             tp AS (SELECT id_a, id_b,
+                      least(9, (ni*10) // (za.n + zb.n - ni)) AS bucket
+                    FROM it JOIN ssz za ON za.doc_id = id_a
+                    JOIN ssz zb ON zb.doc_id = id_b
+                    WHERE least(9, (ni*10) // (za.n + zb.n - ni)) >= 6),
+             ${sqlBandCtesOver("ssh")}
+             SELECT bucket, count(*) AS n_true,
+                    sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                      AS n_hit,
+                    sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*) AS recall
+             FROM tp LEFT JOIN cand c USING (id_a, id_b)
+             GROUP BY bucket ORDER BY bucket""")))
 }
