@@ -60,6 +60,11 @@ object QueriesCore {
                WHERE c.c_nationkey = n.n_nationkey) AS max_cust_bal
        FROM nation n ORDER BY n_name"""
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q102). */
+  private[graft] val limitOffsetSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 40"""
+
   /** Shared verbatim by the Spark query and the DuckDB oracle (q44). */
   private[graft] val recursiveCteSql: String =
     """WITH RECURSIVE up AS (
@@ -2896,6 +2901,22 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.scalarSubquerySql)
       },
-      Some(QueriesCore.scalarSubquerySql)))
+      Some(QueriesCore.scalarSubquerySql)),
+
+    // ------------------------------------------ q102 LIMIT/OFFSET paging
+    // Deterministic pagination (total order → LIMIT n OFFSET k), shared
+    // VERBATIM — the API-results surface. Spark executes it as a
+    // collect-limit of offset+n over the sort: fine at shallow depth, but
+    // OFFSET cost grows linearly with page number — at 100 TB serve deep
+    // pages by KEYSET pagination instead (WHERE (c_acctbal, c_custkey) <
+    // last-seen ORDER BY ... LIMIT n), which q19's TakeOrderedAndProject
+    // shape then executes with no skipped prefix. The entry pins the
+    // surface and its scale caveat.
+    NamedQuery("q102_limit_offset",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(QueriesCore.limitOffsetSql)
+      },
+      Some(QueriesCore.limitOffsetSql)))
 
 }

@@ -2972,5 +2972,33 @@ object QueriesPipeline {
                     sum(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                       / count(*) AS recall
              FROM tp LEFT JOIN cand c USING (id_a, id_b)
-             GROUP BY bucket ORDER BY bucket""")))
+             GROUP BY bucket ORDER BY bucket""")),
+
+    // ------------------------------------- p58 dedup threshold curve
+    // The tuning report for the near-dup threshold: how many verified
+    // pairs survive at each candidate cutoff (0.6 … 0.9) — what a data
+    // team reads before moving the knob, since pair volume drives both
+    // the keeper-graph size and how aggressive cleaning is. One
+    // aggregation over the SAME verified pair set p03 emits and p17
+    // clusters (shared cache — zero extra corpus work). Jaccards are
+    // single-division doubles computed identically in both engines, so
+    // the >= comparisons can't flap. Single-row output.
+    NamedQuery("p58_threshold_curve",
+      (s, dir) => {
+        val pr = minhashPairs(s, dir)
+        pr.agg(
+          count(lit(1)).as("n_06"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_07"),
+          sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_08"),
+          sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).as("n_09"),
+          sum(when(col("jac") === 1.0, 1L).otherwise(0L)).as("n_exact"))
+      },
+      Some(s"""WITH $sqlMinhashCtes,
+             pairs AS (${sqlMinhashPairsSelect})
+             SELECT count(*) AS n_06,
+                    sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END)::BIGINT AS n_07,
+                    sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_08,
+                    sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_09,
+                    sum(CASE WHEN jac = 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_exact
+             FROM pairs""")))
 }

@@ -1505,5 +1505,73 @@ object QueriesStreaming {
         }
       },
       Some(s"""SELECT user_id, count(*) AS n, ${sqlDecSum("value")} AS sum_value
-             FROM events GROUP BY user_id ORDER BY user_id""")))
+             FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ----------------------------- s30 checkpoint restart, exactly-once
+    // The ops semantic every production stream lives by, promoted from
+    // spec (FakeKafkaSpec's no-regress/no-redelivery tests) to the
+    // oracle gate: phase 1 streams the first half of history into a
+    // stateful dedup through a CHECKPOINT; the query is then STOPPED and
+    // a fresh instance restarts from that checkpoint over the grown
+    // input dir — it must resume exactly where the commit log left off
+    // (no re-delivery of phase-1 keys, no gaps) for the final table to
+    // equal batch DISTINCT. The sink writes each micro-batch to a
+    // batch=<id> dir with overwrite — idempotent per batchId, so the
+    // restart contract's at-least-once-at-the-final-batch replay (if
+    // stop() outruns the commit log) rewrites the same dir instead of
+    // duplicating rows; that per-batchId discipline is what makes ANY
+    // foreachBatch sink exactly-once. State (the dedup key set) rides
+    // the checkpoint across the restart.
+    NamedQuery("s30_stream_checkpoint_resume",
+      (s, dir) => withStatePartitions(s, 8) {
+        import java.nio.file.{Files, Paths}
+        val root = Files.createTempDirectory("graft_s30_")
+        try {
+          val stageAll = root.resolve("all")
+          val live = root.resolve("live")
+          val ckpt = root.resolve("ckpt").toString
+          val out = root.resolve("out")
+          Files.createDirectories(live)
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(stageAll.toString)
+          val chunks = graft.util.Fs.listDir(stageAll)(
+            _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+          // chunk k = k-th time slice (range partitioning); mtimes stagger
+          // along that order so the file source delivers history in order
+          def arm(n: Int): Unit = chunks.take(n).zipWithIndex.foreach {
+            case (f, i) =>
+              val dst = live.resolve(s"chunk$i.parquet")
+              if (!Files.exists(dst)) Files.copy(Paths.get(f), dst)
+              Files.setLastModifiedTime(dst, java.nio.file.attribute
+                .FileTime.fromMillis(1000000000000L + i * 60000L))
+          }
+          def runPhase(): Unit = {
+            val ev = s.readStream
+              .schema(s.read.parquet(stageAll.toString).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(live.toString)
+            val dedup = Tables.normalizeTs(ev, "ts")
+              .select(col("user_id"), col("event_type"))
+              .dropDuplicates("user_id", "event_type")
+            val write: (DataFrame, Long) => Unit = (b, id) =>
+              b.write.mode("overwrite")
+                .parquet(out.resolve(s"batch=$id").toString)
+            val q = dedup.writeStream.option("checkpointLocation", ckpt)
+              .outputMode("update").trigger(Trigger.AvailableNow())
+              .foreachBatch(write).start()
+            try require(q.awaitTermination(180000L), "stream s30 did not finish")
+            finally q.stop()
+          }
+          arm(2); runPhase() // phase 1: first half of history
+          arm(4); runPhase() // fresh instance resumes from the checkpoint
+          s.read.parquet(out.toString)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+            .localCheckpoint()
+            .orderBy(col("event_type"))
+        } finally graft.util.Fs.deleteRecursively(root)
+      },
+      Some("""SELECT event_type, count(*) AS n_users
+             FROM (SELECT DISTINCT user_id, event_type FROM events)
+             GROUP BY event_type ORDER BY event_type""")))
 }
