@@ -738,6 +738,16 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q101 scalar subqueries decorrelate to aggregate joins — never a per-row subquery") {
+    val p = plan("q101_scalar_subqueries")
+    // both correlated scalars become LEFT OUTER aggregate joins
+    // (broadcast-sized here); an un-decorrelated plan would carry a
+    // ScalarSubquery into the projection
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p56 dedup funnel: one content shuffle + label join, no candidate pairs beyond the shared keeper set") {
     val p = plan("p56_dedup_funnel")
     // the funnel itself adds only the exact-content rollup and the label
