@@ -2917,6 +2917,28 @@ object QueriesCore {
         Tables.registerAll(s, dir)
         s.sql(QueriesCore.limitOffsetSql)
       },
-      Some(QueriesCore.limitOffsetSql)))
+      Some(QueriesCore.limitOffsetSql)),
+
+    // ------------------------------------ q103 window with origin offset
+    // Tumbling windows aligned to a NON-epoch origin — window()'s fourth
+    // (startTime) parameter: 6-hour buckets starting at 01:30/07:30/…
+    // instead of 00:00/06:00 (the business-day-boundary alignment ops
+    // teams actually need: "daily at 01:30 UTC", trading sessions,
+    // shifted SLA windows). Same epoch-affine bucketing as q53's hops —
+    // pure map-side arithmetic, one (window) shuffle with map-side
+    // partials. The oracle replays the affine formula
+    // floor((epoch−origin)/width)·width+origin on integer seconds, so
+    // alignment is bit-checkable, not approximately-checked.
+    NamedQuery("q103_window_origin_offset",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "6 hours", "90 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start")),
+      Some("""SELECT make_timestamp(
+                     (((epoch_us(ts) // 1000000 - 5400) // 21600)
+                       * 21600 + 5400) * 1000000) AS w_start,
+                     count(*) AS n
+             FROM events GROUP BY w_start ORDER BY w_start""")))
 
 }

@@ -3000,5 +3000,64 @@ object QueriesPipeline {
                     sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS n_08,
                     sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_09,
                     sum(CASE WHEN jac = 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_exact
-             FROM pairs""")))
+             FROM pairs""")),
+
+    // ------------------------------------ p59 boilerplate removal APPLY
+    // p50's report turned into the actual TRANSFORM: re-emit each doc's
+    // text with corpus-duplicated 10-token chunks removed (the C4
+    // cleaning step's output side). Chunk order is carried explicitly
+    // (pos) through the boilerplate join and restored by an ordered
+    // rollup, so reassembly is deterministic on both engines; only docs
+    // that actually lost a chunk are emitted (the cleaning delta — at
+    // 100 TB the unchanged majority passes through without rewrite,
+    // which is the same changed-subset discipline as s08's partition
+    // overwrite). Same single df shuffle as p50; the rollup shuffles on
+    // doc_id once.
+    NamedQuery("p59_line_dedup_apply",
+      (s, dir) => {
+        val t0 = col("t")
+        val chunks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), GF.tokens(col("text")).as("t"))
+          .filter(size(t0) > 0)
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0), ((size(t0) + lit(9)) / lit(10)).cast("int") - 1),
+            c => slice(t0, c * 10 + 1, lit(10)))).as(Seq("pos", "ctoks")))
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", col("ctoks")).as("chunk"))
+        val boiler = chunks.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("chunk"), lit(1).as("is_b"))
+        chunks.join(boiler, Seq("chunk"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            array_join(array_sort(collect_list(
+              when(col("is_b").isNull, struct(col("pos"), col("chunk")))))
+              .getField("chunk"), " ").as("cleaned"))
+          .filter(col("n_removed") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+               SELECT doc_id, ${GF.sqlTokens("text")} AS t FROM documents),
+             chunks AS (
+               SELECT doc_id,
+                      unnest(generate_series(0, (len(t)+9)//10 - 1)) AS pos,
+                      unnest(list_transform(generate_series(0, (len(t)+9)//10 - 1),
+                        c -> array_to_string(t[c*10+1 : c*10+10], ' '))) AS chunk
+               FROM toks WHERE len(t) > 0),
+             boiler AS (
+               SELECT chunk FROM chunks
+               GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+             SELECT c.doc_id,
+                    sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                      AS n_removed,
+                    coalesce(array_to_string(
+                      list(c.chunk ORDER BY c.pos)
+                        FILTER (WHERE b.chunk IS NULL), ' '), '')
+                      AS cleaned
+             FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
+             GROUP BY c.doc_id
+             HAVING sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) > 0
+             ORDER BY c.doc_id""")))
 }
