@@ -588,6 +588,24 @@ object QueriesPipeline {
            ORDER BY new_id"""
   }
 
+  /** Shared verbatim by the Spark query and the DuckDB oracle (p60).
+    * Declared BEFORE [[all]] — the registry Seq captures it eagerly at
+    * object init.
+    */
+  private val robustOutlierSql: String =
+    """WITH stats AS (
+         SELECT lang,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+                percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+         FROM documents GROUP BY lang)
+       SELECT d.lang, count(*) AS n_docs,
+              CAST(sum(CASE WHEN d.n_chars > s.q3 + 3 * (s.q3 - s.q1)
+                              OR d.n_chars < s.q1 - 3 * (s.q3 - s.q1)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              min(s.q1) AS q1, min(s.q3) AS q3
+       FROM documents d JOIN stats s ON s.lang = d.lang
+       GROUP BY d.lang ORDER BY d.lang"""
+
   val all: Seq[NamedQuery] = Seq(
 
     // ------------------------------------------------------------ p01 exact
@@ -3059,5 +3077,22 @@ object QueriesPipeline {
              FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
              GROUP BY c.doc_id
              HAVING sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) > 0
-             ORDER BY c.doc_id""")))
+             ORDER BY c.doc_id""")),
+
+    // --------------------------------- p60 per-language robust outliers
+    // The "absurd length" gate run PER LANGUAGE (a 40-char Chinese doc
+    // and a 40-char German doc are different animals): exact q1/q3 via
+    // percentile_disc per lang, then each doc tested against the
+    // 3×IQR fences. The two-pass shape — tiny per-group stats (|langs|
+    // rows) joined back to the scan — is the standard distributed
+    // normalization plan; at 100 TB the stats side broadcasts and the
+    // fence test rides the scan. All-integer (percentile_disc picks an
+    // actual n_chars value; fences are integer arithmetic), shared
+    // VERBATIM by both engines.
+    NamedQuery("p60_robust_outliers",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(robustOutlierSql)
+      },
+      Some(robustOutlierSql)))
 }

@@ -1573,5 +1573,41 @@ object QueriesStreaming {
       },
       Some("""SELECT event_type, count(*) AS n_users
              FROM (SELECT DISTINCT user_id, event_type FROM events)
-             GROUP BY event_type ORDER BY event_type""")))
+             GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------- s31 origin-offset windows under watermark
+    // q103's business-origin alignment (window() startTime) on the LIVE
+    // path: 6-hour buckets starting 01:30/07:30/… maintained
+    // incrementally in append mode with a 1-hour watermark — shifted
+    // windows shift their EVICTION boundaries too, and the state store
+    // must finalize each bucket exactly when the watermark passes its
+    // offset end. Chunked staging advances the watermark mid-run (real
+    // incremental emission); the oracle replays the affine bucketing on
+    // integer seconds plus the terminal ms-floored cutoff against the
+    // bucket's offset end.
+    NamedQuery("s31_stream_origin_windows",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { ev =>
+          val agg = ev
+            .withColumn("ts", col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "6 hours", "6 hours", "90 minutes"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+              col("event_type"), col("n"))
+          runToTable(s, sink("s31", dir), agg, mode = "append")
+            .orderBy(col("w_start"), col("event_type"))
+        }
+      },
+      Some("""WITH wm AS (
+               SELECT (epoch_ms(max(ts)) - 3600000) * 1000 AS wus FROM events)
+             SELECT make_timestamp(
+                      (((epoch_us(ts) // 1000000 - 5400) // 21600)
+                        * 21600 + 5400) * 1000000) AS w_start,
+                    event_type, count(*) AS n
+             FROM events, wm
+             GROUP BY w_start, event_type
+             HAVING epoch_us(w_start + INTERVAL 6 HOUR) <= any_value(wm.wus)
+             ORDER BY w_start, event_type""")))
 }
