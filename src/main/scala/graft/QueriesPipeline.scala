@@ -3094,5 +3094,67 @@ object QueriesPipeline {
         Tables.registerAll(s, dir)
         s.sql(robustOutlierSql)
       },
-      Some(robustOutlierSql)))
+      Some(robustOutlierSql)),
+
+    // ------------------------------------ p61 water-filling token budget
+    // The training-mix capping rule in closed form: give every source
+    // min(demand, level) where the water level spends the token budget
+    // exactly — sort sources by demand ascending, exclusive prefix sums,
+    // candidate level at rank k = (budget − prefix)/(n − k + 1), and the
+    // TRUE level is the candidate at the FIRST rank whose demand reaches
+    // it (min_by(cand, rk)); below-level sources pass through whole.
+    // One pass, no iteration — the fixed-point the iterative
+    // redistribute-the-leftovers loop converges to. Scale: the
+    // corpus-sized work is the demand rollup (map-side combined); the
+    // fill itself runs on the |sources|-row table (tiny — the global
+    // window is bounded by source count, the p43 per-bucket-table
+    // argument). Budget 20000 < total demand, so capping genuinely
+    // exercises; alloc is one exact division + least() per row.
+    NamedQuery("p61_water_filling",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 20000L
+        val demand = Tables.load(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(GF.tokens(col("text"))).cast("long")).as("d"))
+        val w = Window.orderBy(col("d"), col("source"))
+        val lv = demand
+          .withColumn("rk", row_number().over(w))
+          .withColumn("pfx", coalesce(sum(col("d"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("cand",
+            (lit(budget) - col("pfx")).cast("double") / (col("n") - col("rk") + 1))
+        val pick = lv.filter(col("d") >= col("cand"))
+          .agg(min_by(col("cand"), col("rk")).as("level"))
+        lv.crossJoin(broadcast(pick))
+          .select(col("source"), col("d"),
+            least(col("d").cast("double"),
+              coalesce(col("level"), col("d").cast("double"))).as("alloc"))
+          .withColumn("capped", col("d").cast("double") > col("alloc"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = GF.sqlTokens("text")
+        s"""WITH demand AS (
+             SELECT source, sum(len($toks))::BIGINT AS d
+             FROM documents GROUP BY source),
+           ordered AS (
+             SELECT source, d,
+                    row_number() OVER (ORDER BY d, source) AS rk,
+                    sum(d) OVER (ORDER BY d, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx,
+                    count(*) OVER () AS n
+             FROM demand),
+           lv AS (
+             SELECT *, (20000 - coalesce(pfx, 0))::DOUBLE / (n - rk + 1) AS cand
+             FROM ordered),
+           pick AS (SELECT min_by(cand, rk) AS level FROM lv WHERE d >= cand)
+           SELECT source, d,
+                  least(d::DOUBLE, coalesce(level, d::DOUBLE)) AS alloc,
+                  d::DOUBLE > least(d::DOUBLE, coalesce(level, d::DOUBLE)) AS capped
+           FROM lv, pick ORDER BY source"""
+      }))
 }

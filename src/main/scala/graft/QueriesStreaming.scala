@@ -1609,5 +1609,48 @@ object QueriesStreaming {
              FROM events, wm
              GROUP BY w_start, event_type
              HAVING epoch_us(w_start + INTERVAL 6 HOUR) <= any_value(wm.wus)
-             ORDER BY w_start, event_type""")))
+             ORDER BY w_start, event_type""")),
+
+    // --------------------- s32 chained stateful: join THEN aggregation
+    // The multi-stateful-operator topology (Spark 3.5+): a stream-stream
+    // time-interval join (s04's click⋈error-within-the-hour) feeding a
+    // DOWNSTREAM windowed aggregation in one query — two state stores,
+    // one plan. The semantic under gate is WATERMARK PROPAGATION through
+    // the join: a joined row's click_ts can trail the input watermark by
+    // the join interval (err_ts ≥ click_ts − 1 h ⟹ delay 1 h), so the
+    // aggregation's effective watermark is input − 1 h, and a day-window
+    // finalizes only when THAT lagged watermark passes its end — the
+    // oracle replays input wm (ms-floored max − 1 h) minus the 1 h join
+    // delay. Chunked staging advances watermarks mid-run; append mode
+    // end-to-end (the only legal mode for chained stateful operators).
+    NamedQuery("s32_stream_join_then_agg",
+      (s, dir) => withStatePartitions(s, 8) {
+        withStagedEventsStream(s, dir, 4) { evRaw =>
+          val ev = evRaw.withColumn("ts", col("ts").cast("timestamp"))
+          val joined = graft.streaming.EventStreams.clickErrorJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "error"),
+            watermark = "1 hour", windowSec = 3600L)
+          val agg = joined
+            .groupBy(window(col("click_ts"), "1 day"))
+            .agg(count(lit(1)).as("n_joined"))
+            .select(col("window.start").cast("date").as("day"), col("n_joined"))
+          runToTable(s, sink("s32", dir), agg, mode = "append")
+            .orderBy(col("day"))
+        }
+      },
+      Some("""WITH wm AS (
+               SELECT (epoch_ms(max(ts)) - 3600000 - 3600000) * 1000 AS wus
+               FROM events)
+             SELECT CAST(date_trunc('day', c.ts) AS DATE) AS day,
+                    count(*) AS n_joined
+             FROM events c JOIN events e
+               ON c.event_type = 'click' AND e.event_type = 'error'
+              AND e.user_id = c.user_id
+              AND e.ts >= c.ts - INTERVAL 3600 SECONDS AND e.ts <= c.ts,
+              wm
+             GROUP BY day
+             HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+                      <= any_value(wm.wus)
+             ORDER BY day""")))
 }
