@@ -738,6 +738,16 @@ class ScaleSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("p61 water-filling: global window only over the per-source table, demand rollup map-side partial") {
+    val p = plan("p61_water_filling")
+    // the sorted-prefix fill runs on the |sources|-row aggregate — its
+    // single-partition exchanges are bounded by source count, never the
+    // corpus; the corpus-sized demand rollup is partial+final on source
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q101 scalar subqueries decorrelate to aggregate joins — never a per-row subquery") {
     val p = plan("q101_scalar_subqueries")
     // both correlated scalars become LEFT OUTER aggregate joins
