@@ -595,8 +595,10 @@ object QueriesPipeline {
   private val robustOutlierSql: String =
     """WITH stats AS (
          SELECT lang,
-                percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
-                percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+                CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)
+                     AS BIGINT) AS q1,
+                CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)
+                     AS BIGINT) AS q3
          FROM documents GROUP BY lang)
        SELECT d.lang, count(*) AS n_docs,
               CAST(sum(CASE WHEN d.n_chars > s.q3 + 3 * (s.q3 - s.q1)
@@ -1287,6 +1289,9 @@ object QueriesPipeline {
           .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"),
             col("embedding"))
           .select(col("part"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          // BIGINT discipline: posexplode emits INT pos; the oracle's
+          // generate_series is BIGINT (type-sensitive compare parity)
+          .withColumn("pos", col("pos").cast("long"))
           .groupBy(col("part"), col("pos"))
           .agg(decAvg(col("x")).as("cx"), count(lit(1)).as("n"))
           .orderBy(col("part"), col("pos"))
@@ -2248,7 +2253,8 @@ object QueriesPipeline {
     // Bucketing uses doc_id ranges (ids are dense); on arbitrary keys use
     // repartitionByRange + spark_partition_id for the same three phases.
     // All-integer math, so the oracle (which runs the naive global window
-    // — fine for DuckDB) is bit-exact.
+    // — fine for DuckDB) is bit-exact; the oracle's shard expression is
+    // cast ::BIGINT because DuckDB widens windowed sum() to HUGEINT.
     NamedQuery("p43_shard_packing",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -2275,9 +2281,9 @@ object QueriesPipeline {
       Some("""SELECT shard, count(*) AS n_docs, min(doc_id) AS first_doc,
              max(doc_id) AS last_doc, sum(n_chars)::BIGINT AS chars
              FROM (SELECT doc_id, n_chars,
-                     (sum(n_chars) OVER (ORDER BY doc_id
+                     (((sum(n_chars) OVER (ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      - n_chars) // 8000 AS shard
+                      - n_chars) // 8000))::BIGINT AS shard
                    FROM documents)
              GROUP BY shard ORDER BY shard""")),
 
@@ -2705,7 +2711,7 @@ object QueriesPipeline {
                       sum(CASE WHEN in_v IS NOT NULL THEN 1 ELSE 0 END)
                         AS in_vocab
                FROM toks LEFT JOIN vocab USING (tok) GROUP BY doc_id)
-             SELECT least(9, (10 * in_vocab) // total) AS bucket,
+             SELECT least(9, (10 * in_vocab) // total)::BIGINT AS bucket,
                     count(*) AS n_docs,
                     sum(in_vocab)::BIGINT AS covered_toks,
                     sum(total)::BIGINT AS total_toks
@@ -3086,8 +3092,10 @@ object QueriesPipeline {
     // 3×IQR fences. The two-pass shape — tiny per-group stats (|langs|
     // rows) joined back to the scan — is the standard distributed
     // normalization plan; at 100 TB the stats side broadcasts and the
-    // fence test rides the scan. All-integer (percentile_disc picks an
-    // actual n_chars value; fences are integer arithmetic), shared
+    // fence test rides the scan. percentile_disc picks an actual n_chars
+    // element, but the two engines type it differently (Spark: DOUBLE,
+    // DuckDB: input type) — hence the lossless CAST(... AS BIGINT) in the
+    // shared SQL; fences are integer arithmetic after that. Shared
     // VERBATIM by both engines.
     NamedQuery("p60_robust_outliers",
       (s, dir) => {

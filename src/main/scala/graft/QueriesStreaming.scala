@@ -1496,8 +1496,11 @@ object QueriesStreaming {
             "events_rt").toString
           val enc = graft.sources.KafkaEventSink
             .toKafkaFrame(in, "tpch", "events_rt", "user_id")
+          // conv with NEGATIVE target base decodes the hex as a SIGNED
+          // 64-bit value, so negative keys round-trip too (unsigned base 10
+          // would overflow the long cast to NULL for key < 0).
           val agg = enc.select(
-              conv(hex(col("key")), 16, 10).cast("long").as("user_id"),
+              conv(hex(col("key")), 16, -10).cast("long").as("user_id"),
               GF.from_avro(col("value"), avroSchema).as("e"))
             .groupBy(col("user_id"))
             .agg(count(lit(1)).as("n"), decSum(col("e.value")).as("sum_value"))
@@ -1620,8 +1623,11 @@ object QueriesStreaming {
     // the join interval (err_ts ≥ click_ts − 1 h ⟹ delay 1 h), so the
     // aggregation's effective watermark is input − 1 h, and a day-window
     // finalizes only when THAT lagged watermark passes its end — the
-    // oracle replays input wm (ms-floored max − 1 h) minus the 1 h join
-    // delay. Chunked staging advances watermarks mid-run; append mode
+    // oracle replays the GLOBAL input wm: the two watermark nodes see
+    // only click resp. error rows, so it's least(max click ts, max error
+    // ts) ms-floored − 1 h, minus the 1 h join delay (mirrors s28's
+    // per-branch modeling). Chunked staging advances watermarks mid-run;
+    // append mode
     // end-to-end (the only legal mode for chained stateful operators).
     NamedQuery("s32_stream_join_then_agg",
       (s, dir) => withStatePartitions(s, 8) {
@@ -1640,8 +1646,12 @@ object QueriesStreaming {
         }
       },
       Some("""WITH wm AS (
-               SELECT (epoch_ms(max(ts)) - 3600000 - 3600000) * 1000 AS wus
-               FROM events)
+               SELECT (least(
+                        (SELECT epoch_ms(max(ts)) FROM events
+                          WHERE event_type = 'click'),
+                        (SELECT epoch_ms(max(ts)) FROM events
+                          WHERE event_type = 'error'))
+                       - 3600000 - 3600000) * 1000 AS wus)
              SELECT CAST(date_trunc('day', c.ts) AS DATE) AS day,
                     count(*) AS n_joined
              FROM events c JOIN events e

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Per-entry bench regression guard (r5 post-mortem tooling).
+
+The driver's full-registry bench run measured 2.6x slowdowns on entries
+whose code did not change (q29 22.9 s driver vs 0.73 s isolated) — the
+single-JVM process was degrading itself. This tool catches the next such
+silent degradation by diffing a bench JSON against a stored per-entry
+profile:
+
+    python3 tools/bench_profile.py record BENCH.json   # refresh BENCH_PROFILE.json
+    python3 tools/bench_profile.py check  BENCH.json   # exit 1 on regressions
+
+`check` flags entries slower than max(TOL_RATIO x profile, profile + TOL_ABS)
+— the absolute floor keeps sub-second entries from tripping on scheduler
+jitter; the ratio catches the real multi-x contamination signature.
+"""
+import json, sys
+
+PROFILE = "/root/repo/BENCH_PROFILE.json"
+TOL_RATIO = 2.0
+TOL_ABS = 1.0  # seconds
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    qs = doc.get("queries", doc)
+    return {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
+
+
+def main():
+    if len(sys.argv) != 3 or sys.argv[1] not in ("record", "check"):
+        print(__doc__)
+        return 2
+    mode, path = sys.argv[1], sys.argv[2]
+    cur = load(path)
+    if mode == "record":
+        json.dump(dict(sorted(cur.items())), open(PROFILE, "w"), indent=1)
+        print(f"recorded {len(cur)} entries -> {PROFILE}")
+        return 0
+    prof = load(PROFILE)
+    bad, new = [], []
+    for k, v in sorted(cur.items()):
+        if k not in prof:
+            new.append(k)
+            continue
+        limit = max(TOL_RATIO * prof[k], prof[k] + TOL_ABS)
+        if v > limit:
+            bad.append((k, prof[k], v))
+    for k in new:
+        print(f"  new entry (no profile): {k} = {cur[k]:.2f}s")
+    for k, p, v in bad:
+        print(f"REGRESSION {k}: profile {p:.2f}s -> {v:.2f}s "
+              f"({v / max(p, 1e-9):.1f}x)")
+    tot_p = sum(prof.get(k, 0) for k in cur)
+    tot_c = sum(v for k, v in cur.items() if k in prof)
+    print(f"\ncommon-entry sum: profile {tot_p:.1f}s, this run {tot_c:.1f}s "
+          f"({tot_c / max(tot_p, 1e-9):.2f}x); {len(bad)} regressions")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

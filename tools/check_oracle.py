@@ -59,11 +59,22 @@ for name in sorted(oracles):
         want_rel = con.sql(oracles[name])
         want_cols = [c.lower() for c in want_rel.columns]
         want = norm(want_rel.fetchall(), want_cols)
+        # the driver's hasher sees column TYPES, not just values — a DuckDB
+        # HUGEINT (sum widening) or BIGINT-vs-DOUBLE (percentile_disc)
+        # divergence hash-fails even when every value is bit-identical
+        # (r5: p43/p51/p60). Compare the DuckDB-visible type per column.
+        got_types = dict(zip(got_cols, [str(t) for t in got_rel.types]))
+        want_types = dict(zip(want_cols, [str(t) for t in want_rel.types]))
     except Exception as e:
         fails.append((name, f"EXEC: {e}"))
         continue
     if sorted(got_cols) != sorted(want_cols):
         fails.append((name, f"COLS: spark={sorted(got_cols)} duck={sorted(want_cols)}"))
+        continue
+    tdiff = {c: (got_types[c], want_types[c]) for c in got_types
+             if got_types[c] != want_types[c]}
+    if tdiff:
+        fails.append((name, f"TYPES: {tdiff} (spark, duck)"))
         continue
     if len(got) != len(want):
         fails.append((name, f"ROWS: spark={len(got)} duck={len(want)}"))

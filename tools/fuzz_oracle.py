@@ -478,6 +478,11 @@ for name, sql in sorted(queries.items()):
         print(f"FAIL {name}: EXEC {e}\n  {sql}"); fails += 1; continue
     if cols != wcols:
         print(f"FAIL {name}: COLS {cols} vs {wcols}\n  {sql}"); fails += 1; continue
+    # type parity too — the driver's hasher is type-sensitive (r5 p43/p51/p60)
+    ts = [str(t) for t in got_rel.types]
+    wts = [str(t) for t in want_rel.types]
+    if ts != wts:
+        print(f"FAIL {name}: TYPES {ts} vs {wts}\n  {sql}"); fails += 1; continue
     if got != want:
         print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
         for g, w in list(zip(got, want))[:3]:
