@@ -3164,5 +3164,123 @@ object QueriesPipeline {
                   least(d::DOUBLE, coalesce(level, d::DOUBLE)) AS alloc,
                   d::DOUBLE > least(d::DOUBLE, coalesce(level, d::DOUBLE)) AS capped
            FROM lv, pick ORDER BY source"""
-      }))
+      }),
+
+    // ------------------------------------ p62 REAL image decode (PNG, JDK)
+    // Upgrades the multimodal decode seam from stub to a REAL codec: each
+    // doc gets an 8x8 grayscale image with pixel(i) = (doc_id*31 + i) % 256,
+    // encoded to genuine PNG bytes with javax.imageio (JDK-builtin, no new
+    // dependency) — the opaque `binary` media-blob shape — then a SECOND
+    // typed mapPartitions stage ImageIO-DECODES the blob and extracts
+    // features (dims, pixel sum/min/max). PNG is lossless, so the decoded
+    // pixels are a closed-form function of doc_id the oracle replays
+    // exactly — the gate now covers a real encode→blob→decode→feature
+    // round-trip, not a byte-histogram stand-in. Scale: both stages are
+    // per-row map work with no shuffle before the final sort; a real
+    // corpus swaps the synthesizer for its stored blobs and the decode
+    // stage for its full-size decoder unchanged. (JPEG/video stay out:
+    // lossy codecs aren't bit-gateable and their libs aren't shipped.)
+    NamedQuery("p62_multimodal_png_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var i = 0
+            while (i < 64) {
+              r.setSample(i % 8, i / 8, 0, ((id * 31 + i) % 256).toInt)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "blob")
+        blobs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val r = img.getRaster
+            var (sum, mn, mx) = (0L, 255L, 0L)
+            var i = 0
+            while (i < 64) {
+              val v = r.getSample(i % 8, i / 8, 0).toLong
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, img.getWidth.toLong, img.getHeight.toLong, sum, mn, mx)
+          }
+        }.toDF("doc_id", "w", "h", "px_sum", "px_min", "px_max")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 8::BIGINT AS w, 8::BIGINT AS h,
+               sum((doc_id * 31 + i) % 256)::BIGINT AS px_sum,
+               min((doc_id * 31 + i) % 256)::BIGINT AS px_min,
+               max((doc_id * 31 + i) % 256)::BIGINT AS px_max
+             FROM documents
+             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------- p63 REAL audio decode (WAV, JDK)
+    // The audio twin of p62: 128 signed 16-bit PCM samples per doc,
+    // sample(i) = (doc_id*7 + i*13) % 65536 - 32768, written as a genuine
+    // RIFF/WAV container with javax.sound.sampled (JDK-builtin), then
+    // decoded back through AudioSystem in a second typed stage and reduced
+    // to (n_samples, sum, min, max). PCM-in-WAV is lossless ⇒ exact
+    // closed-form oracle. Same scale shape as p62: shuffle-free map
+    // stages; a real pipeline points the decode stage at stored clips.
+    NamedQuery("p63_multimodal_wav_decode",
+      (s, dir) => {
+        import s.implicits._
+        val n = 128
+        val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        val blobs = ids.mapPartitions { it =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, true, false) // 16-bit signed PCM, mono, little-endian
+          it.map { id =>
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val v = ((id * 7 + i * 13) % 65536 - 32768).toInt
+              pcm(2 * i) = (v & 0xff).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "blob")
+        blobs.as[(Long, Array[Byte])].mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val buf = ais.readAllBytes()
+            val nS = buf.length / 2
+            var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+            var i = 0
+            while (i < nS) {
+              // signed 16-bit little-endian: high byte keeps its sign
+              val v = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toLong
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, nS.toLong, sum, mn, mx)
+          }
+        }.toDF("doc_id", "n_samples", "s_sum", "s_min", "s_max")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 128::BIGINT AS n_samples,
+               sum((doc_id * 7 + i * 13) % 65536 - 32768)::BIGINT AS s_sum,
+               min((doc_id * 7 + i * 13) % 65536 - 32768)::BIGINT AS s_min,
+               max((doc_id * 7 + i * 13) % 65536 - 32768)::BIGINT AS s_max
+             FROM documents
+             CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)
+             GROUP BY doc_id ORDER BY doc_id""")))
 }

@@ -419,8 +419,14 @@ object QueriesStreaming {
           // doubles the entry's cost — file-writer setup is the unit of
           // work here and it parallelizes; a single-task "tidy" write is
           // the classic small-files anti-fix.)
+          // skip the whole write job (plan + commit protocol + dir listing)
+          // when a trigger touched no (window, type) group — AvailableNow
+          // runs a terminal catch-up batch with an empty changed-group set,
+          // and at scale a quiet trigger on a live stream is the COMMON
+          // case. isEmpty is a limit-1 probe: far cheaper than an empty
+          // dynamic-overwrite commit.
           val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-            batch.write.mode("overwrite")
+            if (!batch.isEmpty) batch.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("w_sec", "event_type")
               .parquet(outDir.toString)
@@ -1662,5 +1668,90 @@ object QueriesStreaming {
              GROUP BY day
              HAVING epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
                       <= any_value(wm.wus)
-             ORDER BY day""")))
+             ORDER BY day""")),
+
+    // --------- s33 checkpoint restart through the partition-overwrite sink
+    // s30 proved exactly-once resume for an idempotent per-batchId sink;
+    // this is the SAME restart contract through s08's
+    // continuously-maintained-table sink: phase 1 streams the first half
+    // of history through a hopping-window aggregate whose foreachBatch
+    // dynamically overwrites only the touched (w_sec, event_type)
+    // partitions; the query is STOPPED and a fresh instance restarts from
+    // the checkpoint over the grown input. Two semantics under gate:
+    // (1) window state rides the checkpoint — windows STRADDLING the
+    // restart (phase-1 partial counts, phase-2 more rows) must finalize
+    // with TOTAL aggregates, so a re-scan from zero or a state gap both
+    // hash-fail; (2) the upsert-by-partition discipline is idempotent
+    // under the restart contract's at-least-once replay of the last
+    // uncommitted batch — a replayed trigger recomputes the SAME complete
+    // per-group aggregates from the same state + offsets and rewrites the
+    // same partitions, never duplicating rows (the update-mode twin of
+    // s30's per-batchId dirs). This is how a 100 TB continuously-updated
+    // table survives executor/driver loss without a full rebuild.
+    NamedQuery("s33_stream_restart_overwrite",
+      (s, dir) => withStatePartitions(s, 8) {
+        import java.nio.file.{Files, Paths}
+        val root = Files.createTempDirectory("graft_s33_")
+        try {
+          val stageAll = root.resolve("all")
+          val live = root.resolve("live")
+          val ckpt = root.resolve("ckpt").toString
+          val out = root.resolve("out")
+          Files.createDirectories(live)
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(stageAll.toString)
+          val chunks = graft.util.Fs.listDir(stageAll)(
+            _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+          // chunk k = k-th time slice (range partitioning); mtimes stagger
+          // along that order so the file source delivers history in order
+          def arm(n: Int): Unit = chunks.take(n).zipWithIndex.foreach {
+            case (f, i) =>
+              val dst = live.resolve(s"chunk$i.parquet")
+              if (!Files.exists(dst)) Files.copy(Paths.get(f), dst)
+              Files.setLastModifiedTime(dst, java.nio.file.attribute
+                .FileTime.fromMillis(1000000000000L + i * 60000L))
+          }
+          def runPhase(): Unit = {
+            val ev = Tables.normalizeTs(
+              s.readStream
+                .schema(s.read.parquet(stageAll.toString).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(live.toString),
+              "ts")
+            val agg = ev
+              .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+              .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+              .select(unix_timestamp(col("window.start").cast("timestamp"))
+                .as("w_sec"), col("event_type"), col("n"), col("sum_value"))
+            val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+              if (!batch.isEmpty) batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("w_sec", "event_type")
+                .parquet(out.toString)
+            val q = agg.writeStream.option("checkpointLocation", ckpt)
+              .outputMode("update").trigger(Trigger.AvailableNow())
+              .foreachBatch(writeBatch).start()
+            try require(q.awaitTermination(180000L), "stream s33 did not finish")
+            finally q.stop()
+          }
+          arm(2); runPhase() // phase 1: first half of history
+          arm(4); runPhase() // fresh instance resumes from the checkpoint
+          s.read.parquet(out.toString)
+            .select(timestamp_seconds(col("w_sec").cast("long"))
+              .cast("timestamp_ntz").as("w_start"),
+              col("event_type"), col("n"), col("sum_value"))
+            .localCheckpoint()
+            .orderBy(col("w_start"), col("event_type"))
+        } finally graft.util.Fs.deleteRecursively(root)
+      },
+      Some(s"""WITH wins AS (
+               SELECT event_type, value,
+                      TIMESTAMP '1970-01-01 00:00:00' +
+                        (CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                         - i * 43200) * INTERVAL 1 SECOND AS w_start
+               FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
+             SELECT w_start, event_type, count(*) AS n,
+                    ${sqlDecSum("value")} AS sum_value
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

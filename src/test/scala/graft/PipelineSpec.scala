@@ -153,4 +153,30 @@ class PipelineSpec extends SparkTestBase {
       .selectExpr("sum(length(text))").head().getLong(0)
     assert(total == expected)
   }
+
+  test("p62 PNG decode is a REAL codec round-trip: pixels survive exactly") {
+    // every decoded pixel statistic must equal the closed form the encoder
+    // wrote — a lossy or broken codec path can't pass
+    val rows = run("p62_multimodal_png_decode").collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val px = (0 until 64).map(i => (id * 31 + i) % 256)
+      assert(r.getLong(1) == 8 && r.getLong(2) == 8)
+      assert(r.getLong(3) == px.sum)
+      assert(r.getLong(4) == px.min && r.getLong(5) == px.max)
+    }
+  }
+
+  test("p63 WAV decode round-trips signed 16-bit PCM exactly") {
+    val rows = run("p63_multimodal_wav_decode").collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ss = (0 until 128).map(i => (id * 7 + i * 13) % 65536 - 32768)
+      assert(r.getLong(1) == 128)
+      assert(r.getLong(2) == ss.sum)
+      assert(r.getLong(3) == ss.min && r.getLong(4) == ss.max)
+    }
+  }
 }
