@@ -419,17 +419,23 @@ object QueriesStreaming {
           // doubles the entry's cost — file-writer setup is the unit of
           // work here and it parallelizes; a single-task "tidy" write is
           // the classic small-files anti-fix.)
-          // skip the whole write job (plan + commit protocol + dir listing)
-          // when a trigger touched no (window, type) group — AvailableNow
-          // runs a terminal catch-up batch with an empty changed-group set,
-          // and at scale a quiet trigger on a live stream is the COMMON
-          // case. isEmpty is a limit-1 probe: far cheaper than an empty
-          // dynamic-overwrite commit.
-          val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-            if (!batch.isEmpty) batch.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("w_sec", "event_type")
-              .parquet(outDir.toString)
+          // persist FIRST: a foreachBatch DataFrame re-executes its whole
+          // micro-batch plan (chunk scan + state shuffle) on EVERY action,
+          // so probing emptiness without caching would double the trigger's
+          // compute. With the tiny changed-group set pinned, the isEmpty
+          // probe is a cache read, and the write job (plan + commit
+          // protocol + dir listing) is skipped entirely when a trigger
+          // touched no (window, type) group — AvailableNow's terminal
+          // catch-up batch here, the COMMON case on a quiet live stream.
+          val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+            batch.persist()
+            try {
+              if (!batch.isEmpty) batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("w_sec", "event_type")
+                .parquet(outDir.toString)
+            } finally batch.unpersist()
+          }
           val q = agg.writeStream
             .outputMode("update").trigger(Trigger.AvailableNow())
             .foreachBatch(writeBatch)
@@ -1724,11 +1730,18 @@ object QueriesStreaming {
               .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
               .select(unix_timestamp(col("window.start").cast("timestamp"))
                 .as("w_sec"), col("event_type"), col("n"), col("sum_value"))
-            val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
-              if (!batch.isEmpty) batch.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("w_sec", "event_type")
-                .parquet(out.toString)
+            // persist before the emptiness probe — same double-execution
+            // guard as s08's sink (a foreachBatch frame re-runs its
+            // micro-batch plan per action)
+            val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
+              batch.persist()
+              try {
+                if (!batch.isEmpty) batch.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("w_sec", "event_type")
+                  .parquet(out.toString)
+              } finally batch.unpersist()
+            }
             val q = agg.writeStream.option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch(writeBatch).start()

@@ -1,5 +1,8 @@
 #!/usr/bin/env python3
 """Differential SQL fuzzer: generate random aggregation queries in the
+(type-parity discipline: rank-family window functions and year()/month()
+are CAST to BIGINT — Spark types them INTEGER, DuckDB BIGINT — matching
+the registry's own BIGINT casts; the harness compares types since r6.)
 Spark∩DuckDB dialect, run them through graft.RunSql (Spark) and DuckDB,
 compare exactly. Determinism rules: only exact aggregates (count/min/max,
 integer sums, avg-of-int = one exact division), categorical group keys,
@@ -26,7 +29,7 @@ TABLES = {
                      ("l_returnflag", "str", ["A", "N", "R"]), ("l_discount", "num", (0, 0.1))],
     },
     "orders": {
-        "group": ["o_orderstatus", "o_orderpriority", "year(o_orderdate)"],
+        "group": ["o_orderstatus", "o_orderpriority", "CAST(year(o_orderdate) AS BIGINT)"],
         "int": ["o_orderkey", "o_custkey"],
         "double": ["o_totalprice"],
         "str": ["o_orderstatus", "o_orderpriority"],
@@ -61,7 +64,7 @@ def gen_pred(t):
 JOINS = [
     # (sql_from, usable group cols, usable agg cols by kind, pred tables)
     ("lineitem JOIN orders ON l_orderkey = o_orderkey",
-     ["l_returnflag", "o_orderstatus", "o_orderpriority", "year(o_orderdate)"],
+     ["l_returnflag", "o_orderstatus", "o_orderpriority", "CAST(year(o_orderdate) AS BIGINT)"],
      {"int": ["l_partkey", "o_custkey"], "double": ["l_quantity", "o_totalprice"],
       "str": ["l_linestatus", "o_orderpriority"]},
      ["lineitem", "orders"]),
@@ -111,11 +114,11 @@ def gen_window_query(i):
     ukey = spec["ukey"]
     win = f"PARTITION BY {part} ORDER BY {ukey}"
     sels = [f"{part} AS g0", f"{ukey} AS k",
-            f"row_number() OVER ({win}) AS rn"]
+            f"CAST(row_number() OVER ({win}) AS BIGINT) AS rn"]
     for j, kind in enumerate(rng.sample(
             ["rank", "lag", "lead", "runsum", "firstval"], k=rng.randint(1, 3))):
         if kind == "rank":
-            sels.append(f"dense_rank() OVER ({win}) AS a{j}")
+            sels.append(f"CAST(dense_rank() OVER ({win}) AS BIGINT) AS a{j}")
         elif kind == "lag":
             sels.append(f"lag({rng.choice(spec['val'])}, 1) OVER ({win}) AS a{j}")
         elif kind == "lead":
@@ -168,7 +171,7 @@ def gen_frame_query(i):
             sels.append(f"{f}({c}) OVER ({win} RANGE BETWEEN CURRENT ROW "
                         f"AND {w} FOLLOWING) AS a{j}")
         elif kind == "ntile":
-            sels.append(f"ntile({rng.randint(2, 7)}) OVER ({win}) AS a{j}")
+            sels.append(f"CAST(ntile({rng.randint(2, 7)}) OVER ({win}) AS BIGINT) AS a{j}")
         else:
             c = rng.choice(spec["val"])
             sels.append(f"nth_value({c}, {rng.randint(1, 4)}) OVER ({win} "
@@ -176,7 +179,7 @@ def gen_frame_query(i):
     where = f" WHERE {gen_pred(t)}" if rng.random() < 0.6 else ""
     return (f"r{i:03d}",
             f"SELECT * FROM (SELECT {', '.join(sels)}, "
-            f"row_number() OVER ({win}) AS rn FROM {t}{where}) "
+            f"CAST(row_number() OVER ({win}) AS BIGINT) AS rn FROM {t}{where}) "
             f"WHERE rn <= 12 ORDER BY g0, rn")
 
 
@@ -215,9 +218,9 @@ def gen_scalar_query(i):
             # binary value? NOT portable in general — use floor of scaled
             sels.append(f"CAST(floor({rng.choice(spec['num'])} * 4) AS BIGINT) AS a{j}")
         elif kind == "year":
-            sels.append(f"year({rng.choice(spec['date'])}) AS a{j}")
+            sels.append(f"CAST(year({rng.choice(spec['date'])}) AS BIGINT) AS a{j}")
         else:
-            sels.append(f"month({rng.choice(spec['date'])}) AS a{j}")
+            sels.append(f"CAST(month({rng.choice(spec['date'])}) AS BIGINT) AS a{j}")
     return (f"s{i:03d}",
             f"SELECT {', '.join(sels)} FROM {t} WHERE {key} <= 500 ORDER BY k")
 
