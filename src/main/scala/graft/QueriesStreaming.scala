@@ -30,7 +30,13 @@ object QueriesStreaming {
     * partitions are sized to key cardinality — the standard per-stream ops
     * knob, set here once at stream definition (a restarted stream keeps
     * the partitioning in its checkpoint). The fixtures have ~150 users →
-    * 8 partitions; a 100 TB stream sizes UP by the same rule (target
+    * 4 partitions for plain keyed state (~40 keys each; measured r6: the
+    * per-partition per-trigger fixed cost — delta file + snapshot +
+    * commit per store — outweighs parallelism at this key count, −11%
+    * s-family wall vs 8, −20-30% on stream-stream joins whose FOUR
+    * stores/partition quadruple that fixed cost); 8 where the state key
+    * space is larger (s18's per-user window maps, s21's corpus-index
+    * probe). A 100 TB stream sizes UP by the same rule (target
     * state-per-partition, e.g. thousands of partitions for billions of
     * keys). Batch entries keep the session default (= cores).
     *
@@ -142,7 +148,7 @@ object QueriesStreaming {
     // SQL. decSum keeps the double aggregation order-insensitive across
     // micro-batch merge order (same technique as the batch queries).
     NamedQuery("s01_stream_daily_stats",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val agg = eventsStream(s, dir)
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
@@ -161,7 +167,7 @@ object QueriesStreaming {
     // stateful operator merges sessions incrementally across micro-batches;
     // the oracle derives identical extents from the batch formulation.
     NamedQuery("s02_stream_sessions",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val agg = eventsStream(s, dir)
           .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
           .agg(count(lit(1)).as("n"))
@@ -198,7 +204,7 @@ object QueriesStreaming {
     // doesn't grow with stream length; unbounded state is fine for a
     // finite backfill like this one.
     NamedQuery("s03_stream_dedup",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val dedup = eventsStream(s, dir)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
@@ -217,7 +223,7 @@ object QueriesStreaming {
     // exactly the matched pairs regardless of micro-batch cut points, so
     // the streamed result set equals the batch theta-join the oracle runs.
     NamedQuery("s04_stream_stream_join",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         // stream-stream watermarks require TIMESTAMP (not NTZ); the session
         // is pinned to UTC everywhere, so the NTZ→TZ→NTZ round-trip is the
         // identity on the underlying instant
@@ -246,7 +252,7 @@ object QueriesStreaming {
     // table. ts is unique per user, so the argmax is merge-order
     // independent and the result equals the batch oracle bit-for-bit.
     NamedQuery("s05_stream_latest_by_key",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val agg = eventsStream(s, dir)
           .groupBy(col("user_id"))
           .agg(max(col("ts")).as("last_ts"),
@@ -276,7 +282,7 @@ object QueriesStreaming {
     // processAllAvailable (not AvailableNow) so the growing head is chased
     // to quiescence — the live-topic catch-up shape.
     NamedQuery("s06_stream_kafka_log",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
         val schema = StructType(Seq(
           StructField("user_id", LongType),
@@ -335,7 +341,7 @@ object QueriesStreaming {
     // total_value is deliberately NOT an output column: per-session double
     // accumulation order is tie-dependent; counts and ms bounds are exact.
     NamedQuery("s07_stream_custom_sessions",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         val gapMs = 6L * 3600 * 1000
         val ev = eventsStream(s, dir)
@@ -395,7 +401,7 @@ object QueriesStreaming {
     // read-back is materialized, so concurrent runs can never clobber or
     // replay each other's output.
     NamedQuery("s08_stream_foreachbatch_sink",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val outDir = java.nio.file.Files.createTempDirectory("graft_s08_out_")
         try withStagedEventsStream(s, dir, 4) { ev =>
           // hopping 1-day windows on a 12 h slide (2 hops/row): the same
@@ -478,7 +484,7 @@ object QueriesStreaming {
     // the same closed-form (partition, offset) log as s06, replayed by the
     // oracle with generate_series.
     NamedQuery("s09_stream_dsv2_microbatch",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val tag = java.util.UUID
           .nameUUIDFromBytes(s"s09:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .toString.replace("-", "").take(12)
@@ -539,7 +545,7 @@ object QueriesStreaming {
     // cutoff, [StateStoreSaveExec]'s non-strict `end <= watermark`
     // eviction predicate on ms-floored event time.
     NamedQuery("s10_stream_tumbling_append",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev =>
           val agg = ev
             .withColumn("ts", col("ts").cast("timestamp"))
@@ -572,7 +578,7 @@ object QueriesStreaming {
     // an unbounded 100 TB stream. Oracle: s02's relational sessionization
     // restricted to the same `end <= watermark` cutoff on ms-floored time.
     NamedQuery("s11_stream_sessions_append",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev =>
           val agg = ev
             .withColumn("ts", col("ts").cast("timestamp"))
@@ -620,7 +626,7 @@ object QueriesStreaming {
     // micro-batch (multi-batch cadence is s09's job); the caller-side
     // `_offset` window filter evaluates on the decoded stream.
     NamedQuery("s12_stream_dsv2_avro",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val tag = java.util.UUID
           .nameUUIDFromBytes(s"s12:$dir".getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .toString.replace("-", "").take(12)
@@ -687,7 +693,7 @@ object QueriesStreaming {
     // horizon stay in state forever — exactly what an unbounded production
     // stream would do. Oracle replays the ms-floored cutoff (s10's rule).
     NamedQuery("s14_stream_outer_join",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev0 =>
           // The join's effective watermark is the MIN over the two sides,
           // and EACH SIDE TRACKS ONLY ITS OWN ROWS: even with
@@ -767,7 +773,7 @@ object QueriesStreaming {
     // slowly-changing joins). The join is on the dim's key, every event
     // matches (FK-complete fixture), and the rollup is merge-order-free.
     NamedQuery("s13_stream_static_enrichment",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val dim = broadcast(Tables.load(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey")))
         val agg = eventsStream(s, dir)
@@ -799,7 +805,7 @@ object QueriesStreaming {
     // (s10 gates that path); update mode without one suits a finite
     // backfill or a keyed table whose key space is the bound.
     NamedQuery("s15_stream_update_mode",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val outDir = java.nio.file.Files.createTempDirectory("graft_s15_out_")
         try withStagedEventsStream(s, dir, 4) { ev =>
           val agg = ev
@@ -850,7 +856,7 @@ object QueriesStreaming {
     // exactly in days (both epoch-aligned), day closed ⇔ its end cleared
     // the final watermark (max ts − 1h), replaying s10's cutoff rule.
     NamedQuery("s16_stream_chained_aggs",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev =>
           val sixHour = ev
             .withColumn("ts", col("ts").cast("timestamp"))
@@ -895,7 +901,7 @@ object QueriesStreaming {
     // restored after (sequential harness, same discipline as
     // withStatePartitions).
     NamedQuery("s17_stream_state_v2_sessions",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.get(key,
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -994,7 +1000,7 @@ object QueriesStreaming {
     // through the streaming engine and one batch job + catch-up from an
     // offset.
     NamedQuery("s19_stream_seeded_bootstrap",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.get(key,
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -1087,7 +1093,7 @@ object QueriesStreaming {
     // gated: which physical row survives dedup is processing-order-
     // dependent, so per-row `ts` is dropped before the sink.
     NamedQuery("s20_stream_dedup_within_wm",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val dedup = eventsStream(s, dir)
           .select(col("user_id"), col("event_type"),
             col("ts").cast("timestamp").as("ts"))
@@ -1165,7 +1171,7 @@ object QueriesStreaming {
     // (blocklists are benchmark-sized), refreshed by restarting the
     // query — the same slowly-changing-dim story as s13.
     NamedQuery("s22_stream_static_anti",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val stage = java.nio.file.Files.createTempDirectory("graft_s22_stage_")
         try {
           val pfx = concat_ws(" ",
@@ -1210,7 +1216,7 @@ object QueriesStreaming {
     // O(events): the 100 TB property that distinguishes this from
     // collect-and-sort.
     NamedQuery("s23_stream_liststate_topk",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.get(key,
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
@@ -1255,7 +1261,7 @@ object QueriesStreaming {
     // in DuckDB (q86's oracle shape). Three deterministically malformed
     // rows are injected pre-staging, identically in both engines.
     NamedQuery("s24_stream_dead_letter",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import s.implicits._
         val stage = java.nio.file.Files.createTempDirectory("graft_s24_stage_")
         val cleanDir = java.nio.file.Files.createTempDirectory("graft_s24_clean_")
@@ -1328,7 +1334,7 @@ object QueriesStreaming {
     // top-k (s23's ListState) is the fallback. Tie-break on event_type
     // keeps the limit deterministic.
     NamedQuery("s25_stream_complete_topk",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 3) { evs =>
           val ranked = evs.groupBy(col("event_type"))
             .agg(count(lit(1)).as("n"))
@@ -1356,7 +1362,7 @@ object QueriesStreaming {
     // the same job. At 100 TB the overwrite becomes Delta/Iceberg MERGE
     // or s08's partition overwrite; the loop semantics are identical.
     NamedQuery("s26_stream_cdc_apply",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import org.apache.spark.sql.expressions.Window
         val target = java.nio.file.Files.createTempDirectory("graft_s26_target_")
         try {
@@ -1412,7 +1418,7 @@ object QueriesStreaming {
     // first match arrives, and chunking can't change the SET of matched
     // clicks. Oracle: the equivalent EXISTS.
     NamedQuery("s27_stream_semi_join",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         val ev = eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp"))
         val c = ev.filter(col("event_type") === "click")
           .withWatermark("ts", "1 hour")
@@ -1455,7 +1461,7 @@ object QueriesStreaming {
     // event time minus its delay, global = least of the two, emitted =
     // window end ≤ global (StateStoreSaveExec's non-strict predicate).
     NamedQuery("s28_stream_union_min_wm",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev =>
           val in = ev.withColumn("ts", col("ts").cast("timestamp"))
           val clicks = in.filter(col("event_type") === "click")
@@ -1498,7 +1504,7 @@ object QueriesStreaming {
     // micro-batch chunking. The encode/decode pair is per-row codegen'd
     // map work; the only shuffle is the final per-user rollup.
     NamedQuery("s29_stream_sink_roundtrip",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 3) { ev =>
           import graft.functions.{AvroSchemas, GraftFunctions => GF}
           import org.apache.spark.sql.types.StructType
@@ -1538,7 +1544,7 @@ object QueriesStreaming {
     // foreachBatch sink exactly-once. State (the dedup key set) rides
     // the checkpoint across the restart.
     NamedQuery("s30_stream_checkpoint_resume",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import java.nio.file.{Files, Paths}
         val root = Files.createTempDirectory("graft_s30_")
         try {
@@ -1601,7 +1607,7 @@ object QueriesStreaming {
     // integer seconds plus the terminal ms-floored cutoff against the
     // bucket's offset end.
     NamedQuery("s31_stream_origin_windows",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { ev =>
           val agg = ev
             .withColumn("ts", col("ts").cast("timestamp"))
@@ -1642,7 +1648,7 @@ object QueriesStreaming {
     // append mode
     // end-to-end (the only legal mode for chained stateful operators).
     NamedQuery("s32_stream_join_then_agg",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         withStagedEventsStream(s, dir, 4) { evRaw =>
           val ev = evRaw.withColumn("ts", col("ts").cast("timestamp"))
           val joined = graft.streaming.EventStreams.clickErrorJoin(
@@ -1695,7 +1701,7 @@ object QueriesStreaming {
     // s30's per-batchId dirs). This is how a 100 TB continuously-updated
     // table survives executor/driver loss without a full rebuild.
     NamedQuery("s33_stream_restart_overwrite",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, 4) {
         import java.nio.file.{Files, Paths}
         val root = Files.createTempDirectory("graft_s33_")
         try {

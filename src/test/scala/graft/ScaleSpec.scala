@@ -766,4 +766,16 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(text"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("p62/p63 media decode: shuffle-free map stages — only the final sort exchanges") {
+    // the encode→decode codec pipeline must stay per-row map work: no
+    // join, no aggregate, no hash shuffle; the single rangepartitioning
+    // exchange belongs to the presentation orderBy
+    for (name <- Seq("p62_multimodal_png_decode", "p63_multimodal_wav_decode")) {
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    }
+  }
 }
