@@ -199,7 +199,8 @@ def gen_scalar_query(i):
     for j in range(rng.randint(2, 4)):
         kind = rng.choice(
             ["upper", "lower", "substr", "length", "concat", "abs", "floor", "round2"]
-            + (["year", "month"] if spec["date"] else []))
+            + (["year", "month", "quarter", "lastday", "dtrunc"]
+               if spec["date"] else []))
         if kind in ("upper", "lower"):
             sels.append(f"{kind}({rng.choice(spec['str'])}) AS a{j}")
         elif kind == "substr":
@@ -219,6 +220,16 @@ def gen_scalar_query(i):
             sels.append(f"CAST(floor({rng.choice(spec['num'])} * 4) AS BIGINT) AS a{j}")
         elif kind == "year":
             sels.append(f"CAST(year({rng.choice(spec['date'])}) AS BIGINT) AS a{j}")
+        elif kind == "quarter":
+            sels.append(f"CAST(quarter({rng.choice(spec['date'])}) AS BIGINT) AS a{j}")
+        elif kind == "lastday":
+            # month-end snap: DATE in both dialects
+            sels.append(f"last_day({rng.choice(spec['date'])}) AS a{j}")
+        elif kind == "dtrunc":
+            # Spark date_trunc returns TIMESTAMP, DuckDB returns DATE —
+            # the explicit CAST AS DATE makes the shared text type-stable
+            part = rng.choice(["year", "month"])
+            sels.append(f"CAST(date_trunc('{part}', {rng.choice(spec['date'])}) AS DATE) AS a{j}")
         else:
             sels.append(f"CAST(month({rng.choice(spec['date'])}) AS BIGINT) AS a{j}")
     return (f"s{i:03d}",
