@@ -436,8 +436,22 @@ object QueriesStreaming {
           val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
             batch.persist()
             try {
-              if (!batch.isEmpty) batch.write.mode("overwrite")
+              if (!batch.isEmpty) batch
+                // decouple WRITE parallelism from state sizing: the state
+                // shuffle runs at 4 partitions (sized to key count), so the
+                // sink would write ~80 one-file partition dirs from 4
+                // sequential tasks; parquet writer init is the unit of cost
+                // here and it parallelizes — spread groups over 16 writers
+                .repartition(16, col("w_sec"), col("event_type"))
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
+                // commit-protocol trims, propagated per-write via
+                // newHadoopConfWithOptions: v2 commits task files straight
+                // to their final dirs (no sequential job-commit rename
+                // sweep over every touched partition), and the _SUCCESS
+                // marker is dead weight for a sink re-read each trigger
+                .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+                .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
                 .partitionBy("w_sec", "event_type")
                 .parquet(outDir.toString)
             } finally batch.unpersist()
@@ -1742,8 +1756,14 @@ object QueriesStreaming {
             val writeBatch: (DataFrame, Long) => Unit = (batch, _) => {
               batch.persist()
               try {
-                if (!batch.isEmpty) batch.write.mode("overwrite")
+                if (!batch.isEmpty) batch
+                  // same write-parallelism + commit-protocol trims as
+                  // s08's sink (see there)
+                  .repartition(16, col("w_sec"), col("event_type"))
+                  .write.mode("overwrite")
                   .option("partitionOverwriteMode", "dynamic")
+                  .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+                  .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
                   .partitionBy("w_sec", "event_type")
                   .parquet(out.toString)
               } finally batch.unpersist()
