@@ -3282,5 +3282,78 @@ object QueriesPipeline {
                max((doc_id * 7 + i * 13) % 65536 - 32768)::BIGINT AS s_max
              FROM documents
              CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS i)
-             GROUP BY doc_id ORDER BY doc_id""")))
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------- p64 training order
+    // Deterministic proportional source interleave: the data-ORDERING step
+    // between p45's mixture allocation and p43's shard packing — a training
+    // run wants one reproducible global document order in which every
+    // source is spread evenly over the epoch in proportion to its size
+    // (no "all of source A, then all of B" curriculum accidents). The
+    // classic construction: rank docs within each source (stable key:
+    // doc_id), interleave key = rank / |source| ∈ (0, 1] (each source's
+    // docs land uniformly over the unit epoch), global position = rank in
+    // (key, source, rank) order — a total, engine-agnostic order (the key
+    // is ONE IEEE division, bit-identical in both engines; ties across
+    // equal-sized sources break by name). Scale: the within-source rank
+    // partitions by source; the GLOBAL position is p43's distributed
+    // prefix-sum, never a corpus-wide single-partition window — key-range
+    // buckets (the key is uniform on (0,1], so fixed-width buckets are
+    // balance-free), per-bucket counts, bounded running-sum window over
+    // #buckets rows, broadcast offsets + within-bucket rank. At 100 TB
+    // raise B to the cluster's partition count; all other math is
+    // per-row. src_rank/pos cast BIGINT on both sides (Spark row_number
+    // is INTEGER, DuckDB's windowed sum is HUGEINT — the r5 lesson).
+    NamedQuery("p64_training_order",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = 64
+        val perSrc = Tables.load(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        val ranked = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("src_rank", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id")))
+            .cast("long"))
+          .join(broadcast(perSrc), "source")
+          .withColumn("ikey", col("src_rank").cast("double") / col("n_src"))
+          .withColumn("bucket", least(lit(b - 1L), floor(col("ikey") * b)))
+        val offsets = ranked.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_b"))
+          .withColumn("off", coalesce(sum(col("n_b")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("off"))
+        ranked.join(broadcast(offsets), "bucket")
+          .withColumn("pos", col("off") + row_number().over(
+            Window.partitionBy(col("bucket"))
+              .orderBy(col("ikey"), col("source"), col("src_rank"))))
+          .select(col("doc_id"), col("source"), col("src_rank"), col("pos"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH per AS (
+               SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+             r AS (
+               SELECT d.doc_id, d.source,
+                      row_number() OVER (PARTITION BY d.source
+                                         ORDER BY d.doc_id)::BIGINT AS src_rank,
+                      per.n_src
+               FROM documents d JOIN per USING (source)),
+             k AS (
+               SELECT doc_id, source, src_rank,
+                      CAST(src_rank AS DOUBLE) / n_src AS ikey,
+                      least(63, CAST(floor(CAST(src_rank AS DOUBLE) / n_src * 64)
+                                     AS BIGINT)) AS bucket
+               FROM r),
+             off AS (
+               SELECT bucket,
+                      coalesce(sum(n_b) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS off
+               FROM (SELECT bucket, count(*) AS n_b FROM k GROUP BY bucket))
+             SELECT k.doc_id, k.source, k.src_rank,
+                    (off.off + row_number() OVER (PARTITION BY k.bucket
+                       ORDER BY k.ikey, k.source, k.src_rank))::BIGINT AS pos
+             FROM k JOIN off USING (bucket)
+             ORDER BY pos""")))
 }

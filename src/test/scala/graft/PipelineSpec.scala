@@ -179,4 +179,24 @@ class PipelineSpec extends SparkTestBase {
       assert(r.getLong(3) == ss.min && r.getLong(4) == ss.max)
     }
   }
+
+  test("p64 training order is a permutation that spreads every source proportionally") {
+    val rows = run("p64_training_order").collect()
+    val n = rows.length.toLong
+    assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to n)) // permutation
+    // proportional interleave: any prefix of the order holds each source in
+    // ~its corpus share. With key = rank/|s| the count of source s in the
+    // key-t prefix is n_s*t ± O(1), so a position-N/2 prefix deviates by at
+    // most a few docs per source — use #sources + 2 as the bound.
+    val bySrc = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val k = bySrc.size
+    val firstHalf = rows.filter(_.getLong(3) <= n / 2).groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
+    bySrc.foreach { case (src, nS) =>
+      val expect = nS * (n / 2).toDouble / n
+      val got = firstHalf.getOrElse(src, 0L).toDouble
+      assert(math.abs(got - expect) <= k + 2,
+        s"$src: $got in first half, expected ~$expect of $nS")
+    }
+  }
 }

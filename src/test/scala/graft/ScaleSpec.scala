@@ -455,6 +455,18 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
 
+  test("p64 training order: global position is the p43 prefix-sum, never a corpus-wide single-partition window") {
+    val p = plan("p64_training_order")
+    // within-source rank and within-bucket rank shuffle on their keys —
+    // the corpus-sized windows are always partitioned
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    // the ONLY single-partition stage is the running sum over the
+    // per-BUCKET count table (#buckets rows), broadcast back
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1, p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+  }
+
   test("p44 doc novelty: O(index) — no candidate pairs, bounded exchange count") {
     val p = plan("p44_doc_novelty")
     // novelty is df-counting over the shared index joined back on h — a
