@@ -3355,5 +3355,65 @@ object QueriesPipeline {
                     (off.off + row_number() OVER (PARTITION BY k.bucket
                        ORDER BY k.ikey, k.source, k.src_rank))::BIGINT AS pos
              FROM k JOIN off USING (bucket)
-             ORDER BY pos""")))
+             ORDER BY pos""")),
+
+    // ---------------------------------------- p65 snapshot diff
+    // Corpus VERSIONING audit: a living corpus is re-crawled/re-filtered
+    // between training runs, and the first question before re-training is
+    // "what changed" — per-source added / removed / changed / unchanged
+    // counts between snapshot v1 and v2. v2 is derived deterministically
+    // from the fixture (id%23==5 deleted, id%17==3 revised, id%29==7
+    // re-added under fresh ids), both engines build the SAME v2, and the
+    // diff itself is the operator under test: one doc_id-keyed FULL OUTER
+    // join, status from null-sides + content comparison, integer rollup on
+    // (source, status). The comparison is raw-text equality here; at
+    // 100 TB you persist a per-doc content fingerprint (p11) in each
+    // snapshot's manifest and compare fingerprints — same join shape, 8
+    // bytes a side instead of the document. Scale: the join shuffles both
+    // snapshots on doc_id (or is exchange-free if manifests are bucketed
+    // by doc_id, the layout p33 already uses), the rollup is map-side
+    // combined on a bounded key; no window, no skew (doc_id is unique).
+    NamedQuery("p65_snapshot_diff",
+      (s, dir) => {
+        val v1 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 23 =!= 5)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(v1.filter(col("doc_id") % 29 === 7)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              concat(col("text"), lit(" [new]")).as("text")))
+        val a = v1.select(col("doc_id"), col("source").as("src1"),
+          col("text").as("t1"))
+        val b = v2.select(col("doc_id"), col("source").as("src2"),
+          col("text").as("t2"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("t1").isNull, lit("added"))
+              .when(col("t2").isNull, lit("removed"))
+              .when(col("t1") =!= col("t2"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+             v2 AS (
+               SELECT doc_id, source,
+                      CASE WHEN doc_id % 17 = 3 THEN text || ' [rev2]'
+                           ELSE text END AS text
+               FROM v1 WHERE doc_id % 23 <> 5
+               UNION ALL
+               SELECT doc_id + 1000000, source, text || ' [new]'
+               FROM v1 WHERE doc_id % 29 = 7),
+             d AS (
+               SELECT coalesce(v1.source, v2.source) AS source,
+                      CASE WHEN v1.doc_id IS NULL THEN 'added'
+                           WHEN v2.doc_id IS NULL THEN 'removed'
+                           WHEN v1.text <> v2.text THEN 'changed'
+                           ELSE 'unchanged' END AS status
+               FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+             SELECT source, status, count(*) AS n FROM d
+             GROUP BY source, status ORDER BY source, status""")))
 }

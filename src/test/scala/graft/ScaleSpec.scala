@@ -467,6 +467,13 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
 
+  test("p65 snapshot diff: one doc_id-keyed full-outer join, no window, no cartesian") {
+    val p = plan("p65_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(p.contains("Exchange hashpartitioning(doc_id"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("p44 doc novelty: O(index) — no candidate pairs, bounded exchange count") {
     val p = plan("p44_doc_novelty")
     // novelty is df-counting over the shared index joined back on h — a
