@@ -3415,5 +3415,42 @@ object QueriesPipeline {
                            ELSE 'unchanged' END AS status
                FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
              SELECT source, status, count(*) AS n FROM d
-             GROUP BY source, status ORDER BY source, status""")))
+             GROUP BY source, status ORDER BY source, status""")),
+
+    // ---------------------------------- p66 leakage-safe train/val split
+    // Splitting a deduplicated corpus doc-by-doc leaks: a near-duplicate
+    // pair straddling train/val inflates eval (the model "generalizes" to
+    // a paraphrase of its own training data). The safe unit is the dedup
+    // CLUSTER — assign every document its component keeper (p17's shared
+    // CC labels; singletons are their own cluster) and split on a
+    // deterministic function of the CLUSTER id, so no near-dup pair can
+    // ever cross the boundary by construction. Output: per-split doc and
+    // cluster counts. Scale: reads the SAME shared keeper index every
+    // dedup op uses (no recompute), one doc_id-keyed left join against
+    // the tiny label set (broadcastable — one row per PAIRED doc only),
+    // one bounded rollup; leakage safety costs nothing over a naive split.
+    NamedQuery("p66_leakage_safe_split",
+      (s, dir) => {
+        val labels = sharedKeepers(s, dir).select(col("doc_id"), col("keeper_id"))
+        Corpus.docs(s, dir).select(col("doc_id"))
+          .join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("keeper_id"), col("doc_id")))
+          .withColumn("split",
+            when(pmod(col("cluster"), lit(10)) < 8, "train").otherwise("val"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             $sqlCcLabelCtes,
+             assigned AS (
+               SELECT c.doc_id, coalesce(l.keeper_id, c.doc_id) AS cluster
+               FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id)
+             SELECT CASE WHEN cluster % 10 < 8 THEN 'train' ELSE 'val' END
+                      AS split,
+                    count(*) AS n_docs,
+                    count(DISTINCT cluster) AS n_clusters
+             FROM assigned GROUP BY 1 ORDER BY 1""")))
 }

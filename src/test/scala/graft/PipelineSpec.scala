@@ -199,4 +199,20 @@ class PipelineSpec extends SparkTestBase {
         s"$src: $got in first half, expected ~$expect of $nS")
     }
   }
+
+  test("p66 split is leakage-safe: no near-dup pair straddles train/val") {
+    // rebuild the doc -> split map exactly as p66 assigns it (cluster =
+    // keeper else self, split on cluster % 10), then check every verified
+    // near-dup pair (p03's output, the same pair set the CC labels come
+    // from) has both endpoints on the same side
+    val keeper = run("p17_dedup_keeper").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(id: Long): Boolean = keeper.getOrElse(id, id) % 10 < 8
+    val pairs = run("p03_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles the split")
+    }
+  }
 }
