@@ -3389,9 +3389,12 @@ object QueriesPipeline {
         val b = v2.select(col("doc_id"), col("source").as("src2"),
           col("text").as("t2"))
         a.join(b, Seq("doc_id"), "full_outer")
+          // presence from the join-side source columns (never null within
+          // a snapshot), NOT from the compared text payload — a NULL text
+          // must read as present-but-null, same as the oracle's doc_id test
           .select(coalesce(col("src1"), col("src2")).as("source"),
-            when(col("t1").isNull, lit("added"))
-              .when(col("t2").isNull, lit("removed"))
+            when(col("src1").isNull, lit("added"))
+              .when(col("src2").isNull, lit("removed"))
               .when(col("t1") =!= col("t2"), lit("changed"))
               .otherwise(lit("unchanged")).as("status"))
           .groupBy(col("source"), col("status"))

@@ -418,13 +418,6 @@ object QueriesStreaming {
               col("event_type"), col("n"), col("sum_value"))
           // explicit function type: foreachBatch is overloaded (Scala
           // function vs Java VoidFunction2) and a bare lambda is ambiguous.
-          // No repartition before the write: the state shuffle already
-          // hashes on the FULL group key, so each (w_sec, event_type)
-          // partition dir receives exactly one file, written 8-way
-          // parallel. (Measured: funneling the write through one task
-          // doubles the entry's cost — file-writer setup is the unit of
-          // work here and it parallelizes; a single-task "tidy" write is
-          // the classic small-files anti-fix.)
           // persist FIRST: a foreachBatch DataFrame re-executes its whole
           // micro-batch plan (chunk scan + state shuffle) on EVERY action,
           // so probing emptiness without caching would double the trigger's

@@ -14,9 +14,10 @@ profile:
 — the absolute floor keeps sub-second entries from tripping on scheduler
 jitter; the ratio catches the real multi-x contamination signature.
 """
-import json, sys
+import json, os, sys
 
-PROFILE = "/root/repo/BENCH_PROFILE.json"
+PROFILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "BENCH_PROFILE.json")
 TOL_RATIO = 2.0
 TOL_ABS = 1.0  # seconds
 
@@ -47,16 +48,28 @@ def main():
         limit = max(TOL_RATIO * prof[k], prof[k] + TOL_ABS)
         if v > limit:
             bad.append((k, prof[k], v))
+    # a profiled entry ABSENT from the run (load() drops failed -1 entries,
+    # and a renamed/deleted entry vanishes from the JSON) is the worst
+    # regression of all and must not pass silently. Only enforced when the
+    # run covers most of the profile — a SPARK_GRAFT_BENCH_ONLY subset run
+    # legitimately omits entries.
+    missing = sorted(set(prof) - set(cur))
+    full_run = len(cur) >= 0.9 * len(prof)
     for k in new:
         print(f"  new entry (no profile): {k} = {cur[k]:.2f}s")
+    for k in missing:
+        print(("MISSING " if full_run else "  absent (subset run): ")
+              + f"{k}: profiled {prof[k]:.2f}s, not in this run "
+              "(failed with -1, or dropped from the registry)")
     for k, p, v in bad:
         print(f"REGRESSION {k}: profile {p:.2f}s -> {v:.2f}s "
               f"({v / max(p, 1e-9):.1f}x)")
     tot_p = sum(prof.get(k, 0) for k in cur)
     tot_c = sum(v for k, v in cur.items() if k in prof)
     print(f"\ncommon-entry sum: profile {tot_p:.1f}s, this run {tot_c:.1f}s "
-          f"({tot_c / max(tot_p, 1e-9):.2f}x); {len(bad)} regressions")
-    return 1 if bad else 0
+          f"({tot_c / max(tot_p, 1e-9):.2f}x); {len(bad)} regressions"
+          + (f"; {len(missing)} missing" if full_run and missing else ""))
+    return 1 if bad or (full_run and missing) else 0
 
 
 if __name__ == "__main__":
