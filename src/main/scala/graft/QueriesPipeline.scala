@@ -3185,6 +3185,12 @@ object QueriesPipeline {
         import s.implicits._
         val ids = Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
         val blobs = ids.mapPartitions { it =>
+          // ImageIO wraps every write/read in a DISK-cached image stream by
+          // default — one temp file per image, serialized on the JVM's
+          // temp-dir lock across all 32 task threads (measured: 0.9 s
+          // isolated vs 3.7 s inside the loaded full-registry run, both
+          // plans identical). In-memory cache removes the shared-lock I/O.
+          javax.imageio.ImageIO.setUseCache(false)
           it.map { id =>
             val img = new java.awt.image.BufferedImage(
               8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -3200,6 +3206,7 @@ object QueriesPipeline {
           }
         }.toDF("doc_id", "blob")
         blobs.as[(Long, Array[Byte])].mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // see encode stage
           it.map { case (id, bytes) =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
