@@ -3462,5 +3462,276 @@ object QueriesPipeline {
                       AS split,
                     count(*) AS n_docs,
                     count(DISTINCT cluster) AS n_clusters
-             FROM assigned GROUP BY 1 ORDER BY 1""")))
+             FROM assigned GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------------- p67 IVF recall audit
+    // Recall@5 of the IVF ANN path (p14's nprobe-2 coarse quantizer)
+    // against the exact brute-force top-5 (p06), per query — the third
+    // leg of the approximate-path audit family (p54 LSH precision, p57
+    // LSH recall audit the shingle index; this audits the EMBEDDING
+    // index). Both sides use the deterministic (score DESC, n_id)
+    // tiebreak, so the top-5 sets — and hence recall — are exact,
+    // engine-reproducible numbers, not samples of a random process.
+    // Scale: the audit is query-sample-bounded (|Q| queries, not the
+    // corpus): the exact side is the O(N·|Q|) broadcast scan p06 already
+    // pays, the IVF side probes 2/k of the corpus per query, and both
+    // reuse the shared norm-annotated vector cache; the intersection join
+    // touches 5·|Q| rows. Nothing here grows with N beyond the one
+    // baseline scan — the price of ground truth, paid on a sample.
+    NamedQuery("p67_ivf_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = sharedNormVecs(s, dir)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+        val exact = v.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))
+          .join(broadcast(q), col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            pairScore(col("qe"), col("ne"), col("qn"), col("nn")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"))
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
+        val seedArr = seeds.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        val assignedBoth = v.crossJoin(broadcast(seedArr))
+          .withColumn("best", GF.nearestSeeds(col("sarr"), col("embedding"), col("norm")))
+        val assigned = assignedBoth
+          .select(col("best")(0).as("part"), col("vec_id"), col("embedding"), col("norm"))
+        val qi = assignedBoth.filter(col("vec_id") < 10)
+          .select(explode(col("best")).as("part"),
+            col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+        val approx = assigned
+          .select(col("part"), col("vec_id").as("n_id"), col("embedding").as("ne"), col("norm").as("nn"))
+          .join(broadcast(qi), Seq("part"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("n_id"),
+            pairScore(col("qe"), col("ne"), col("qn"), col("nn")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"))
+        val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5)).as("recall"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn
+                   FROM vecs WHERE vec_id < 10),
+             scored_exact AS (
+               SELECT q_id, v.vec_id AS n_id,
+                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
+               FROM q JOIN vecs v ON v.vec_id <> q.q_id),
+             exact AS (
+               SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, n_id) AS rank
+                 FROM scored_exact) WHERE rank <= 5),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             scoredseeds AS (
+               SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM vecs v CROSS JOIN seeds s),
+             ranked_seeds AS (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, seed_id) AS rn
+               FROM scoredseeds),
+             assigned AS (
+               SELECT seed_id AS part, vec_id, embedding, norm
+               FROM ranked_seeds WHERE rn = 1),
+             qiv AS (SELECT seed_id AS part, vec_id AS q_id, embedding AS qe, norm AS qn
+                     FROM ranked_seeds WHERE rn <= 2 AND vec_id < 10),
+             scored_ivf AS (
+               SELECT q_id, v.vec_id AS n_id,
+                      ${sqlPairScore("qe", "v.embedding", "qn", "v.norm")} AS score
+               FROM qiv JOIN assigned v ON v.part = qiv.part AND v.vec_id <> qiv.q_id),
+             approx AS (
+               SELECT q_id, n_id FROM (
+                 SELECT q_id, n_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, n_id) AS rank
+                 FROM scored_ivf) WHERE rank <= 5),
+             hits AS (
+               SELECT e.q_id, count(*) AS n_hit
+               FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+               GROUP BY e.q_id)
+             SELECT q.q_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+                    CAST(coalesce(n_hit, 0) AS DOUBLE) / 5 AS recall
+             FROM q LEFT JOIN hits ON hits.q_id = q.q_id
+             ORDER BY q.q_id""")),
+
+    // --------------------------------------------- p68 shard manifest
+    // Integrity manifest for the training-shard write (p43's packing):
+    // per shard, the doc count, byte total, and an ORDER-INDEPENDENT
+    // content checksum — bit_xor of poly_hash("<doc_id>:<text>") — so a
+    // reader can verify a shard without caring how tasks interleaved rows
+    // inside it. XOR is the right fold at 100 TB: commutative (task order
+    // free), width-preserving (no HUGEINT/overflow drift at any corpus
+    // size, unlike a summed checksum), and mergeable (the manifest of a
+    // compacted shard pair is the XOR of the parts). Shard assignment is
+    // the same distributed prefix-sum as p43 (per-bucket totals → bounded
+    // window over #buckets rows → per-bucket running sums); the manifest
+    // itself adds one map-side hash per row and rides the same groupBy —
+    // integrity costs one codegen'd expression, not a second pass.
+    NamedQuery("p68_shard_manifest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 8000L
+        val b = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            expr("doc_id div 100").as("bucket"))
+        val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("bsum"))
+          .withColumn("boff", sum(col("bsum")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("bucket"), coalesce(col("boff"), lit(0L)).as("boff"))
+        b.join(broadcast(offsets), "bucket")
+          .withColumn("wsum", sum(col("n_chars")).over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("start", col("boff") + coalesce(col("wsum"), lit(0L)))
+          .withColumn("shard", expr(s"start div $target"))
+          .withColumn("h", GF.poly_hash(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+            expr("bit_xor(h)").as("checksum"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+             bit_xor(h) AS checksum
+             FROM (SELECT doc_id, n_chars,
+                     (((sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_chars) // 8000))::BIGINT AS shard,
+                     ${PolyHash.oracleSql("doc_id::VARCHAR || ':' || text")} AS h
+                   FROM documents)
+             GROUP BY shard ORDER BY shard""")),
+
+    // ----------------------------------- p69 incremental IVF ingest
+    // Index maintenance between centroid refreshes: a synthetic ingest
+    // batch (negated copies of every 7th vector — sign flip reverses each
+    // cosine, so the frozen quantizer routes them elsewhere,
+    // deterministically in both engines) is assigned to the EXISTING
+    // centroids, and the op reports per-cell occupancy before/after — the
+    // drift signal that decides when a refresh is due. The embedding-side
+    // twin of p33's incremental dedup: at 100 TB the index is not rebuilt
+    // per ingest; assignment is map-side math against broadcast centroids
+    // (no shuffle touches the standing corpus), and the report is a
+    // rollup over k cells. Centroid refresh stays a separate periodic job
+    // (p20's k-means step).
+    NamedQuery("p69_ivf_incremental",
+      (s, dir) => {
+        val v = sharedNormVecs(s, dir)
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+          .select(col("vec_id").as("seed_id"), col("embedding").as("se"), col("norm").as("sn"))
+        val seedArr = seeds.agg(
+          array_sort(collect_list(struct(col("seed_id"), col("se"), col("sn")))).as("sarr"))
+        def assign(df: DataFrame): DataFrame = df
+          .crossJoin(broadcast(seedArr))
+          .select(GF.nearestSeeds(col("sarr"), col("embedding"), col("norm"))(0).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n"))
+        val before = assign(v).withColumnRenamed("n", "n_before")
+        val batch = v.filter(col("vec_id") % 7 === 2)
+          .select(transform(col("embedding"), x => -x).as("embedding"), col("norm"))
+        val after = assign(batch).withColumnRenamed("n", "n_new")
+        before.join(after, Seq("part"), "full_outer")
+          .select(col("part"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .orderBy(col("part"))
+      },
+      Some(s"""WITH vecs0 AS (${Corpus.vecsSql}),
+             vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
+             seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
+                       FROM vecs WHERE vec_id >= 100 AND vec_id < 116),
+             before_a AS (
+               SELECT seed_id AS part FROM (
+                 SELECT v.vec_id, s.seed_id,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} DESC,
+                                   s.seed_id) AS rn
+                 FROM vecs v CROSS JOIN seeds s) WHERE rn = 1),
+             batch AS (
+               SELECT vec_id, list_transform(embedding, x -> -x) AS embedding, norm
+               FROM vecs WHERE vec_id % 7 = 2),
+             after_a AS (
+               SELECT seed_id AS part FROM (
+                 SELECT b.vec_id, s.seed_id,
+                        row_number() OVER (PARTITION BY b.vec_id
+                          ORDER BY ${sqlPairScore("b.embedding", "se", "b.norm", "sn")} DESC,
+                                   s.seed_id) AS rn
+                 FROM batch b CROSS JOIN seeds s) WHERE rn = 1),
+             nb AS (SELECT part, count(*) AS n_before FROM before_a GROUP BY part),
+             na AS (SELECT part, count(*) AS n_new FROM after_a GROUP BY part)
+             SELECT coalesce(nb.part, na.part) AS part,
+                    coalesce(n_before, 0)::BIGINT AS n_before,
+                    coalesce(n_new, 0)::BIGINT AS n_new
+             FROM nb FULL OUTER JOIN na ON na.part = nb.part
+             ORDER BY part""")),
+
+    // ------------------------------------- p70 PQ distortion audit
+    // Reconstruction-quality audit of p27's product quantization — the
+    // third approximate structure gets its audit (LSH: p54/p57, IVF: p67,
+    // PQ: here). Per (subspace, assigned code): occupancy and the mean
+    // cosine between the true subvector and its codebook centroid — the
+    // per-cell distortion a PQ deployment monitors to size codebooks.
+    // Scale: assignment is the same broadcast-codebook map-side math as
+    // p27 (no shuffle of the corpus beyond the (sub, code) rollup, 4·N
+    // rows keyed on 64 cells max); the audit rides the encode pass —
+    // monitoring costs one extra cosine per subvector, not a decode pass.
+    NamedQuery("p70_pq_distortion",
+      (s, dir) => {
+        val v = sharedNormVecs(s, dir)
+        val seeds = v.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        val subSeedCols = (0 until 4).map { sub =>
+          val se = slice(col("embedding"), sub * 16 + 1, 16)
+          array_sort(collect_list(struct((col("vec_id") - 100).as("seed_id"),
+            se.as("se"),
+            sqrt(GF.dotDecimal(se, se).cast("double")).as("sn")))).as(s"sarr$sub")
+        }
+        val seedArr = seeds.agg(subSeedCols.head, subSeedCols.tail: _*)
+        val base = v.filter(col("vec_id") < 100).crossJoin(broadcast(seedArr))
+        val perSub = (0 until 4).map { sub =>
+          val sv = slice(col("embedding"), sub * 16 + 1, 16)
+          val svn = sqrt(GF.dotDecimal(sv, sv).cast("double"))
+          val chosen = element_at(col(s"sarr$sub"),
+            (GF.nearestSeeds(col(s"sarr$sub"), sv, svn)(0) + 1).cast("int"))
+          base.select(lit(sub).as("sub"), chosen.getField("seed_id").as("code"),
+            pairScore(sv, chosen.getField("se"), svn, chosen.getField("sn")).as("cos"))
+        }.reduce(_ unionAll _)
+        perSub.groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n"), decAvg(col("cos")).as("avg_cos"))
+          .orderBy(col("sub"), col("code"))
+      },
+      Some {
+        val subSelects = (0 until 4).map { sub =>
+          val lo = sub * 16 + 1
+          val hi = sub * 16 + 16
+          val vSub = s"v.embedding[$lo:$hi]"
+          val sSub = s"s.embedding[$lo:$hi]"
+          val score = s"CAST(${GF.sqlDotDecimal(vSub, sSub)} AS DOUBLE) / " +
+            s"(sqrt(CAST(${GF.sqlDotDecimal(vSub, vSub)} AS DOUBLE)) * " +
+            s"sqrt(CAST(${GF.sqlDotDecimal(sSub, sSub)} AS DOUBLE)))"
+          s"""SELECT $sub AS sub, code, cos FROM (
+                 SELECT v.vec_id, s.vec_id - 100 AS code, $score AS cos,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY $score DESC, s.vec_id) AS rn
+                 FROM q v CROSS JOIN seeds s) WHERE rn = 1"""
+        }.mkString(" UNION ALL ")
+        s"""WITH vecs AS (${Corpus.vecsSql}),
+           seeds AS (SELECT vec_id, embedding FROM vecs
+                     WHERE vec_id >= 100 AND vec_id < 116),
+           q AS (SELECT vec_id, embedding FROM vecs WHERE vec_id < 100),
+           persub AS ($subSelects)
+           SELECT sub, code, count(*) AS n, ${sqlDecAvg("cos")} AS avg_cos
+           FROM persub GROUP BY sub, code ORDER BY sub, code"""
+      }))
 }

@@ -1785,5 +1785,90 @@ object QueriesStreaming {
                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i))
              SELECT w_start, event_type, count(*) AS n,
                     ${sqlDecSum("value")} AS sum_value
-             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")))
+             FROM wins GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------- s34 transactional JDBC sink, exactly-once
+    // The exactly-once story for a TRANSACTIONAL store (s30 proved it for
+    // the memory-sink topology, s33 for idempotent-by-path file
+    // partitions; this is the third sink class — a real RDBMS, embedded
+    // Derby): update-mode changelog rows upserted by primary key, each
+    // task committing its partition's rows atomically WITH a
+    // (batch_id, part_id) ledger row, so an at-least-once replay either
+    // skips (ledger hit) or rewrites identical values — see
+    // [[graft.sources.JdbcTxnSink]]. The run itself kills the stream
+    // mid-history and resumes from the checkpoint (s33's two-phase arm),
+    // so the restart path executes for real; the gate then checks the
+    // TABLE READ BACK OVER JDBC against the batch oracle — sink
+    // round-trip included, not just the changelog. State is
+    // watermark-bounded; chunks are range-staged so every upserted window
+    // is final once its state evicts.
+    NamedQuery("s34_jdbc_txn_sink",
+      (s, dir) => withStatePartitions(s, 4) {
+        import java.nio.file.{Files, Paths}
+        val root = Files.createTempDirectory("graft_s34_")
+        val db = root.resolve("db").toString
+        try {
+          val stageAll = root.resolve("all")
+          val live = root.resolve("live")
+          val ckpt = root.resolve("ckpt").toString
+          Files.createDirectories(live)
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(stageAll.toString)
+          val chunks = graft.util.Fs.listDir(stageAll)(
+            _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+          def arm(n: Int): Unit = chunks.take(n).zipWithIndex.foreach {
+            case (f, i) =>
+              val dst = live.resolve(s"chunk$i.parquet")
+              if (!Files.exists(dst)) Files.copy(Paths.get(f), dst)
+              Files.setLastModifiedTime(dst, java.nio.file.attribute
+                .FileTime.fromMillis(1000000000000L + i * 60000L))
+          }
+          val url = s"jdbc:derby:$db;create=true"
+          graft.sources.JdbcTxnSink.init(url)
+          def runPhase(): Unit = {
+            val ev = Tables.normalizeTs(
+              s.readStream
+                .schema(s.read.parquet(stageAll.toString).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(live.toString),
+              "ts")
+            val agg = ev
+              .withColumn("ts", col("ts").cast("timestamp"))
+              .withWatermark("ts", "1 hour")
+              .groupBy(window(col("ts"), "1 day"), col("event_type"))
+              .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+              .select(unix_timestamp(col("window.start")).as("w_sec"),
+                col("event_type"), col("n"), col("sum_value"))
+            val q = agg.writeStream.option("checkpointLocation", ckpt)
+              .outputMode("update").trigger(Trigger.AvailableNow())
+              .foreachBatch((batch: DataFrame, bid: Long) =>
+                graft.sources.JdbcTxnSink.upsertBatch(url, batch, bid))
+              .start()
+            try require(q.awaitTermination(180000L), "stream s34 did not finish")
+            finally q.stop()
+          }
+          arm(2); runPhase() // phase 1: first half of history
+          arm(4); runPhase() // fresh instance resumes from the checkpoint
+          s.read.format("jdbc")
+            .option("url", url)
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .option("dbtable", "APP.AGG").load()
+            .select(timestamp_seconds(col("W_SEC"))
+              .cast("timestamp_ntz").as("w_start"),
+              col("EVENT_TYPE").as("event_type"), col("N").as("n"),
+              col("SUM_VALUE").as("sum_value"))
+            .localCheckpoint()
+            .orderBy(col("w_start"), col("event_type"))
+        } finally {
+          graft.sources.JdbcTxnSink.shutdown(db)
+          graft.util.Fs.deleteRecursively(root)
+        }
+      },
+      Some(s"""SELECT TIMESTAMP '1970-01-01 00:00:00' +
+                      (CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400)
+                        * INTERVAL 1 SECOND AS w_start,
+                    event_type, count(*) AS n,
+                    ${sqlDecSum("value")} AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")))
 }

@@ -215,4 +215,84 @@ class PipelineSpec extends SparkTestBase {
       assert(split(a) == split(b), s"pair ($a,$b) straddles the split")
     }
   }
+
+  test("p67 IVF recall: one row per query, recall = hits/5, twin queries retrieve their twin") {
+    val rows = run("p67_ivf_recall").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nHit, recall) = (r.getLong(1), r.getDouble(2))
+      assert(nHit >= 0 && nHit <= 5)
+      assert(recall == nHit / 5.0)
+    }
+    // query 0's IDENTICAL twin shares its embedding exactly, so it lands in
+    // the same coarse cell and must be retrieved: recall@5 > 0 for q_id 0
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(1) >= 1)
+    // and the audit must agree with computing recall from p06/p14 directly
+    val exact = run("p06_similarity_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = run("p14_similarity_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val expect = exact.filter(_._1 == q).count(ivf.contains)
+      assert(r.getLong(1) == expect, s"q$q: audit ${r.getLong(1)} vs direct $expect")
+    }
+  }
+
+  test("p68 manifest agrees with p43 packing and its checksum is order-independent") {
+    val manifest = run("p68_shard_manifest").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val packing = run("p43_shard_packing").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    // same shard set, same per-shard doc counts and byte totals
+    assert(manifest.keySet == packing.keySet)
+    packing.foreach { case (shard, (nDocs, chars)) =>
+      assert(manifest(shard)._1 == nDocs && manifest(shard)._2 == chars)
+    }
+    // checksum replayed doc-by-doc in ANY order XORs to the same value
+    val docs = Tables.load(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def hash(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) { val cp = s.codePointAt(i); acc = (acc * 31 + cp) % 1000000007L; i += Character.charCount(cp) }
+      acc
+    }
+    // rebuild shard assignment from the packing result's [first,last] ranges
+    val ranges = run("p43_shard_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val shardOf = (id: Long) => ranges.find(t => id >= t._2 && id <= t._3).get._1
+    val expectSum = scala.util.Random.shuffle(docs.toList) // order-independence
+      .groupBy { case (id, _) => shardOf(id) }
+      .view.mapValues(_.map { case (id, t) => hash(s"$id:$t") }.reduce(_ ^ _)).toMap
+    expectSum.foreach { case (shard, cks) =>
+      assert(manifest(shard)._3 == cks, s"shard $shard checksum mismatch")
+    }
+  }
+
+  test("p69 incremental IVF: occupancy conserves corpus and batch counts against frozen centroids") {
+    val rows = run("p69_ivf_incremental").collect()
+    val nVecs = Corpus.vecs(spark, sfDir).count()
+    val nBatch = Corpus.vecs(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 2).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)   // every standing vector assigned
+    assert(rows.map(_.getLong(2)).sum == nBatch)  // every ingested vector assigned
+    assert(rows.forall(r => r.getLong(0) >= 100 && r.getLong(0) < 116)) // frozen cells only
+  }
+
+  test("p70 PQ distortion: every subspace accounts for all vectors; distortion is a valid cosine") {
+    val rows = run("p70_pq_distortion").collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach(g => assert(g.map(_.getLong(2)).sum == 100L))
+    rows.foreach { r =>
+      val code = r.getLong(1)
+      assert(code >= 0 && code < 16)
+      val avg = r.getDouble(3)
+      assert(avg >= -1.0 - 1e-9 && avg <= 1.0 + 1e-9)
+    }
+    // the codebook must beat chance on this clustered fixture: the best
+    // per-cell mean subvector cosine is well above the ~0 a random
+    // 16-dim codebook would give (measured ≈ 0.64 at sf0.001)
+    assert(rows.map(_.getDouble(3)).max > 0.4)
+  }
 }

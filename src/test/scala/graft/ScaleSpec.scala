@@ -797,4 +797,46 @@ class ScaleSpec extends SparkTestBase {
       assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
     }
   }
+
+  test("p67 IVF recall audit: IVF assignment stays map-side, exact baseline broadcasts queries") {
+    val p = plan("p67_ivf_recall")
+    // same invariant as p14: the nearest-centroid argmax is map-side
+    // (no exchange keyed on vec_id); windows are only per-query top-5
+    // ranks, partitioned on q_id — never a corpus-wide sort
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(p.contains("Exchange hashpartitioning(q_id"), p)
+    // both candidate joins broadcast the bounded query sample; the corpus
+    // never shuffles to meet the queries
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p68 shard manifest rides p43's distributed prefix-sum: bucket-partitioned windows, one bounded global stage") {
+    val p = plan("p68_shard_manifest")
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    // the ONLY single-partition stage is the exclusive prefix over the
+    // per-BUCKET table (#buckets rows); the checksum adds no extra pass —
+    // poly_hash is folded into the same projection feeding the shard rollup
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1, p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+    assert(p.contains("poly_hash"), p)
+  }
+
+  test("p69 incremental IVF: assignment is map-side math against broadcast centroids, rollups keyed on cell") {
+    val p = plan("p69_ivf_incremental")
+    // neither the standing corpus nor the ingest batch shuffles on vec_id;
+    // the only exchanges are the k-cell occupancy rollups + their join
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(!p.contains("Window ["), p) // argmax via nearestSeeds, not a 16N window
+    assert(p.contains("Exchange hashpartitioning(part"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p70 PQ distortion: encode+audit is one map stage per subspace, rollup keyed on (sub, code)") {
+    val p = plan("p70_pq_distortion")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("Exchange hashpartitioning(sub"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

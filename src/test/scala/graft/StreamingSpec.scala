@@ -468,4 +468,47 @@ class StreamingSpec extends SparkTestBase {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("JdbcTxnSink: replayed batch is a no-op, later batch upserts, ledger records both") {
+    import graft.sources.JdbcTxnSink
+    val root = java.nio.file.Files.createTempDirectory("graft_jdbc_sink_spec")
+    val db = root.resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    try {
+      JdbcTxnSink.init(url)
+      JdbcTxnSink.init(url) // idempotent
+      import spark.implicits._
+      val b0 = Seq((100L, "click", 2L, 1.5), (200L, "view", 1L, 0.25))
+        .toDF("w_sec", "event_type", "n", "sum_value")
+      JdbcTxnSink.upsertBatch(url, b0, 0L)
+      JdbcTxnSink.upsertBatch(url, b0, 0L) // at-least-once replay: ledger skips
+      def table(): Set[(Long, String, Long, Double)] = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT w_sec, event_type, n, sum_value FROM agg")
+          val out = scala.collection.mutable.Set.empty[(Long, String, Long, Double)]
+          while (rs.next())
+            out += ((rs.getLong(1), rs.getString(2), rs.getLong(3), rs.getDouble(4)))
+          out.toSet
+        } finally c.close()
+      }
+      assert(table() == Set((100L, "click", 2L, 1.5), (200L, "view", 1L, 0.25)))
+      // batch 1 updates one key, inserts another
+      val b1 = Seq((100L, "click", 5L, 9.0), (300L, "error", 1L, 4.0))
+        .toDF("w_sec", "event_type", "n", "sum_value")
+      JdbcTxnSink.upsertBatch(url, b1, 1L)
+      assert(table() == Set((100L, "click", 5L, 9.0), (200L, "view", 1L, 0.25),
+        (300L, "error", 1L, 4.0)))
+      // a replay of batch 1 with DIFFERENT (stale) values must be skipped
+      // by the ledger — this is the crash-between-commits case
+      val stale = Seq((100L, "click", 99L, -1.0))
+        .toDF("w_sec", "event_type", "n", "sum_value")
+      JdbcTxnSink.upsertBatch(url, stale, 1L)
+      assert(table().contains((100L, "click", 5L, 9.0)))
+    } finally {
+      JdbcTxnSink.shutdown(db)
+      graft.util.Fs.deleteRecursively(root)
+    }
+  }
 }
