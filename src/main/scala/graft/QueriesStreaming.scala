@@ -111,9 +111,15 @@ object QueriesStreaming {
     stagedDirs.values.forEach(p => graft.util.Fs.deleteRecursively(p))
   }
 
-  private def withStagedEventsStream[T](s: SparkSession, dir: String, chunks: Int)
-                                       (body: DataFrame => T): T = {
-    val stage = stagedDirs.computeIfAbsent((dir, chunks), { _ =>
+  /** The cached range-staged dir itself (chunk k = k-th time slice).
+    * [[withStagedEventsStream]] streams straight from it; the restart
+    * topologies (s33/s34) instead COPY its chunk files into a private live
+    * dir one phase at a time — sharing this cache means the staging write
+    * happens once per (fixture, chunks) per JVM, not once per entry per
+    * bench pass.
+    */
+  private def stagedDir(s: SparkSession, dir: String, chunks: Int): java.nio.file.Path =
+    stagedDirs.computeIfAbsent((dir, chunks), { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_stage_")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
@@ -132,6 +138,10 @@ object QueriesStreaming {
       }
       d
     })
+
+  private def withStagedEventsStream[T](s: SparkSession, dir: String, chunks: Int)
+                                       (body: DataFrame => T): T = {
+    val stage = stagedDir(s, dir, chunks)
     val ev = Tables.normalizeTs(
       s.readStream.schema(s.read.parquet(stage.toString).schema)
         .option("maxFilesPerTrigger", "1")
@@ -1712,14 +1722,11 @@ object QueriesStreaming {
         import java.nio.file.{Files, Paths}
         val root = Files.createTempDirectory("graft_s33_")
         try {
-          val stageAll = root.resolve("all")
+          val stageAll = stagedDir(s, dir, 4) // shared JVM staging cache
           val live = root.resolve("live")
           val ckpt = root.resolve("ckpt").toString
           val out = root.resolve("out")
           Files.createDirectories(live)
-          Tables.load(s, dir, "events")
-            .repartitionByRange(4, col("ts"))
-            .write.mode("overwrite").parquet(stageAll.toString)
           val chunks = graft.util.Fs.listDir(stageAll)(
             _.filter(_.toString.endsWith(".parquet")).map(_.toString))
           // chunk k = k-th time slice (range partitioning); mtimes stagger
@@ -1808,13 +1815,10 @@ object QueriesStreaming {
         val root = Files.createTempDirectory("graft_s34_")
         val db = root.resolve("db").toString
         try {
-          val stageAll = root.resolve("all")
+          val stageAll = stagedDir(s, dir, 4) // shared JVM staging cache
           val live = root.resolve("live")
           val ckpt = root.resolve("ckpt").toString
           Files.createDirectories(live)
-          Tables.load(s, dir, "events")
-            .repartitionByRange(4, col("ts"))
-            .write.mode("overwrite").parquet(stageAll.toString)
           val chunks = graft.util.Fs.listDir(stageAll)(
             _.filter(_.toString.endsWith(".parquet")).map(_.toString))
           def arm(n: Int): Unit = chunks.take(n).zipWithIndex.foreach {
