@@ -399,10 +399,57 @@ def gen_filter_query(i):
             f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
 
 
+def gen_conditional_query(i):
+    # CASE / coalesce / nullif / greatest / least / IS [NOT] DISTINCT FROM —
+    # the null-semantics + implicit-widening surface the registry leans on.
+    # Type-parity discipline: any expression mixing integer widths is CAST
+    # to BIGINT (greatest(INT, BIGINT) etc. widen differently per engine);
+    # nullif feeds coalesce so the NULL branch actually executes.
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    key = spec["int"][0]
+    sels = [f"{key} AS k"]
+    for j in range(rng.randint(2, 4)):
+        kind = rng.choice(["case", "coalesce_nullif", "greatest", "least",
+                           "case_str", "nullif_str"])
+        if kind == "case":
+            c = rng.choice(spec["int"])
+            cut = rng.randint(1, 5000)
+            sels.append(f"CASE WHEN {c} < {cut} THEN 'lo' "
+                        f"WHEN {c} < {cut * 2} THEN 'mid' ELSE 'hi' END AS a{j}")
+        elif kind == "coalesce_nullif":
+            c = rng.choice(spec["int"])
+            m = rng.randint(2, 9)
+            sels.append(f"CAST(coalesce(nullif({c} % {m}, 0), -1) AS BIGINT) AS a{j}")
+        elif kind in ("greatest", "least"):
+            a, b = rng.choice(spec["int"]), rng.choice(spec["int"])
+            sels.append(f"CAST({kind}({a}, {b}, {rng.randint(0, 100)}) AS BIGINT) AS a{j}")
+        elif kind == "case_str":
+            c = rng.choice(spec["str"])
+            sels.append(f"CASE WHEN {c} IS NOT NULL AND length({c}) > "
+                        f"{rng.randint(0, 4)} THEN upper({c}) ELSE '-' END AS a{j}")
+        else:
+            a, b = rng.sample(spec["str"], k=2) if len(spec["str"]) >= 2 \
+                else (spec["str"][0], spec["str"][0])
+            sels.append(f"coalesce(nullif({a}, {b}), '=') AS a{j}")
+    # IS DISTINCT FROM in the predicate: null-safe comparison parity
+    pred = ""
+    if rng.random() < 0.6:
+        c = rng.choice(spec["str"])
+        v = rng.choice(TABLES[t]["predcols"][-1][2]) if TABLES[t]["predcols"][-1][1] == "str" \
+            else "x"
+        neg = rng.choice(["", "NOT "])
+        pred = f" AND {c} IS {neg}DISTINCT FROM '{v}'"
+    return (f"n{i:03d}",
+            f"SELECT {', '.join(sels)} FROM {t} WHERE {key} <= 800{pred} ORDER BY k")
+
+
 def gen_query(i):
     r = rng.random()
     if r < 0.06:
         return gen_filter_query(i)
+    if r < 0.09:
+        return gen_conditional_query(i)
     if r < 0.12:
         return gen_scalar_query(i)
     if r < 0.22:
