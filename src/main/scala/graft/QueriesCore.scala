@@ -2939,6 +2939,73 @@ object QueriesCore {
                      (((epoch_us(ts) // 1000000 - 5400) // 21600)
                        * 21600 + 5400) * 1000000) AS w_start,
                      count(*) AS n
-             FROM events GROUP BY w_start ORDER BY w_start""")))
+             FROM events GROUP BY w_start ORDER BY w_start""")),
+
+    // --------------------------------- q104 bucketed co-located join
+    // The fact-fact join scale path made executable: orders ⋈ lineitem on
+    // orderkey where NEITHER side is broadcastable at 100 TB. Both tables
+    // are materialized bucketed (8 buckets) + sorted on the join key, so
+    // the sort-merge join reads co-located buckets with NO exchange and NO
+    // sort on either side — the per-order rollup then reuses the join's
+    // key distribution (no exchange either); the only shuffle in the plan
+    // is the final 5-row priority rollup. This is the one-time-ETL /
+    // many-joins trade: bucket at write time, join shuffle-free forever
+    // after (ScaleSpec pins zero orderkey exchanges). The 100 TB analogue
+    // sizes bucket COUNT to data volume (buckets ≈ cluster write
+    // parallelism × target file size), not this fixture's 8.
+    NamedQuery("q104_bucketed_join",
+      (s, dir) => {
+        val (ordT, liT) = QueriesCore.bucketedOrderTables(s, dir)
+        val o = s.table(ordT).filter(col("o_orderdate") >= "1994-01-01")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val li = s.table(liT).select(col("l_orderkey"), col("l_quantity"))
+        // hint pins the 100 TB regime at ANY fixture size: with both fact
+        // tables too big to broadcast the planner picks sort-merge itself;
+        // the tiny test fixture would broadcast instead and hide exactly
+        // the exchange-elimination this entry exists to demonstrate
+        val perOrder = o.join(li.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"))
+        perOrder.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), max(col("n_lines")).as("max_lines"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH per_order AS (
+               SELECT o_orderkey, o_orderpriority, count(*) AS n_lines
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               WHERE o_orderdate >= DATE '1994-01-01'
+               GROUP BY o_orderkey, o_orderpriority)
+             SELECT o_orderpriority, count(*) AS n_orders,
+                    max(n_lines) AS max_lines
+             FROM per_order GROUP BY o_orderpriority
+             ORDER BY o_orderpriority""")))
+
+  /** Bucketed+sorted materializations of orders/lineitem on orderkey —
+    * the co-location ETL q104 joins over. One write per (session, fixture)
+    * per JVM (cached like the streaming staging dirs); table names embed
+    * the fixture hash AND the pid so concurrent processes sharing the
+    * default warehouse directory never collide. Data files are removed by
+    * a shutdown hook (the in-memory catalog's metadata dies with the JVM).
+    */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+  private def bucketedOrderTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent((s, dir), { _ =>
+      val pid = ProcessHandle.current().pid()
+      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" + pid
+      val (ordT, liT) = (s"graft_buck_ord_$tag", s"graft_buck_li_$tag")
+      Tables.load(s, dir, "orders")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+      Tables.load(s, dir, "lineitem")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      sys.addShutdownHook {
+        Seq(ordT, liT).foreach(n => graft.util.Fs.deleteRecursively(
+          java.nio.file.Paths.get(wh, n)))
+      }
+      (ordT, liT)
+    })
 
 }

@@ -839,4 +839,18 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning(sub"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q104 bucketed join: co-located SMJ and per-key rollup run with NO orderkey exchange") {
+    val p = plan("q104_bucketed_join")
+    // both scans read the bucketed tables (SelectedBucketsCount appears),
+    // the fact-fact join is sort-merge over co-located buckets, and
+    // neither the join nor the per-order aggregate shuffles on orderkey —
+    // the ONLY exchange is the 5-row priority rollup
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("BroadcastHashJoin"), p) // the no-broadcast regime is the point
+  }
 }
