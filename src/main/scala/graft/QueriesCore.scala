@@ -2978,7 +2978,98 @@ object QueriesCore {
              SELECT o_orderpriority, count(*) AS n_orders,
                     max(n_lines) AS max_lines
              FROM per_order GROUP BY o_orderpriority
-             ORDER BY o_orderpriority""")))
+             ORDER BY o_orderpriority""")),
+
+    // -------------------------------------- q105 AQE runtime skew split
+    // The OTHER half of the skew story: q68 salts a hot key BY HAND (the
+    // portable fix); this entry lets ADAPTIVE EXECUTION detect and split
+    // the oversized shuffle partition at runtime (OptimizeSkewedJoin:
+    // the hot partition is carved into advisory-sized reader chunks, the
+    // matching build-side partition replicated per chunk — exactly the
+    // salting transform, applied post-hoc from measured map output
+    // sizes). A third of lineitem collapses onto one key; confs lower
+    // the skew thresholds so the mechanism fires at fixture bytes (at
+    // 100 TB the 256 MB/5x defaults fire on their own). The entry
+    // MATERIALIZES inside the conf scope (AQE reads confs at execution
+    // time; restoring them around a lazy plan would demo nothing) and
+    // the gate checks the skew-split execution's values; ScaleSpec
+    // executes the same frame and pins skew=true in the final adaptive
+    // plan.
+    NamedQuery("q105_aqe_skew_join",
+      (s, dir) => QueriesCore.withConfs(s, QueriesCore.skewConfs: _*) {
+        QueriesCore.aqeSkewJoinFrame(s, dir).localCheckpoint()
+      },
+      Some(s"""WITH li AS (
+               SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                           ELSE l_orderkey END AS k, l_quantity, l_extendedprice
+               FROM lineitem),
+             o AS (SELECT o_orderkey AS k, o_totalprice FROM orders)
+             SELECT li.k % 7 AS bucket, count(*) AS n,
+                    ${sqlDecSum("l_quantity")} AS qty,
+                    ${sqlDecSumAt("l_extendedprice", 23, 2)} AS price,
+                    count(o_totalprice) AS n_matched
+             FROM li LEFT JOIN o ON o.k = li.k
+             GROUP BY 1 ORDER BY 1""")))
+
+  /** Scoped session-conf override that is SAFE for lazy plans only if the
+    * body EXECUTES them (AQE reads these at execution time) — q105
+    * materializes inside the scope via localCheckpoint for exactly that
+    * reason. Restores (or unsets) every key afterwards.
+    */
+  private[graft] def withConfs[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val old = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The q105 confs: aggressive skew thresholds so the RUNTIME skew-split
+    * mechanism (OptimizeSkewedJoin) triggers at fixture scale — at 100 TB
+    * the defaults (256 MB threshold, 5× median) do the same job untouched.
+    */
+  private[graft] val skewConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    // enough reducers that the uniform keys spread thin and the hot
+    // partition towers over the median (with very few reducers the
+    // uniform mass dominates every partition and nothing looks skewed)
+    "spark.sql.shuffle.partitions" -> "16",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+    // advisory must sit BELOW the hot partition's bytes at the smallest
+    // fixture or the "split" would be one chunk and the rule backs off
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB")
+
+  /** The q105 join, factored so ScaleSpec can execute the SAME frame under
+    * [[skewConfs]] and inspect the post-execution adaptive plan (the entry
+    * itself returns a materialized result, which hides the join shape).
+    * A third of lineitem collapses onto key 0 — the hot-key regime — and
+    * joins a unique-key dim side; the rollup is skew-invariant.
+    */
+  private[graft] def aqeSkewJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    // HALF of lineitem collapses onto key 0, and the shuffled payload is
+    // two incompressible double columns — the hot rows' constant key
+    // RLE-compresses in the map output, so the skew must live in the
+    // payload bytes for the (compressed-size-based) detector to see it
+    // AQE splits a skewed REDUCE partition along MAP-task boundaries — a
+    // one-file fixture produces ONE mapper, leaving nothing to split at.
+    // The round-robin seed restores the many-mapper regime every real
+    // input has (thousands of scan tasks at 100 TB); it is fixture
+    // scaffolding, not part of the operator.
+    val li = Tables.load(s, dir, "lineitem").repartition(8).select(
+      when(col("l_orderkey") % 10 < 5, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"), col("l_extendedprice"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    li.join(ord.hint("merge"), Seq("k"), "left")
+      .groupBy((col("k") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"),
+        decSumAt(col("l_extendedprice"), 23, 2).as("price"),
+        count(col("o_totalprice")).as("n_matched"))
+      .orderBy(col("bucket"))
+  }
 
   /** Bucketed+sorted materializations of orders/lineitem on orderkey —
     * the co-location ETL q104 joins over. One write per (session, fixture)

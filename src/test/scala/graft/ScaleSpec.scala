@@ -853,4 +853,17 @@ class ScaleSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
     assert(!p.contains("BroadcastHashJoin"), p) // the no-broadcast regime is the point
   }
+
+  test("q105: adaptive execution splits the hot-key shuffle partition (skew=true in the final plan)") {
+    // the entry returns a materialized frame (AQE confs are scoped to its
+    // execution), so inspect the SAME frame executed under the same confs
+    QueriesCore.withConfs(spark, QueriesCore.skewConfs: _*) {
+      val df = QueriesCore.aqeSkewJoinFrame(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    }
+  }
 }
