@@ -3009,7 +3009,44 @@ object QueriesCore {
                     ${sqlDecSumAt("l_extendedprice", 23, 2)} AS price,
                     count(o_totalprice) AS n_matched
              FROM li LEFT JOIN o ON o.k = li.k
-             GROUP BY 1 ORDER BY 1""")))
+             GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------- q106 dynamic partition pruning (DPP)
+    // The partition-layout scale mechanism made executable: events
+    // materialized PARTITIONED BY day (the standard event-log layout —
+    // one directory per day), then joined to a filtered day dimension.
+    // The fact side has no static predicate on day — only the JOIN
+    // carries the restriction — so pruning must be DYNAMIC: Spark's
+    // PartitionPruning rule reuses the dim's broadcast values as a
+    // runtime partition filter on the fact scan and 27 of 30 day
+    // directories are never opened (ScaleSpec pins the
+    // dynamicpruningexpression). The rule requires a SELECTIVE filter on
+    // the dim side (an aggregate/limit alone does not qualify —
+    // measured here); the fixture uses a calendar predicate for
+    // determinism, but any dim filter (campaign days from another
+    // table, a backfill manifest) takes the same path. At 100 TB this
+    // is scanning 3 days instead of 10 years; the one-time partitioned
+    // write is the same ETL investment as q104's bucketing, aimed at
+    // time-range work instead of key-equality work.
+    NamedQuery("q106_dynamic_partition_pruning",
+      (s, dir) => {
+        val fact = s.table(QueriesCore.dayPartitionedEvents(s, dir))
+        val dim = fact.select(col("day")).distinct()
+          .filter(dayofmonth(col("day")) <= 3)
+        fact.join(broadcast(dim), Seq("day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH e AS (
+               SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      event_type, value
+               FROM events),
+             dim AS (SELECT DISTINCT day FROM e WHERE dayofmonth(day) <= 3),
+             pruned AS (SELECT e.* FROM e JOIN dim ON dim.day = e.day)
+             SELECT event_type, count(*) AS n,
+                    ${sqlDecSum("value")} AS sum_value
+             FROM pruned GROUP BY 1 ORDER BY 1""")))
 
   /** Scoped session-conf override that is SAFE for lazy plans only if the
     * body EXECUTES them (AQE reads these at execution time) — q105
@@ -3070,6 +3107,27 @@ object QueriesCore {
         count(col("o_totalprice")).as("n_matched"))
       .orderBy(col("bucket"))
   }
+
+  /** Day-partitioned materialization of events (directory per day) — the
+    * event-log layout q106's dynamic partition pruning reads. Same JVM
+    * cache + pid-tagged name + shutdown cleanup as the bucketed tables.
+    */
+  private val dayPartCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private def dayPartitionedEvents(s: SparkSession, dir: String): String =
+    dayPartCache.computeIfAbsent((s, dir), { _ =>
+      val pid = ProcessHandle.current().pid()
+      val name = s"graft_day_events_${java.lang.Integer.toHexString(dir.hashCode)}_$pid"
+      Tables.load(s, dir, "events")
+        .withColumn("day", col("ts").cast("date"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("day").saveAsTable(name)
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      sys.addShutdownHook {
+        graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(wh, name))
+      }
+      name
+    })
 
   /** Bucketed+sorted materializations of orders/lineitem on orderkey —
     * the co-location ETL q104 joins over. One write per (session, fixture)

@@ -866,4 +866,14 @@ class ScaleSpec extends SparkTestBase {
       assert(p.contains("SortMergeJoin"), p)
     }
   }
+
+  test("q106: fact scan carries a dynamic partition-pruning filter (27 of 30 day dirs never opened)") {
+    val p = plan("q106_dynamic_partition_pruning")
+    // the day set is runtime-computed, so pruning must be DYNAMIC: the
+    // partitioned fact scan's PartitionFilters carries the
+    // dynamicpruningexpression fed by the broadcast dim values
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
