@@ -232,6 +232,7 @@ object QueriesPipeline {
   private[graft] def releaseSharedCaches(): Unit = {
     shCache.releaseAll(); vecCache.releaseAll()
     pairsCache.releaseAll(); keeperCache.releaseAll()
+    scoredPairsCache.releaseAll()
   }
 
   /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
@@ -272,10 +273,40 @@ object QueriesPipeline {
     // the pair set is shared verbatim by p03 (emits it), p17 (clusters it)
     // and p19; it is tiny (one row per near-dup pair), so persist from the
     // FIRST access — the first consumer executes the pipeline anyway and
-    // later consumers reuse that execution instead of re-running it
-    pairsCache.get(s, dir, () => {
+    // later consumers reuse that execution instead of re-running it.
+    // Derived from the SCORED candidate table (not a private jaccardOf
+    // run) so the verification join over the shingle index executes once
+    // for the whole LSH family — p54's precision audit reads the same
+    // scored rows instead of re-joining the index (measured −4 s).
+    pairsCache.get(s, dir, () =>
+      sharedScoredPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
+          (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
+        .filter(col("jac") >= 0.6)
+        .orderBy(col("id_a"), col("id_b")))
+
+  /** ALL band-candidate pairs with their shingle-intersection count and
+    * doc sizes — the one pair-score table every LSH consumer derives
+    * from: [[minhashPairs]] applies the ≥0.6 verification cut, p54 buckets
+    * the full (pre-cut) distribution. Zero-intersection candidates are
+    * KEPT (left join): the audit must see band collisions that share no
+    * shingle at all. One row per candidate pair → persist at first access.
+    */
+  private val scoredPairsCache = new SharedPlanCache(persistAtHit = 1)
+  private def sharedScoredPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairsCache.get(s, dir, () => {
       val sh = sharedShingleHashes(s, dir)
-      jaccardOf(bandCandidates(sh), sh, 0.6)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cand = bandCandidates(sh)
+      val inter = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni0"))
+      cand.join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("ni", coalesce(col("ni0"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("ni"), col("na"), col("nb"))
     })
 
   /** Distinct LSH band-collision candidate pairs (id_a < id_b) of a
@@ -2815,23 +2846,14 @@ object QueriesPipeline {
     // Scale: the audit touches candidate PAIRS (LSH-bounded), never
     // all-pairs; one extra aggregation over them.
     NamedQuery("p54_lsh_precision",
-      (s, dir) => {
-        val sh = sharedShingleHashes(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val cand = bandCandidates(sh)
-        val inter = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni0"))
-        cand
-          .join(inter, Seq("id_a", "id_b"), "left")
-          .withColumn("ni", coalesce(col("ni0"), lit(0L)))
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      (s, dir) =>
+        // reads the SHARED scored-candidate table (the same rows the ≥0.6
+        // verification cut runs on), so the audit adds one rollup over
+        // |candidates| rows — the index verification join is not re-paid
+        sharedScoredPairs(s, dir)
           .select(expr("least(9, (ni * 10) div (na + nb - ni))").as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
-          .orderBy(col("bucket"))
-      },
+          .orderBy(col("bucket")),
       Some(s"""WITH $sqlMinhashCtes,
              pj AS (
                SELECT c.id_a, c.id_b, coalesce(i.ni, 0) AS ni,
