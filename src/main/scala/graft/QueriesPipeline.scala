@@ -292,6 +292,34 @@ object QueriesPipeline {
     * KEPT (left join): the audit must see band collisions that share no
     * shingle at all. One row per candidate pair → persist at first access.
     */
+  /** p43's distributed prefix-sum shard assignment rolled up to the
+    * per-shard integrity manifest (doc count, byte total, XOR PolyHash
+    * checksum) — p68 emits it, p71 compacts it by folding manifests.
+    */
+  private def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 8000L
+    val b = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        expr("doc_id div 100").as("bucket"))
+    val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("bsum"))
+      .withColumn("boff", sum(col("bsum")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), coalesce(col("boff"), lit(0L)).as("boff"))
+    b.join(broadcast(offsets), "bucket")
+      .withColumn("wsum", sum(col("n_chars")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("start", col("boff") + coalesce(col("wsum"), lit(0L)))
+      .withColumn("shard", expr(s"start div $target"))
+      .withColumn("h", GF.poly_hash(
+        concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
   private val scoredPairsCache = new SharedPlanCache(persistAtHit = 1)
   private def sharedScoredPairs(s: SparkSession, dir: String): DataFrame =
     scoredPairsCache.get(s, dir, () => {
@@ -3603,30 +3631,7 @@ object QueriesPipeline {
     // itself adds one map-side hash per row and rides the same groupBy —
     // integrity costs one codegen'd expression, not a second pass.
     NamedQuery("p68_shard_manifest",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val target = 8000L
-        val b = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), col("text"),
-            expr("doc_id div 100").as("bucket"))
-        val offsets = b.groupBy(col("bucket")).agg(sum(col("n_chars")).as("bsum"))
-          .withColumn("boff", sum(col("bsum")).over(
-            Window.orderBy(col("bucket"))
-              .rowsBetween(Window.unboundedPreceding, -1)))
-          .select(col("bucket"), coalesce(col("boff"), lit(0L)).as("boff"))
-        b.join(broadcast(offsets), "bucket")
-          .withColumn("wsum", sum(col("n_chars")).over(
-            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-              .rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("start", col("boff") + coalesce(col("wsum"), lit(0L)))
-          .withColumn("shard", expr(s"start div $target"))
-          .withColumn("h", GF.poly_hash(
-            concat(col("doc_id").cast("string"), lit(":"), col("text"))))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
-            expr("bit_xor(h)").as("checksum"))
-          .orderBy(col("shard"))
-      },
+      (s, dir) => shardManifest(s, dir).orderBy(col("shard")),
       Some(s"""SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
              bit_xor(h) AS checksum
              FROM (SELECT doc_id, n_chars,
@@ -3636,6 +3641,37 @@ object QueriesPipeline {
                      ${PolyHash.oracleSql("doc_id::VARCHAR || ':' || text")} AS h
                    FROM documents)
              GROUP BY shard ORDER BY shard""")),
+
+    // ------------------------------------- p71 shard compaction
+    // The compaction step incremental ingest forces on every lake: fold
+    // p43/p68's shards into 4× super-shards, deriving each super-shard's
+    // manifest FROM THE PART MANIFESTS ALONE (counts/bytes add, checksums
+    // XOR) — never re-reading the data. The gate itself proves the merge
+    // algebra: the Spark side folds manifests two-level, the DuckDB
+    // oracle computes every super-shard manifest DIRECTLY from the
+    // documents in one level — if XOR-merging lost or double-counted
+    // anything the hashes would diverge. At 100 TB this is the whole
+    // point of a mergeable checksum: compaction (and its verification)
+    // is metadata work over #shards rows, not a second pass over the
+    // corpus.
+    NamedQuery("p71_shard_compaction",
+      (s, dir) => shardManifest(s, dir)
+        .groupBy(expr("shard div 4").as("super_shard"))
+        .agg(count(lit(1)).as("n_shards"), sum(col("n_docs")).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          expr("bit_xor(checksum)").as("checksum"))
+        .orderBy(col("super_shard")),
+      Some(s"""SELECT shard // 4 AS super_shard,
+                    count(DISTINCT shard) AS n_shards,
+                    count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+                    bit_xor(h) AS checksum
+             FROM (SELECT doc_id, n_chars,
+                     (((sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_chars) // 8000))::BIGINT AS shard,
+                     ${PolyHash.oracleSql("doc_id::VARCHAR || ':' || text")} AS h
+                   FROM documents)
+             GROUP BY super_shard ORDER BY super_shard""")),
 
     // ----------------------------------- p69 incremental IVF ingest
     // Index maintenance between centroid refreshes: a synthetic ingest

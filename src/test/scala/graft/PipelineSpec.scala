@@ -269,6 +269,19 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("p71 compaction manifest equals the XOR/sum fold of p68's part manifests") {
+    val parts = run("p68_shard_manifest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = parts.groupBy(_._1 / 4).map { case (sup, g) =>
+      sup -> (g.length.toLong, g.map(_._2).sum, g.map(_._3).sum,
+        g.map(_._4).reduce(_ ^ _))
+    }
+    val got = run("p71_shard_compaction").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+  }
+
   test("p69 incremental IVF: occupancy conserves corpus and batch counts against frozen centroids") {
     val rows = run("p69_ivf_incremental").collect()
     val nVecs = Corpus.vecs(spark, sfDir).count()

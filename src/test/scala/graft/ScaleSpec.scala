@@ -822,6 +822,13 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("poly_hash"), p)
   }
 
+  test("p71 compaction: manifest fold adds one bounded rollup, same single global stage as p68") {
+    val p = plan("p71_shard_compaction")
+    assert(p.contains("Exchange hashpartitioning(bucket"), p)
+    assert(p.linesIterator.count(_.contains("Exchange SinglePartition")) == 1, p)
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+  }
+
   test("p69 incremental IVF: assignment is map-side math against broadcast centroids, rollups keyed on cell") {
     val p = plan("p69_ivf_incremental")
     // neither the standing corpus nor the ingest batch shuffles on vec_id;
