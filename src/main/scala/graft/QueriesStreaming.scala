@@ -1874,5 +1874,43 @@ object QueriesStreaming {
                         * INTERVAL 1 SECOND AS w_start,
                     event_type, count(*) AS n,
                     ${sqlDecSum("value")} AS sum_value
-             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")))
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // --------------------- s35 streaming integrity manifest maintenance
+    // p68's integrity manifest maintained DURING ingest: documents arrive
+    // in doc_id-ranged chunks and a streaming aggregation keeps each
+    // bucket's (count, bytes, XOR PolyHash checksum) current across
+    // micro-batches. XOR is what makes this a legal streaming fold —
+    // commutative and associative, so neither arrival order nor batch
+    // boundaries can change the converged manifest (the gate checks the
+    // incremental run against the batch rollup bit-exactly). State is one
+    // row per bucket (bounded by layout, not data rate); at 100 TB the
+    // bucket key is the shard path and this IS the writer-side integrity
+    // ledger that p68 audits after the fact.
+    NamedQuery("s35_stream_bucket_manifest",
+      (s, dir) => withStatePartitions(s, 4) {
+        val stage = java.nio.file.Files.createTempDirectory("graft_s35_stage_")
+        try {
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("n_chars"), col("text"))
+            .repartitionByRange(4, col("doc_id"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val agg = src
+            .withColumn("h", graft.functions.GraftFunctions.poly_hash(
+              concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+            .groupBy(expr("doc_id div 100").as("bucket"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+              expr("bit_xor(h)").as("checksum"))
+          runToTable(s, sink("s35", dir), agg)
+            .orderBy(col("bucket"))
+        } finally graft.util.Fs.deleteRecursively(stage)
+      },
+      Some(s"""SELECT doc_id // 100 AS bucket, count(*) AS n_docs,
+                    sum(n_chars)::BIGINT AS chars,
+                    bit_xor(${graft.functions.PolyHash.oracleSql(
+                      "doc_id::VARCHAR || ':' || text")}) AS checksum
+             FROM documents GROUP BY bucket ORDER BY bucket""")))
 }

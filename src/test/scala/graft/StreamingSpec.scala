@@ -469,6 +469,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s35 incremental bucket manifests equal the batch rollup (XOR fold is batching-invariant)") {
+    import org.apache.spark.sql.functions._
+    val got = QueriesStreaming.all.find(_.name == "s35_stream_bucket_manifest").get
+      .fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expect = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.GraftFunctions.poly_hash(
+          concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+      .groupBy(expr("doc_id div 100").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"), expr("bit_xor(h)").as("x"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("JdbcTxnSink: replayed batch is a no-op, later batch upserts, ledger records both") {
     import graft.sources.JdbcTxnSink
     val root = java.nio.file.Files.createTempDirectory("graft_jdbc_sink_spec")
