@@ -3673,6 +3673,115 @@ object QueriesPipeline {
                    FROM documents)
              GROUP BY super_shard ORDER BY super_shard""")),
 
+    // ------------------------------------- p72 filter ablation report
+    // The accounting every cleaning pipeline owes its operators: for each
+    // gate (near-dup drop, quality score, repetition, benchmark
+    // contamination), how many documents does it flag ALONE, and how many
+    // does it remove MARGINALLY in the pipeline's order (flagged by this
+    // gate, passed by every earlier one)? Alone-counts size each rule's
+    // raw reach; marginal counts are what actually disappears at each
+    // stage — the difference is overlap, and a rule whose marginal count
+    // collapses is redundant. Scale: every flag reads a SHARED structure
+    // (keeper labels, the shingle index + df sizes, the broadcast bench
+    // set) — the ablation adds per-row boolean algebra and one 4-row
+    // rollup on top of work the pipeline already does; no per-rule
+    // corpus rescan.
+    NamedQuery("p72_filter_ablation",
+      (s, dir) => {
+        val docs = Corpus.docs(s, dir)
+        val f1 = sharedKeepers(s, dir).filter(!col("kept"))
+          .select(col("doc_id"), lit(true).as("f1"))
+        val sh = sharedShingleHashes(s, dir)
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val toksz = GF.tokens(col("text"))
+        val f3 = docs
+          .select(col("doc_id"), greatest(size(toksz) - 2, lit(0)).cast("long").as("total"))
+          .filter(col("total") > 0)
+          .join(sz, "doc_id")
+          .select(col("doc_id"),
+            ((lit(1.0) - col("n").cast("double") / col("total")) > 0.01).as("f3"))
+        val bench = sh
+          .filter(col("doc_id") % 50 === 3 && col("doc_id") < Corpus.NearIdOffset)
+          .select(col("h")).distinct()
+        val f4 = sh.join(broadcast(bench), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .join(sz, "doc_id")
+          .select(col("doc_id"),
+            ((col("n_hits").cast("double") / col("n") >= 0.3) &&
+              !(col("doc_id") % 50 === 3 && col("doc_id") < Corpus.NearIdOffset)).as("f4"))
+        val flags = docs.select(col("doc_id"), (qualityScore < 0.5).as("f2"))
+          .join(f1, Seq("doc_id"), "left")
+          .join(f3, Seq("doc_id"), "left")
+          .join(f4, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("f1"), lit(false)).as("f1"), col("f2"),
+            coalesce(col("f3"), lit(false)).as("f3"),
+            coalesce(col("f4"), lit(false)).as("f4"))
+        flags.select(explode(array(
+            struct(lit("1_dedup").as("rule"), col("f1").as("flag"),
+              col("f1").as("marg")),
+            struct(lit("2_quality").as("rule"), col("f2").as("flag"),
+              (col("f2") && !col("f1")).as("marg")),
+            struct(lit("3_repetition").as("rule"), col("f3").as("flag"),
+              (col("f3") && !col("f1") && !col("f2")).as("marg")),
+            struct(lit("4_contamination").as("rule"), col("f4").as("flag"),
+              (col("f4") && !col("f1") && !col("f2") && !col("f3")).as("marg"))))
+            .as("r"))
+          .groupBy(col("r.rule").as("rule"))
+          .agg(count(when(col("r.flag"), lit(1))).as("n_alone"),
+            count(when(col("r.marg"), lit(1))).as("n_marginal"))
+          .orderBy(col("rule"))
+      },
+      Some(s"""WITH RECURSIVE ${sqlMinhashCtes},
+             pairs AS (${sqlMinhashPairsSelect}),
+             $sqlCcLabelCtes,
+             rep AS (
+               SELECT t.doc_id,
+                      (1.0 - count(*)::DOUBLE / total) > 0.01 AS f3
+               FROM (SELECT doc_id,
+                       greatest(len(${GF.sqlTokens("text")}) - 2, 0)::BIGINT AS total
+                     FROM corpus) t
+               JOIN sh ON sh.doc_id = t.doc_id
+               WHERE total > 0 GROUP BY t.doc_id, total),
+             bench AS (SELECT DISTINCT h FROM sh
+                       WHERE doc_id % 50 = 3 AND doc_id < ${Corpus.NearIdOffset}),
+             contam AS (
+               SELECT h2.doc_id,
+                      (count(*)::DOUBLE / any_value(sz.n) >= 0.3
+                       AND NOT (h2.doc_id % 50 = 3
+                                AND h2.doc_id < ${Corpus.NearIdOffset})) AS f4
+               FROM sh h2 JOIN sz ON sz.doc_id = h2.doc_id
+               WHERE h2.h IN (SELECT h FROM bench)
+               GROUP BY h2.doc_id),
+             flags AS (
+               SELECT c.doc_id,
+                      coalesce(l.id IS NOT NULL AND l.id <> l.keeper_id, FALSE) AS f1,
+                      (${sqlQualityScore}) < 0.5 AS f2,
+                      coalesce(r.f3, FALSE) AS f3,
+                      coalesce(ct.f4, FALSE) AS f4
+               FROM corpus c
+               LEFT JOIN labels l ON l.id = c.doc_id
+               LEFT JOIN rep r ON r.doc_id = c.doc_id
+               LEFT JOIN contam ct ON ct.doc_id = c.doc_id)
+             SELECT rule, n_alone, n_marginal FROM (
+               SELECT '1_dedup' AS rule,
+                      count(*) FILTER (WHERE f1) AS n_alone,
+                      count(*) FILTER (WHERE f1) AS n_marginal FROM flags
+               UNION ALL
+               SELECT '2_quality',
+                      count(*) FILTER (WHERE f2),
+                      count(*) FILTER (WHERE f2 AND NOT f1) FROM flags
+               UNION ALL
+               SELECT '3_repetition',
+                      count(*) FILTER (WHERE f3),
+                      count(*) FILTER (WHERE f3 AND NOT f1 AND NOT f2) FROM flags
+               UNION ALL
+               SELECT '4_contamination',
+                      count(*) FILTER (WHERE f4),
+                      count(*) FILTER (WHERE f4 AND NOT f1 AND NOT f2 AND NOT f3)
+               FROM flags)
+             ORDER BY rule""")),
+
     // ----------------------------------- p69 incremental IVF ingest
     // Index maintenance between centroid refreshes: a synthetic ingest
     // batch (negated copies of every 7th vector — sign flip reverses each

@@ -282,6 +282,19 @@ class PipelineSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("p72 ablation: marginal <= alone, dedup (first gate) marginal == alone, all rules present") {
+    val rows = run("p72_filter_ablation").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("1_dedup", "2_quality", "3_repetition", "4_contamination"))
+    rows.values.foreach { case (alone, marg) => assert(marg <= alone) }
+    // the first gate in sequence has nothing upstream to shadow it
+    assert(rows("1_dedup")._1 == rows("1_dedup")._2)
+    // the gates must actually fire on the planted corpus
+    assert(rows("1_dedup")._1 > 0 && rows("2_quality")._1 > 0)
+    // marginal counts are disjoint removals — they can't exceed the corpus
+    assert(rows.values.map(_._2).sum <= Corpus.docs(spark, sfDir).count())
+  }
+
   test("p69 incremental IVF: occupancy conserves corpus and batch counts against frozen centroids") {
     val rows = run("p69_ivf_incremental").collect()
     val nVecs = Corpus.vecs(spark, sfDir).count()

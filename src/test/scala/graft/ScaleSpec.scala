@@ -829,6 +829,15 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [bucket"), p)
   }
 
+  test("p72 ablation: flag joins keyed on doc_id/h over shared structures, no pair blow-up") {
+    val p = plan("p72_filter_ablation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the contamination probe broadcasts the bench set; flag assembly is
+    // doc_id-keyed joins — no exchange on anything corpus-pair-shaped
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("p69 incremental IVF: assignment is map-side math against broadcast centroids, rollups keyed on cell") {
     val p = plan("p69_ivf_incremental")
     // neither the standing corpus nor the ingest batch shuffles on vec_id;
