@@ -3673,6 +3673,90 @@ object QueriesPipeline {
                    FROM documents)
              GROUP BY super_shard ORDER BY super_shard""")),
 
+    // ------------------------------------- p73 manifest-driven diff
+    // Incremental revalidation: which parts of a new corpus snapshot need
+    // re-processing? p65 answers doc-by-doc (a full-corpus join); this
+    // answers from MANIFESTS alone — per-bucket (count, XOR checksum)
+    // ledgers of both versions, joined on the bucket key, classify every
+    // bucket added/removed/changed/unchanged without reading any document
+    // the ledgers already cover. The payoff column is docs_to_reprocess:
+    // only changed+added buckets' documents re-enter the pipeline — at
+    // 100 TB the diff is metadata work over #buckets rows and the
+    // re-read is proportional to the EDIT, not the corpus. Buckets key
+    // on doc_id div 100 (stable under edits/inserts) rather than p43's
+    // prefix-sum shards, which SHIFT when any upstream doc changes size —
+    // the same stability rule s35's writer-side ledger follows.
+    NamedQuery("p73_manifest_diff",
+      (s, dir) => {
+        def manifest(docs: DataFrame): DataFrame = docs
+          .withColumn("h", GF.poly_hash(
+            concat(col("doc_id").cast("string"), lit(":"), col("text"))))
+          .groupBy(expr("doc_id div 100").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("checksum"))
+        // synthetic next snapshot with RANGE-LOCAL edits (one id-decile
+        // edited, two dropped, one appended under new ids) — unlike p65's
+        // modulo-spread edits, which touch every bucket and would make
+        // "reprocess only what changed" vacuous. Real corpus updates are
+        // range-local too: a recrawl replaces a source's id range, an
+        // append lands at the tail.
+        val v1 = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+        val mx = v1.agg(max(col("doc_id")).as("mx"))
+        val v1d = v1.crossJoin(broadcast(mx))
+          .withColumn("dc", expr("(doc_id * 10) div (mx + 1)"))
+        val v2 = v1d.filter(!col("dc").isin(4, 5))
+          .select(col("doc_id"),
+            when(col("dc") === 2, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+          .unionAll(v1d.filter(col("dc") === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" [new]")).as("text")))
+        val m1 = manifest(v1).select(col("bucket"),
+          col("n_docs").as("n1"), col("checksum").as("c1"))
+        val m2 = manifest(v2).select(col("bucket"),
+          col("n_docs").as("n2"), col("checksum").as("c2"))
+        m1.join(m2, Seq("bucket"), "full_outer")
+          .select(
+            when(col("n1").isNull, "added")
+              .when(col("n2").isNull, "removed")
+              .when(col("n1") === col("n2") && col("c1") === col("c2"), "unchanged")
+              .otherwise("changed").as("status"),
+            coalesce(col("n2"), lit(0L)).as("nd"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("nd")).as("docs_to_reprocess"))
+          .orderBy(col("status"))
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+             mxx AS (SELECT max(doc_id) AS mx FROM v1),
+             v1d AS (SELECT doc_id, text,
+                            (doc_id * 10) // (mx + 1) AS dc
+                     FROM v1, mxx),
+             v2 AS (
+               SELECT doc_id,
+                      CASE WHEN dc = 2 THEN text || ' [rev2]'
+                           ELSE text END AS text
+               FROM v1d WHERE dc NOT IN (4, 5)
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' [new]'
+               FROM v1d WHERE dc = 0),
+             m1 AS (
+               SELECT doc_id // 100 AS bucket, count(*) AS n1,
+                      bit_xor(${PolyHash.oracleSql("doc_id::VARCHAR || ':' || text")}) AS c1
+               FROM v1 GROUP BY bucket),
+             m2 AS (
+               SELECT doc_id // 100 AS bucket, count(*) AS n2,
+                      bit_xor(${PolyHash.oracleSql("doc_id::VARCHAR || ':' || text")}) AS c2
+               FROM v2 GROUP BY bucket),
+             d AS (
+               SELECT CASE WHEN m1.bucket IS NULL THEN 'added'
+                           WHEN m2.bucket IS NULL THEN 'removed'
+                           WHEN n1 = n2 AND c1 = c2 THEN 'unchanged'
+                           ELSE 'changed' END AS status,
+                      coalesce(n2, 0) AS nd
+               FROM m1 FULL OUTER JOIN m2 ON m2.bucket = m1.bucket)
+             SELECT status, count(*) AS n_buckets,
+                    sum(nd)::BIGINT AS docs_to_reprocess
+             FROM d GROUP BY status ORDER BY status""")),
+
     // ------------------------------------- p72 filter ablation report
     // The accounting every cleaning pipeline owes its operators: for each
     // gate (near-dup drop, quality score, repetition, benchmark

@@ -295,6 +295,22 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.values.map(_._2).sum <= Corpus.docs(spark, sfDir).count())
   }
 
+  test("p73 manifest diff: statuses partition the buckets; reprocess set excludes unchanged docs") {
+    val rows = run("p73_manifest_diff").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet.subsetOf(Set("added", "removed", "changed", "unchanged")))
+    // at least one edit class must surface, and edits must be LOCAL:
+    // some bucket stays unchanged (the whole point of a manifest diff)
+    assert(rows.contains("changed") || rows.contains("added"))
+    assert(rows.get("unchanged").exists(_._1 > 0))
+    // removed buckets contribute zero docs to reprocess
+    rows.get("removed").foreach { case (_, docs) => assert(docs == 0L) }
+    // reprocess load is only changed+added, strictly less than v2's size
+    val reprocess = rows.getOrElse("changed", (0L, 0L))._2 + rows.getOrElse("added", (0L, 0L))._2
+    val total = rows.values.map(_._2).sum
+    assert(reprocess < total)
+  }
+
   test("p69 incremental IVF: occupancy conserves corpus and batch counts against frozen centroids") {
     val rows = run("p69_ivf_incremental").collect()
     val nVecs = Corpus.vecs(spark, sfDir).count()

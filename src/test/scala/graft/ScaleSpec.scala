@@ -838,6 +838,19 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("p73 manifest diff: bucket-keyed manifests joined on bucket, no doc-level join") {
+    val p = plan("p73_manifest_diff")
+    // the diff compares LEDGERS: the only joins are the broadcast 1-row
+    // max (nested-loop over IdentityBroadcastMode — one row, by design)
+    // and the bucket-keyed full-outer manifest join — never a
+    // doc_id-keyed comparison of the two snapshots (that is p65's job)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(p.contains("hashpartitioning(_groupingexpression"), p) // bucket rollups
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("IdentityBroadcastMode"), p) // the 1-row max side
+  }
+
   test("p69 incremental IVF: assignment is map-side math against broadcast centroids, rollups keyed on cell") {
     val p = plan("p69_ivf_incremental")
     // neither the standing corpus nor the ingest batch shuffles on vec_id;
