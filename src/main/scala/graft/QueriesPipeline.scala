@@ -3673,6 +3673,39 @@ object QueriesPipeline {
                    FROM documents)
              GROUP BY super_shard ORDER BY super_shard""")),
 
+    // ------------------------------------- p74 pair review queue
+    // The human-in-the-loop surface of the dedup family: the top-k
+    // candidate pairs by Jaccard with the evidence a reviewer needs —
+    // intersection size, both doc sizes, and the containment score whose
+    // divergence from Jaccard flags subset-style duplication (small doc
+    // swallowed by a big one scores low Jaccard but high containment,
+    // p41's signal). Reads the SAME shared scored-pair table as the ≥0.6
+    // cut and the p54 audit; the queue itself is a top-k over candidate
+    // pairs — TakeOrderedAndProject (per-partition heaps + one merge of
+    // k rows), never a global sort, and k bounds the reviewer workload
+    // no matter the corpus size. Deterministic cut: ties broken on
+    // (id_a, id_b) in both engines.
+    NamedQuery("p74_pair_review_queue",
+      (s, dir) => sharedScoredPairs(s, dir)
+        .select(col("id_a"), col("id_b"), col("ni"), col("na"), col("nb"),
+          (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"),
+          (col("ni").cast("double") / least(col("na"), col("nb"))).as("containment"))
+        .orderBy(col("jac").desc, col("id_a"), col("id_b"))
+        .limit(20),
+      Some(s"""WITH $sqlMinhashCtes,
+             scored AS (
+               SELECT c.id_a, c.id_b, coalesce(i.ni, 0)::BIGINT AS ni,
+                      za.n AS na, zb.n AS nb
+               FROM cand c
+               LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+               JOIN sz za ON za.doc_id = c.id_a
+               JOIN sz zb ON zb.doc_id = c.id_b)
+             SELECT id_a, id_b, ni, na, nb,
+                    CAST(ni AS DOUBLE) / (na + nb - ni) AS jac,
+                    CAST(ni AS DOUBLE) / least(na, nb) AS containment
+             FROM scored
+             ORDER BY jac DESC, id_a, id_b LIMIT 20""")),
+
     // ------------------------------------- p73 manifest-driven diff
     // Incremental revalidation: which parts of a new corpus snapshot need
     // re-processing? p65 answers doc-by-doc (a full-corpus join); this

@@ -311,6 +311,21 @@ class PipelineSpec extends SparkTestBase {
     assert(reprocess < total)
   }
 
+  test("p74 review queue: exact twins head the queue with jac = containment = 1") {
+    val rows = run("p74_pair_review_queue").collect()
+    assert(rows.length == 20)
+    // planted exact copies (id, id + ExactIdOffset) rank first, perfect on
+    // both measures
+    val head = rows.head
+    assert(head.getDouble(5) == 1.0 && head.getDouble(6) == 1.0)
+    assert(head.getLong(1) == head.getLong(0) + Corpus.ExactIdOffset)
+    // containment dominates jaccard everywhere (ni/min >= ni/union)
+    rows.foreach(r => assert(r.getDouble(6) >= r.getDouble(5) - 1e-12))
+    // the queue is sorted by jac desc
+    val jacs = rows.map(_.getDouble(5))
+    assert(jacs.zip(jacs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("p69 incremental IVF: occupancy conserves corpus and batch counts against frozen centroids") {
     val rows = run("p69_ivf_incremental").collect()
     val nVecs = Corpus.vecs(spark, sfDir).count()

@@ -851,6 +851,13 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("IdentityBroadcastMode"), p) // the 1-row max side
   }
 
+  test("p74 review queue: top-k is TakeOrderedAndProject over the shared scored pairs, no global sort") {
+    val p = plan("p74_pair_review_queue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("p69 incremental IVF: assignment is map-side math against broadcast centroids, rollups keyed on cell") {
     val p = plan("p69_ivf_incremental")
     // neither the standing corpus nor the ingest batch shuffles on vec_id;
