@@ -2987,7 +2987,7 @@ object QueriesCore {
     // the hot partition is carved into advisory-sized reader chunks, the
     // matching build-side partition replicated per chunk — exactly the
     // salting transform, applied post-hoc from measured map output
-    // sizes). A third of lineitem collapses onto one key; confs lower
+    // sizes). Half of lineitem collapses onto one key; confs lower
     // the skew thresholds so the mechanism fires at fixture bytes (at
     // 100 TB the 256 MB/5x defaults fire on their own). The entry
     // MATERIALIZES inside the conf scope (AQE reads confs at execution
@@ -3082,7 +3082,7 @@ object QueriesCore {
   /** The q105 join, factored so ScaleSpec can execute the SAME frame under
     * [[skewConfs]] and inspect the post-execution adaptive plan (the entry
     * itself returns a materialized result, which hides the join shape).
-    * A third of lineitem collapses onto key 0 — the hot-key regime — and
+    * Half of lineitem collapses onto key 0 — the hot-key regime — and
     * joins a unique-key dim side; the rollup is skew-invariant.
     */
   private[graft] def aqeSkewJoinFrame(s: SparkSession, dir: String): DataFrame = {
