@@ -98,6 +98,61 @@ def gen_join_query(i):
             f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
 
 
+# NULL-KEY join shapes — the q57-class traps where Spark and DuckDB can
+# silently diverge: outer joins whose keys are genuinely NULL on both
+# sides (equality never matches NULL; null-safe comparison does), and the
+# padding rows a LEFT/FULL join synthesizes. Keys are nullif(key % m, 0)
+# so every branch carries a controlled fraction of NULLs; branches are
+# key-bounded so FULL joins stay small. Row-set compare (the harness
+# sorts) keeps outer-join row order out of the verdict.
+NULLJOIN_SHAPES = [
+    # (table, key, payload_int, bound_pred)
+    ("lineitem", "l_orderkey", "l_partkey", "l_orderkey <= 4000"),
+    ("orders", "o_orderkey", "o_custkey", "o_orderkey <= 4000"),
+    ("events", "event_id", "user_id", "event_id <= 3000"),
+]
+
+
+def gen_nulljoin_query(i):
+    at, ak, av, abound = rng.choice(NULLJOIN_SHAPES)
+    bt, bk, bv, bbound = rng.choice(NULLJOIN_SHAPES)
+    m = rng.randint(3, 9)
+    a = (f"(SELECT nullif({ak} % {m}, 0) AS k, "
+         f"CAST(sum({av}) AS BIGINT) AS av FROM {at} WHERE {abound} GROUP BY 1)")
+    b = (f"(SELECT nullif({bk} % {m}, 0) AS k, "
+         f"CAST(sum({bv}) AS BIGINT) AS bv FROM {bt} WHERE {bbound} GROUP BY 1)")
+    jt = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
+    cond = rng.choice(["a.k = b.k", "a.k IS NOT DISTINCT FROM b.k"])
+    return (f"o{i:03d}",
+            f"SELECT a.k AS ka, b.k AS kb, a.av AS a0, b.bv AS a1 "
+            f"FROM {a} a {jt} {b} b ON {cond}")
+
+
+def gen_notin_query(i):
+    # [NOT] IN (subquery with NULLs): a NULL in a NOT IN list makes every
+    # comparison UNKNOWN, so the standard answer is the empty set — the
+    # null-semantics cliff both engines must fall off identically. The
+    # nullable branch is coin-flipped so roughly half the queries keep a
+    # non-degenerate NOT IN.
+    o_t, o_key, o_col, i_t, i_key, i_col, i_vals = rng.choice(EXISTS_SHAPES)
+    neg = rng.choice(["IN", "NOT IN"])
+    if rng.random() < 0.5:
+        sub_expr = f"nullif({i_key} % {rng.randint(3, 9)}, 0)"
+        out_expr = f"{o_key} % 7"
+    else:
+        sub_expr = i_key
+        out_expr = o_key
+    pred = ""
+    if rng.random() < 0.7:
+        vals = rng.sample(i_vals, k=rng.randint(1, len(i_vals) - 1))
+        pred = (f" WHERE {i_col} IN ({', '.join(repr(v) for v in vals)})"
+                if len(vals) > 1 else f" WHERE {i_col} = '{vals[0]}'")
+    return (f"i{i:03d}",
+            f"SELECT {o_key} AS k, {o_col} AS a0 FROM {o_t} "
+            f"WHERE {out_expr} {neg} (SELECT {sub_expr} FROM {i_t}{pred}) "
+            f"ORDER BY k")
+
+
 # windows are deterministic when ordered by a unique key within partition
 WINDOW_TABLES = {
     "orders": {"part": ["o_orderstatus", "o_orderpriority"], "ukey": "o_orderkey",
@@ -463,10 +518,14 @@ def gen_query(i):
     if r < 0.48:
         return gen_corr_scalar_query(i)
     if r < 0.54:
+        return gen_nulljoin_query(i)
+    if r < 0.59:
+        return gen_notin_query(i)
+    if r < 0.64:
         return gen_window_query(i)
-    if r < 0.62:
+    if r < 0.70:
         return gen_frame_query(i)
-    if r < 0.72:
+    if r < 0.78:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]

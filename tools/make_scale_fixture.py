@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Synthesize an N-times-larger copy of a fixture dir for scaling-slope
+measurement (round-7 verdict item #2: prove sec(10x)/sec(1x) per entry,
+not just plan shapes).
+
+Each table is replicated N times with entity keys offset per replica by a
+stride > max(key), so key cardinality, join fan-out and group counts all
+scale by N (no artificial hot keys, no cross-replica key collisions):
+
+- orders/lineitem/customer/supplier/part: all FK pairs offset consistently
+  (replica k's lineitem joins replica k's orders/part/supplier only).
+- events: event_id/user_id offset; ts/value untouched (same time span at
+  N-times the event density - the "more traffic" scale direction).
+- documents: doc_id offset; text passed through a per-replica Caesar
+  rotation of letters (length-preserving, so n_chars stays truthful).
+  Rotation makes replica texts token-disjoint: the near-dup cluster
+  structure inside each replica is preserved EXACTLY while no cross-replica
+  near-dups appear, so the LSH/dedup workload (pair count, cluster sizes)
+  scales linearly by construction - a plain copy would instead create
+  N-sized duplicate clusters and an O(N^2) pair blow-up that measures the
+  fixture, not the engine.
+- embeddings: vec_id offset, vectors/labels copied (ANN cost is driven by
+  corpus size; duplicate points change nothing about the scan/bucket work).
+- region/nation: copied unchanged (fixed-size dimensions at every scale).
+
+Usage: python3 tools/make_scale_fixture.py [SRC_DIR] [DST_DIR] [N]
+Defaults: /root/testdata/sf0.1 /tmp/graft_sf1 10
+"""
+import sys
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+import os
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+
+def stride(table, key):
+    return con.sql(f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+
+
+def emit(table, select_body):
+    q = (f"COPY (SELECT {select_body} FROM '{src}/{table}.parquet' "
+         f"CROSS JOIN range({n}) r(k) ORDER BY k) "
+         f"TO '{dst}/{table}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)")
+    con.execute(q)
+    rows = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {rows} rows")
+
+
+for t in ("region", "nation"):
+    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' "
+                "(FORMAT PARQUET, COMPRESSION SNAPPY)")
+    print(f"{t}: copied")
+
+cust = stride("customer", "c_custkey")
+supp = stride("supplier", "s_suppkey")
+part = stride("part", "p_partkey")
+orde = stride("orders", "o_orderkey")
+evid = stride("events", "event_id")
+user = stride("events", "user_id")
+doc = stride("documents", "doc_id")
+vec = stride("embeddings", "vec_id")
+
+emit("customer", f"c_custkey + k * {cust} AS c_custkey, c_name, c_nationkey, "
+                 "c_acctbal, c_mktsegment")
+emit("supplier", f"s_suppkey + k * {supp} AS s_suppkey, s_name, s_nationkey, s_acctbal")
+emit("part", f"p_partkey + k * {part} AS p_partkey, p_name, p_brand, p_type, "
+             "p_size, p_retailprice")
+emit("orders", f"o_orderkey + k * {orde} AS o_orderkey, o_custkey + k * {cust} AS o_custkey, "
+               "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+emit("lineitem", f"l_orderkey + k * {orde} AS l_orderkey, l_partkey + k * {part} AS l_partkey, "
+                 f"l_suppkey + k * {supp} AS l_suppkey, l_linenumber, l_quantity, "
+                 "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
+emit("events", f"event_id + k * {evid} AS event_id, ts, user_id + k * {user} AS user_id, "
+               "event_type, value, props")
+
+# per-replica Caesar rotation: replica k maps letter i -> letter (i+k) mod 26
+alpha = "abcdefghijklmnopqrstuvwxyz"
+rot_cases = " ".join(
+    f"WHEN k = {k} THEN translate(text, '{alpha}{alpha.upper()}', "
+    f"'{alpha[k:] + alpha[:k]}{(alpha[k:] + alpha[:k]).upper()}')"
+    for k in range(n))
+emit("documents", f"doc_id + k * {doc} AS doc_id, CASE {rot_cases} END AS text, "
+                  "lang, source, n_chars")
+emit("embeddings", f"vec_id + k * {vec} AS vec_id, embedding, label")
+print("done:", dst)
