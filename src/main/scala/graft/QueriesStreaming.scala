@@ -570,7 +570,7 @@ object QueriesStreaming {
     // eviction predicate on ms-floored event time.
     NamedQuery("s10_stream_tumbling_append",
       (s, dir) => withStatePartitions(s, 4) {
-        withStagedEventsStream(s, dir, 4) { ev =>
+        withStagedEventsStream(s, dir, 4, filesPerTrigger = 2) { ev =>
           val agg = ev
             .withColumn("ts", col("ts").cast("timestamp"))
             .withWatermark("ts", "1 hour")
@@ -603,7 +603,7 @@ object QueriesStreaming {
     // restricted to the same `end <= watermark` cutoff on ms-floored time.
     NamedQuery("s11_stream_sessions_append",
       (s, dir) => withStatePartitions(s, 4) {
-        withStagedEventsStream(s, dir, 4) { ev =>
+        withStagedEventsStream(s, dir, 4, filesPerTrigger = 2) { ev =>
           val agg = ev
             .withColumn("ts", col("ts").cast("timestamp"))
             .withWatermark("ts", "1 hour")
@@ -881,7 +881,7 @@ object QueriesStreaming {
     // the final watermark (max ts − 1h), replaying s10's cutoff rule.
     NamedQuery("s16_stream_chained_aggs",
       (s, dir) => withStatePartitions(s, 4) {
-        withStagedEventsStream(s, dir, 4) { ev =>
+        withStagedEventsStream(s, dir, 4, filesPerTrigger = 2) { ev =>
           val sixHour = ev
             .withColumn("ts", col("ts").cast("timestamp"))
             .withWatermark("ts", "1 hour")
@@ -1304,7 +1304,11 @@ object QueriesStreaming {
             .repartitionByRange(3, col("event_id"))
             .write.mode("overwrite").parquet(stage.toString)
           val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
-            .option("maxFilesPerTrigger", "1")
+            // 2 files/trigger: the split is stateless per-row (chunking
+            // cannot change the result, per the gate note above), so two
+            // triggers prove the multi-batch double-write at 2/3 the
+            // per-trigger fixed cost
+            .option("maxFilesPerTrigger", "2")
             .parquet(stage.toString)
           val split: (DataFrame, Long) => Unit = (batch, _) => {
             val parsed = batch.select(col("event_id"), col("props"),
@@ -1396,7 +1400,7 @@ object QueriesStreaming {
         import org.apache.spark.sql.expressions.Window
         val target = java.nio.file.Files.createTempDirectory("graft_s26_target_")
         try {
-          withStagedEventsStream(s, dir, 3) { evs =>
+          withStagedEventsStream(s, dir, 3, filesPerTrigger = 2) { evs =>
             @volatile var hasTarget = false
             val latest = Window.partitionBy(col("user_id"))
               .orderBy(col("seq").desc)
@@ -1492,7 +1496,7 @@ object QueriesStreaming {
     // window end ≤ global (StateStoreSaveExec's non-strict predicate).
     NamedQuery("s28_stream_union_min_wm",
       (s, dir) => withStatePartitions(s, 4) {
-        withStagedEventsStream(s, dir, 4) { ev =>
+        withStagedEventsStream(s, dir, 4, filesPerTrigger = 2) { ev =>
           val in = ev.withColumn("ts", col("ts").cast("timestamp"))
           val clicks = in.filter(col("event_type") === "click")
             .withWatermark("ts", "1 hour")
@@ -1845,7 +1849,10 @@ object QueriesStreaming {
             val ev = Tables.normalizeTs(
               s.readStream
                 .schema(s.read.parquet(stageAll.toString).schema)
-                .option("maxFilesPerTrigger", "1")
+                // 2 files/trigger — s33's reasoning: the restart contract
+                // under gate lives at the phase boundary, and the ledger
+                // skip/apply paths are exercised per batch either way
+                .option("maxFilesPerTrigger", "2")
                 .parquet(live.toString),
               "ts")
             val agg = ev
@@ -1907,7 +1914,10 @@ object QueriesStreaming {
             .repartitionByRange(4, col("doc_id"))
             .write.mode("overwrite").parquet(stage.toString)
           val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
-            .option("maxFilesPerTrigger", "1")
+            // 2 files/trigger: the XOR fold is commutative/associative, so
+            // batch boundaries cannot change the converged manifest (the
+            // gate's own point) — two triggers prove the incremental fold
+            .option("maxFilesPerTrigger", "2")
             .parquet(stage.toString)
           val agg = src
             .withColumn("h", graft.functions.GraftFunctions.poly_hash(
