@@ -532,7 +532,8 @@ def gen_query(i):
     groups = rng.sample(spec["group"], k=rng.randint(1, min(2, len(spec["group"]))))
     aggs = ["count(*) AS cnt"]
     for j in range(rng.randint(1, 3)):
-        kind = rng.choice(["minmax_int", "minmax_double", "minmax_str", "sum_int", "avg_int", "count_col"])
+        kind = rng.choice(["minmax_int", "minmax_double", "minmax_str", "sum_int",
+                           "avg_int", "count_col", "count_distinct", "sum_distinct"])
         if kind == "minmax_int":
             c = rng.choice(spec["int"]); f = rng.choice(["min", "max"])
             aggs.append(f"{f}({c}) AS a{j}")
@@ -552,6 +553,13 @@ def gen_query(i):
             # double, one division — bit-identical in both engines.
             c = rng.choice(spec["int"])
             aggs.append(f"CAST(sum({c}) AS DOUBLE) / count({c}) AS a{j}")
+        elif kind == "count_distinct":
+            # exact distinct aggregation (Expand + two-phase agg in Spark)
+            c = rng.choice(spec["int"] + spec["str"])
+            aggs.append(f"count(DISTINCT {c}) AS a{j}")
+        elif kind == "sum_distinct":
+            c = rng.choice(spec["int"])
+            aggs.append(f"CAST(sum(DISTINCT {c}) AS BIGINT) AS a{j}")
         else:
             c = rng.choice(spec["str"])
             aggs.append(f"count({c}) AS a{j}")
