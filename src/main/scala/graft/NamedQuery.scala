@@ -49,4 +49,41 @@ object NamedQuery {
   def decAvg(c: Column): Column = decSum(c) / count(lit(1))
 
   def sqlDecAvg(e: String): String = s"${sqlDecSum(e)} / COUNT(*)"
+
+  /** [[decSum]] WITHOUT the final double cast — the "at real scale the
+    * output stays DECIMAL end-to-end" variant, bit-exact at ANY magnitude
+    * (no 2^53 envelope): the 10× fixture check caught decSum's documented
+    * boundary on q03's sum_charge (group sums ~2.8e10 > 9e9 ⇒ the
+    * decimal→double cast's rounding diverged by 1 ulp between engines).
+    * Result type pinned to DECIMAL(33,6) on both sides (Spark's sum of
+    * DECIMAL(23,6) is DECIMAL(33,6); DuckDB's is DECIMAL(38,6), so the
+    * oracle casts down — lossless, the value's integral part is < 1e27).
+    */
+  def decSumDec(c: Column): Column =
+    sum(c.cast(DecimalType(23, 6))).cast(DecimalType(33, 6))
+
+  def sqlDecSumDec(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(23,6))) AS DECIMAL(33,6))"
+
+  /** Scale-proof average: the exact decimal sum's UNSCALED value (sum ×
+    * 10^6, integral, < 2^63) floor-divided by the count in INTEGER
+    * arithmetic — truncating division of non-negative longs is
+    * rule-identical in Spark (`div`) and DuckDB (`//`), unlike a decimal
+    * quotient cast (Spark rounds HALF_UP, DuckDB half-even) or a double
+    * division of a >2^53 sum (decSum's envelope). The re-scale to double
+    * at the end is exact: the quotient is < 2^53 and one division by 10^6
+    * rounds once, identically, in both engines. Semantics: the average
+    * quantized toward zero at 6 decimals (documented; TPC-H prints 2).
+    * Emit with [[decAvgUnscaled]] in the aggregation list and divide in
+    * a post-select via [[avgFromUnscaled]] (integer div is not exposed on
+    * Column, so the quotient is built by name).
+    */
+  def decAvgUnscaled(c: Column): Column =
+    (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast("long")
+
+  def avgFromUnscaled(uCol: String, cntCol: String): Column =
+    expr(s"CAST($uCol div $cntCol AS DOUBLE) / 1000000.0")
+
+  def sqlDecAvgScaleProof(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(23,6))) * 1000000 AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0"
 }

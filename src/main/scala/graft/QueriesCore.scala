@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt}
+import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt, decSumDec, sqlDecSumDec, decAvgUnscaled, avgFromUnscaled, sqlDecAvgScaleProof}
 
 /** Query-layer operator inventory (SURVEY.md §2.2): the relational surface
   * Presto supplied over the reference connector's tables, re-expressed as
@@ -470,29 +470,46 @@ object QueriesCore {
 
     // ----------------------------------------------------------- aggregation
     // TPC-H Q1 shape: hash agg with map-side partial aggregation; 6 groups.
+    // TPC-H Q1: the headline pricing summary carries the LARGEST per-group
+    // monetary sums in the registry (4 groups over all of lineitem), so it
+    // is the first entry to cross decSum's documented 2^53 double-cast
+    // envelope as data grows (caught empirically by the 10× fixture gate:
+    // sum_charge ~2.8e10 diverged by 1 ulp). It therefore runs the
+    // at-scale discipline the decSum doc prescribes: sums stay DECIMAL
+    // end-to-end (decSumDec — exact at any magnitude) and averages divide
+    // the exact unscaled sum by the count in integer arithmetic
+    // (decAvgUnscaled/avgFromUnscaled — truncating div is rule-identical
+    // across engines, unlike decimal-quotient or >2^53 double rounding).
     NamedQuery("q03_pricing_summary",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          decSum(col("l_quantity")).as("sum_qty"),
-          decSum(col("l_extendedprice")).as("sum_base_price"),
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          decSumDec(col("l_quantity")).as("sum_qty"),
+          decSumDec(col("l_extendedprice")).as("sum_base_price"),
+          decSumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decSumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * (lit(1) + col("l_tax"))).as("sum_charge"),
-          decAvg(col("l_quantity")).as("avg_qty"),
-          decAvg(col("l_extendedprice")).as("avg_price"),
-          decAvg(col("l_discount")).as("avg_disc"),
+          decAvgUnscaled(col("l_quantity")).as("_uqty"),
+          decAvgUnscaled(col("l_extendedprice")).as("_uprice"),
+          decAvgUnscaled(col("l_discount")).as("_udisc"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("sum_charge"),
+          avgFromUnscaled("_uqty", "count_order").as("avg_qty"),
+          avgFromUnscaled("_uprice", "count_order").as("avg_price"),
+          avgFromUnscaled("_udisc", "count_order").as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-             ${sqlDecSum("l_quantity")} AS sum_qty,
-             ${sqlDecSum("l_extendedprice")} AS sum_base_price,
-             ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-             ${sqlDecSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-             ${sqlDecAvg("l_quantity")} AS avg_qty,
-             ${sqlDecAvg("l_extendedprice")} AS avg_price,
-             ${sqlDecAvg("l_discount")} AS avg_disc,
+             ${sqlDecSumDec("l_quantity")} AS sum_qty,
+             ${sqlDecSumDec("l_extendedprice")} AS sum_base_price,
+             ${sqlDecSumDec("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${sqlDecSumDec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+             ${sqlDecAvgScaleProof("l_quantity")} AS avg_qty,
+             ${sqlDecAvgScaleProof("l_extendedprice")} AS avg_price,
+             ${sqlDecAvgScaleProof("l_discount")} AS avg_disc,
              count(*) AS count_order
              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
              GROUP BY l_returnflag, l_linestatus

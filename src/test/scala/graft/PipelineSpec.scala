@@ -352,4 +352,23 @@ class PipelineSpec extends SparkTestBase {
     // 16-dim codebook would give (measured ≈ 0.64 at sf0.001)
     assert(rows.map(_.getDouble(3)).max > 0.4)
   }
+
+  test("materialized corpus index is row-identical to the freshly built index") {
+    // s21 probes the JVM-lifetime materialized index; a staleness or
+    // schema drift bug there would silently change streaming-ingest
+    // verdicts, so pin parquet round-trip == inline construction.
+    import org.apache.spark.sql.DataFrame
+    val fresh = QueriesPipeline.corpusIndex(
+      QueriesPipeline.sharedShingleHashes(spark, sfDir))
+    val mat = QueriesPipeline.materializedCorpusIndex(spark, sfDir)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(mat.sh) == rows(fresh.sh))
+    assert(rows(mat.bands) == rows(fresh.bands))
+    assert(rows(mat.sizes) == rows(fresh.sizes))
+    // parquet round-trips widen nullability; names/types must not drift
+    def shape(df: DataFrame) = df.schema.map(f => (f.name, f.dataType))
+    assert(shape(mat.sh) == shape(fresh.sh))
+    assert(shape(mat.bands) == shape(fresh.bands))
+    assert(shape(mat.sizes) == shape(fresh.sizes))
+  }
 }
