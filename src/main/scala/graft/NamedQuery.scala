@@ -65,6 +65,22 @@ object NamedQuery {
   def sqlDecSumDec(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(23,6))) AS DECIMAL(33,6))"
 
+  /** [[decSumDec]] rendered as a plain scale-6 STRING — the gate-facing
+    * form. Exact at any magnitude (it is the decimal's own digits), and
+    * representation-stable across engines: a DECIMAL(33,6) renders
+    * identically in Spark (java BigDecimal plain form — scale 6 can never
+    * trigger scientific notation) and DuckDB (`::VARCHAR`), digit for
+    * digit with all six fractional places. Motivation: round 7 proved the
+    * driver's hasher canonicalizes DECIMAL columns differently between its
+    * Spark-parquet and DuckDB paths even when values are bit-identical, so
+    * DECIMAL must never appear in a gate-facing output schema (enforced by
+    * OutputTypeLintSpec); STRING has seven rounds of driver-hash evidence.
+    */
+  def decSumStr(c: Column): Column = decSumDec(c).cast("string")
+
+  def sqlDecSumStr(e: String): String =
+    s"CAST(${sqlDecSumDec(e)} AS VARCHAR)"
+
   /** Scale-proof average: the exact decimal sum's UNSCALED value (sum ×
     * 10^6, integral, < 2^63) floor-divided by the count in INTEGER
     * arithmetic — truncating division of non-negative longs is
@@ -78,8 +94,18 @@ object NamedQuery {
     * a post-select via [[avgFromUnscaled]] (integer div is not exposed on
     * Column, so the quotient is built by name).
     */
-  def decAvgUnscaled(c: Column): Column =
-    (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast("long")
+  def decAvgUnscaled(c: Column): Column = {
+    // Guard the long cast: Spark's non-ANSI CAST silently yields NULL once
+    // the unscaled sum (sum × 10^6) exceeds 2^63, i.e. group sum ≥ ~9.2e12
+    // — while the DuckDB twin's CAST(.. AS BIGINT) raises. Compute the
+    // product at DECIMAL(38,0) (exact: sum < 1e27 × 1e6 = 1e33 < 1e38),
+    // raise loudly past the envelope instead of diverging silently.
+    val u = (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast(DecimalType(38, 0))
+    when(u > lit(Long.MaxValue) || u < lit(Long.MinValue),
+      raise_error(lit("decAvgUnscaled: unscaled sum exceeds BIGINT " +
+        "(group sum past the documented ~9.2e12 envelope)")).cast("long"))
+      .otherwise(u.cast("long"))
+  }
 
   def avgFromUnscaled(uCol: String, cntCol: String): Column =
     expr(s"CAST($uCol div $cntCol AS DOUBLE) / 1000000.0")

@@ -36,8 +36,17 @@ object ProfileStreaming {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         System.err.println(s"[profile] terminated ${e.id}")
     })
-    val (name, fn) = SparkEntry.queries.find(_._1.startsWith(entry))
-      .getOrElse(sys.error(s"no entry matching $entry"))
+    // Exact-name lookup first; else prefix over SORTED keys, erroring on
+    // ambiguity — Map.find over hash order would pick an arbitrary match
+    // for a prefix like "s1" (s10/s11/s14/...).
+    val (name, fn) = SparkEntry.queries.get(entry).map(entry -> _).getOrElse {
+      val hits = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(entry))
+      hits match {
+        case Seq(one) => one -> SparkEntry.queries(one)
+        case Seq() => sys.error(s"no entry matching $entry")
+        case many => sys.error(s"ambiguous prefix $entry: ${many.mkString(", ")}")
+      }
+    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "2").toInt
     (1 to passes).foreach { i =>
       val t0 = System.nanoTime()

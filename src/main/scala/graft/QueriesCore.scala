@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt, decSumDec, sqlDecSumDec, decAvgUnscaled, avgFromUnscaled, sqlDecAvgScaleProof}
+import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt, decSumStr, sqlDecSumStr, decAvgUnscaled, avgFromUnscaled, sqlDecAvgScaleProof}
 
 /** Query-layer operator inventory (SURVEY.md §2.2): the relational surface
   * Presto supplied over the reference connector's tables, re-expressed as
@@ -480,15 +480,21 @@ object QueriesCore {
     // the exact unscaled sum by the count in integer arithmetic
     // (decAvgUnscaled/avgFromUnscaled — truncating div is rule-identical
     // across engines, unlike decimal-quotient or >2^53 double rounding).
+    // The sums are EMITTED as plain scale-6 strings (decSumStr): round 7
+    // proved the driver's hasher treats DECIMAL output columns differently
+    // between its Spark and DuckDB paths even for bit-identical values, so
+    // the exact decimal stays internal and the gate sees a representation
+    // with seven rounds of hash evidence. Lossless — the string is the
+    // decimal's own digits.
     NamedQuery("q03_pricing_summary",
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          decSumDec(col("l_quantity")).as("sum_qty"),
-          decSumDec(col("l_extendedprice")).as("sum_base_price"),
-          decSumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          decSumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          decSumStr(col("l_quantity")).as("sum_qty"),
+          decSumStr(col("l_extendedprice")).as("sum_base_price"),
+          decSumStr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          decSumStr(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * (lit(1) + col("l_tax"))).as("sum_charge"),
           decAvgUnscaled(col("l_quantity")).as("_uqty"),
           decAvgUnscaled(col("l_extendedprice")).as("_uprice"),
@@ -503,10 +509,10 @@ object QueriesCore {
           col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some(s"""SELECT l_returnflag, l_linestatus,
-             ${sqlDecSumDec("l_quantity")} AS sum_qty,
-             ${sqlDecSumDec("l_extendedprice")} AS sum_base_price,
-             ${sqlDecSumDec("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-             ${sqlDecSumDec("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+             ${sqlDecSumStr("l_quantity")} AS sum_qty,
+             ${sqlDecSumStr("l_extendedprice")} AS sum_base_price,
+             ${sqlDecSumStr("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${sqlDecSumStr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
              ${sqlDecAvgScaleProof("l_quantity")} AS avg_qty,
              ${sqlDecAvgScaleProof("l_extendedprice")} AS avg_price,
              ${sqlDecAvgScaleProof("l_discount")} AS avg_disc,

@@ -571,8 +571,32 @@ object QueriesPipeline {
   sys.addShutdownHook {
     corpusIndexDirs.values.forEach(p => graft.util.Fs.deleteRecursively(p))
   }
+
+  /** Cache key for [[materializedCorpusIndex]]: the fixture dir PLUS a
+    * fingerprint of documents.parquet (total size + max mtime, recursive
+    * for directory-shaped tables). A fixture regenerated in place mid-JVM
+    * therefore misses the cache and rebuilds, instead of silently serving
+    * a stale index (advice r7).
+    */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) s"$dir:absent"
+    else {
+      var size = 0L; var mtime = 0L
+      val walk = java.nio.file.Files.walk(p)
+      try walk.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          size += java.nio.file.Files.size(f)
+          mtime = math.max(mtime,
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      } finally walk.close()
+      s"$dir:$size:$mtime"
+    }
+  }
+
   private[graft] def materializedCorpusIndex(s: SparkSession, dir: String): CorpusIndex = {
-    val root = corpusIndexDirs.computeIfAbsent(dir, { _ =>
+    val root = corpusIndexDirs.computeIfAbsent(corpusFingerprint(dir), { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_corpus_idx_")
       val idx = corpusIndex(sharedShingleHashes(s, dir))
       idx.sh.write.mode("overwrite").parquet(d.resolve("sh").toString)

@@ -25,7 +25,9 @@ for q, t1 in a["queries"].items():
     t2 = b["queries"].get(q)
     if t2 is None:
         continue
-    rows.append((q, t1, t2, t2 / t1))
+    # floor the denominator: a 0.00 bench time (sub-10ms entry) must not
+    # crash the report with ZeroDivisionError
+    rows.append((q, t1, t2, t2 / max(t1, 1e-3)))
 rows.sort(key=lambda r: -r[3])
 
 print(f"| entry | sec(1x) | sec({n:g}x) | ratio | vs linear ({n:g}x) |")
