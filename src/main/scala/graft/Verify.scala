@@ -24,10 +24,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val ran = Seq.newBuilder[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ran += name
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,6 +49,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of the entries THIS run wrote — lets check_oracle.py scope
+    // its no-oracle sweep to fresh outputs instead of tripping over stale
+    // dirs left in outDir by an earlier full run (the bogus subset-mode
+    // "FAIL q06/q69 NO-ORACLE 0 rows" lines)
+    Files.writeString(Paths.get(s"$outDir/ran.json"),
+      ran.result().sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -103,6 +103,14 @@ for name in sorted(oracles):
 # the sketch broke and must FAIL the gate, not just print
 no_oracle = [d.split("/")[-1] for d in glob.glob(f"{OUT}/*")
              if "/" + "oracle_sql.json" not in d and not d.endswith(".json")]
+# scope the sweep to entries the LAST Verify run actually wrote (ran.json
+# manifest) — stale dirs from an earlier full run would otherwise produce
+# bogus FAILs in subset mode
+try:
+    ran = set(json.load(open(f"{OUT}/ran.json")))
+    no_oracle = [n for n in no_oracle if n in ran]
+except FileNotFoundError:
+    pass
 for name in sorted(set(no_oracle) - set(oracles)):
     try:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
