@@ -285,6 +285,33 @@ object QueriesPipeline {
         .filter(col("jac") >= 0.6)
         .orderBy(col("id_a"), col("id_b")))
 
+  /** p34's kernel stage, pre-barrier — exposed so ScaleSpec can pin its
+    * plan shape (the entry itself checkpoints this frame, which hides the
+    * kernel from the final query plan). Parallelism is pinned EXPLICITLY:
+    * the candidate-pair frame is tiny in BYTES (two ids + two texts per
+    * row) but each row costs O(L²) in the levenshtein kernel, so AQE's
+    * size-based partition coalescing — correct for byte-bound stages —
+    * collapses the exchange to ~1 partition and runs the kernel
+    * near-serially (measured: 19.7 s at the 10× fixture vs 9.8 s at 100×,
+    * where byte volume alone happened to keep the exchange wide). A
+    * repartition with a user-specified count is exempt from AQE
+    * coalescing; width = the session's shuffle parallelism. The general
+    * rule a cluster needs too: partition expensive-row stages by ROW
+    * cost, not byte size. `ed` is aliased once so the kernel evaluates
+    * once per pair (the pre-r8 shape computed it 3×: ed, rel_ed, filter).
+    */
+  private[graft] def editDistanceScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.docs(s, dir)
+    val kernelWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    minhashPairs(s, dir)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .repartition(kernelWidth, col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
+        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+  }
+
   /** p43's distributed prefix-sum shard assignment rolled up to the
     * per-shard integrity manifest (doc count, byte total, XOR PolyHash
     * checksum) — p68 emits it, p71 compacts it by folding manifests.
@@ -2002,19 +2029,25 @@ object QueriesPipeline {
     // so ed is an exact integer and rel_ed one IEEE division. This is the
     // record-linkage / canonicalization primitive (candidate generation by
     // cheap sketch, verification by exact distance).
+    // The kernel stage lives in [[editDistanceScored]] (plan-pinned by
+    // ScaleSpec); the entry applies the relative-distance threshold over
+    // its materialized output.
     NamedQuery("p34_editdistance_join",
-      (s, dir) => {
-        val docs = Corpus.docs(s, dir)
-        minhashPairs(s, dir)
-          .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
-          .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
-            (levenshtein(col("ta"), col("tb")).cast("double") /
-              greatest(length(col("ta")), length(col("tb")))).as("rel_ed"))
-          .filter(col("rel_ed") <= 0.25)
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => editDistanceScored(s, dir)
+        // Optimizer BARRIER, not a cache: without it, predicate pushdown
+        // substitutes the rel_ed alias and sinks the threshold into the
+        // candidate join's condition — re-evaluating the O(L²) kernel there,
+        // BELOW the width pin (observed in the executed plan: levenshtein
+        // appeared twice, once serially inside the BroadcastHashJoin). The
+        // scored frame is one short row per candidate pair, so the eager
+        // materialization is trivially cheap, and it is exactly what the
+        // production shape does anyway: verified distances are computed
+        // once and the threshold is a consumer-side predicate.
+        .localCheckpoint()
+        .select(col("id_a"), col("id_b"), col("ed"),
+          (col("ed").cast("double") / col("mx")).as("rel_ed"))
+        .filter(col("rel_ed") <= 0.25)
+        .orderBy(col("id_a"), col("id_b")),
       Some(s"""WITH $sqlMinhashCtes,
              pairs AS ($sqlMinhashPairsSelect),
              texts AS (SELECT doc_id, text FROM corpus)

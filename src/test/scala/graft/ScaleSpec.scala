@@ -356,6 +356,22 @@ class ScaleSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("p34: levenshtein kernel evaluates once, on an explicit-width exchange") {
+    // pin the PRE-barrier kernel stage: the entry checkpoints it, so the
+    // final query plan no longer exposes the kernel
+    val p = QueriesPipeline.editDistanceScored(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the O(L²) kernel must appear in exactly ONE projection — the pre-r8
+    // shape computed it 3× (ed, rel_ed, filter), and a pushed-down filter
+    // that substitutes the alias would reintroduce an evaluation inside
+    // the candidate join, below the width pin
+    assert(p.linesIterator.count(_.contains("levenshtein(")) == 1, p)
+    // the exchange feeding it is the entry's own explicit-width
+    // repartition, which AQE's size-based coalescing must leave alone —
+    // tiny-byte/expensive-row stages die serially otherwise (SCALING.md r8)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
   test("q63 null-safe join: EqualNullSafe is a hashable join key, not a filter") {
     val p = plan("q63_null_safe_join")
     // <=> must plan as an equi-join (hash/sort-merge on the null-safe

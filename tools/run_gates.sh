@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# The round's standing correctness gates (verdict r7 #6): the sf0.01 oracle
+# gate AND the same gate at the 10x fixture (rebuilt if absent), then the
+# oracle fuzzer at both scales. Scale-dependent divergence is a proven bug
+# class (q03's 2^53 envelope was caught ONLY at 10x), so the 10x pass is
+# not optional. Run serially — never alongside a bench (CPU contention
+# corrupts timings) or a concurrent sbt (target/ clobber).
+#
+# Usage: tools/run_gates.sh [--skip-fuzz]
+set -u
+cd "$(dirname "$0")/.."
+fail=0
+
+run() {
+  echo "=== $*"
+  if ! "$@"; then echo "GATE FAILED: $*"; fail=1; fi
+}
+
+run python3 tools/check_oracle.py /root/testdata/sf0.01
+
+if [ ! -f /tmp/graft_sf1/documents.parquet ]; then
+  run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
+fi
+run python3 tools/check_oracle.py /tmp/graft_sf1
+
+if [ "${1:-}" != "--skip-fuzz" ]; then
+  run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 8
+  run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 8
+fi
+
+if [ "$fail" = 0 ]; then echo "ALL GATES GREEN"; else echo "GATES RED"; fi
+exit $fail
