@@ -2,20 +2,34 @@
 """Local stand-in for the driver's correctness gate: run graft.Verify, then
 replay every oracle SQL in DuckDB over the same fixture tables and compare
 (column-name-sorted, row-sorted, exact values). Usage:
-    python3 tools/check_oracle.py [sfDir] [--skip-verify]
+    python3 tools/check_oracle.py [sfDir] [--skip-verify] [--only=a,b,..]
+
+--only scopes the DUCKDB comparison loop (and is forwarded to Verify via
+SPARK_GRAFT_VERIFY_ONLY unless --skip-verify). DuckDB's spill is capped
+(GRAFT_DUCK_TEMP_CAP, default 30GiB) so one pathological oracle at a big
+synthesized fixture fails fast with a recorded error instead of filling
+the disk — the r8 100x run hit 66GB of spill on a single pairwise-dedup
+oracle and had to be killed at 99% disk.
 """
-import json, math, subprocess, sys
+import json, math, os, subprocess, sys
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 OUT = "/tmp/verify_out"
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-verify" not in sys.argv:
+    env = dict(os.environ)
+    if ONLY:
+        env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(sorted(ONLY))
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error" in l.lower()]
     for l in errs[:30]:
         print(l)
@@ -23,11 +37,24 @@ if "--skip-verify" not in sys.argv:
         print("VERIFY RUN FAILED"); sys.exit(1)
 
 import duckdb
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+def fresh_con():
+    c = duckdb.connect()
+    c.execute("SET temp_directory='/root/repo/.tmp'")
+    c.execute(f"SET max_temp_directory_size='{os.environ.get('GRAFT_DUCK_TEMP_CAP', '30GiB')}'")
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+con = fresh_con()
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY is not None:
+    unknown = ONLY - set(oracles)
+    oracles = {k: v for k, v in oracles.items() if k in ONLY}
+    if unknown:
+        print(f"  (only-filter names without an oracle: {sorted(unknown)} — "
+              "checked as no-oracle dirs if present)")
 
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -50,8 +77,9 @@ def approx_eq(a, b):
     return a == b
 
 fails, passes, exact = [], 0, 0
-import glob
+import glob, time
 for name in sorted(oracles):
+    t0 = time.time()
     try:
         got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         got_cols = [c.lower() for c in got_rel.columns]
@@ -67,6 +95,13 @@ for name in sorted(oracles):
         want_types = dict(zip(want_cols, [str(t) for t in want_rel.types]))
     except Exception as e:
         fails.append((name, f"EXEC: {e}"))
+        # a failed query (e.g. temp-cap breach) can leave the instance's
+        # spill allocated — reconnect so the next oracle starts clean
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = fresh_con()
         continue
     if sorted(got_cols) != sorted(want_cols):
         fails.append((name, f"COLS: spark={sorted(got_cols)} duck={sorted(want_cols)}"))
@@ -97,6 +132,9 @@ for name in sorted(oracles):
         exact += 1 if is_exact else 0
         if not is_exact:
             print(f"  ~ {name}: rows match only approximately (driver hash would FAIL)")
+    dt = time.time() - t0
+    if dt > 10:
+        print(f"  t {name}: oracle+compare {dt:.0f}s", flush=True)
 
 # queries without oracle: rows-only — and those queries are built to be
 # SELF-CHECKING (q18/q42/p13 filter on rel_err < 0.05), so ZERO rows means
@@ -111,6 +149,8 @@ try:
     no_oracle = [n for n in no_oracle if n in ran]
 except FileNotFoundError:
     pass
+if ONLY is not None:
+    no_oracle = [n for n in no_oracle if n in ONLY]
 for name in sorted(set(no_oracle) - set(oracles)):
     try:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]
