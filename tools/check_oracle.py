@@ -15,7 +15,13 @@ import json, math, os, subprocess, sys
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
-OUT = "/tmp/verify_out"
+# Scratch dir is overridable because it is SHARED MUTABLE STATE between
+# concurrent invocations: an r8 retry (--skip-verify, comparing a 100x
+# fixture's outputs) ran while a fresh sf0.01 gate re-ran Verify into the
+# default dir — the retry silently compared sf0.01 Spark results against
+# 100x oracles and reported phantom mismatches. Concurrent runs MUST use
+# distinct GRAFT_VERIFY_OUT dirs.
+OUT = os.environ.get("GRAFT_VERIFY_OUT", "/tmp/verify_out")
 ONLY = None
 for a in sys.argv[1:]:
     if a.startswith("--only="):
