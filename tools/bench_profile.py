@@ -26,6 +26,13 @@ def load(path):
     with open(path) as f:
         doc = json.load(f)
     qs = doc.get("queries", doc)
+    # The driver-tail compact line carries only the 30 slowest in "queries"
+    # but ALL entries as columnar arrays ("cols": {"p": [...], ...}, index =
+    # 1-based numeric suffix). Prefer that complete map when present.
+    if isinstance(doc, dict) and isinstance(doc.get("cols"), dict):
+        qs = {f"{fam}{i:02d}": v
+              for fam, vals in doc["cols"].items()
+              for i, v in enumerate(vals, start=1)}
     return {k: v for k, v in qs.items() if isinstance(v, (int, float)) and v >= 0}
 
 
