@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver archives only the tail of `sbt -batch "runMain graft.Bench"`
+// stdout and parses the LAST line as JSON. sbt's default output strategy
+// routes forked stdout through its logger — every line arrives prefixed
+// "[info] " and a "[success] Total time…" banner trails the run — which is
+// exactly why BENCH_r01–r08 all carry parsed:null. StdoutOutput passes the
+// forked process's stdout through raw, and showSuccess drops the banner,
+// so Bench's final JSON line IS the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude it
+// from the unused-key lint so every batch run doesn't print a [warn] block
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

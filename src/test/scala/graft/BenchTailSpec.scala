@@ -52,6 +52,31 @@ class BenchTailSpec extends AnyFunSuite {
     assert(Bench.compactTailLine(subset, keyOf, 11.2, 0, 2, 30.0, "x").isEmpty)
   }
 
+  test("a family-complete BENCH_ONLY subset emits nothing either") {
+    // BENCH_ONLY=p yields contiguous p01..p74 — positionally valid arrays,
+    // but the total is family-only and must not masquerade as a registry
+    // total in the driver's archive
+    val pOnly = (1 to 74).map(i => f"p$i%02d_entry_name" -> 1.0)
+    assert(Bench.compactTailLine(pOnly, keyOf, 74.0, 0, 2, 150.0, "x",
+      subset = true).isEmpty)
+    // same shape without the subset flag (hypothetical 74-entry registry)
+    // still emits — the flag, not the shape, is what gates it
+    assert(Bench.compactTailLine(pOnly, keyOf, 74.0, 0, 2, 150.0, "x",
+      subset = false).nonEmpty)
+  }
+
+  test("pathological per-entry times fall back to a cols-free headline line") {
+    // every entry ~9876.54 s: the cols block alone overflows the window
+    val results = fullRegistry(_ => 9876.54)
+    val line = Bench.compactTailLine(results, keyOf, total = 2123456.1,
+      failed = 0, passes = 2, wall = 4246912.2, sfDir = "/root/testdata/sf0.1")
+      .getOrElse(fail("expected a headline fallback line"))
+    assert(line.length <= 1880, s"line is ${line.length} chars")
+    ujsonLite(line)
+    assert(line.contains("\"value\":2123456.100"))
+    assert(!line.contains("\"cols\""))
+  }
+
   test("failed entries survive as -1 in the arrays") {
     val results = fullRegistry(i => if (i == 7) -1.0 else 1.0)
     val line = Bench.compactTailLine(results, keyOf, 212.0, 3, 2, 400.0, "x").get

@@ -33,10 +33,13 @@ class OutputTypeLintSpec extends SparkTestBase {
 
   test("every registry entry emits only driver-hash-proven output types") {
     val bad = Seq.newBuilder[String]
-    // Analysis only — .schema resolves the plan without executing it, so
-    // the full 215-entry registry lints in seconds. Entries whose fn does
-    // eager work (streaming topologies, materialized indexes) still run,
-    // but at sf0.001.
+    // .schema only resolves the plan for lazily-built entries, but the
+    // s-family fns run their streaming topology EAGERLY on construction —
+    // so this spec's runtime is dominated by the 35 streaming entries
+    // executing at sf0.001 (minutes, not seconds). Accepted: the lint
+    // rides the same suite run that executes those specs anyway, and a
+    // cached-schema registry would skip exactly the entries most likely
+    // to change shape.
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       bad ++= violations(name, df.schema)

@@ -55,12 +55,24 @@ def fresh_con():
 con = fresh_con()
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+
+
+def only_match(name):
+    # Verify matches SPARK_GRAFT_VERIFY_ONLY by name PREFIX (startsWith);
+    # this loop must use the same rule or a prefix like --only=p3 runs
+    # Verify for p30..p39 yet compares none of them, reporting a green
+    # pass over zero entries.
+    return ONLY is None or any(name.startswith(p) for p in ONLY)
+
+
 if ONLY is not None:
-    unknown = ONLY - set(oracles)
-    oracles = {k: v for k, v in oracles.items() if k in ONLY}
-    if unknown:
-        print(f"  (only-filter names without an oracle: {sorted(unknown)} — "
-              "checked as no-oracle dirs if present)")
+    matched = {k for k in oracles if only_match(k)}
+    no_oracle_matched = {p for p in ONLY
+                         if not any(k.startswith(p) for k in oracles)}
+    oracles = {k: v for k, v in oracles.items() if k in matched}
+    if no_oracle_matched:
+        print(f"  (only-filter prefixes without an oracle: "
+              f"{sorted(no_oracle_matched)} — checked as no-oracle dirs if present)")
 
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -156,7 +168,11 @@ try:
 except FileNotFoundError:
     pass
 if ONLY is not None:
-    no_oracle = [n for n in no_oracle if n in ONLY]
+    no_oracle = [n for n in no_oracle if only_match(n)]
+    if not oracles and not no_oracle:
+        print(f"ONLY filter {sorted(ONLY)} matched no oracle and no "
+              "no-oracle output dir — nothing was checked")
+        sys.exit(1)
 for name in sorted(set(no_oracle) - set(oracles)):
     try:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{name}/*.parquet')").fetchone()[0]

@@ -499,33 +499,127 @@ def gen_conditional_query(i):
             f"SELECT {', '.join(sels)} FROM {t} WHERE {key} <= 800{pred} ORDER BY k")
 
 
+# CC-keeper shapes (the p17/p53/p56 mechanism family, randomized): a
+# synthetic PATH graph over a unique-key column — each residue class mod m
+# forms an ascending chain, broken into random segments by a per-edge
+# multiplicative-hash coin — then WITH RECURSIVE descending reachability
+# and keeper = min reachable. Soundness of the shared-dialect recursion:
+# edges only descend (dst -> src, src < dst) and in/out-degree <= 1 by
+# construction (path graph), so UNION ALL recursion terminates in both
+# engines without duplicate paths, and walking DOWN a path reaches exactly
+# the segment minimum — no undirected ping-pong, no aggregation inside the
+# recursive term (which the standard forbids). Spark's recursion depth
+# limit (100) dwarfs the bounded chain length.
+CC_TABLES = {
+    "orders": ("o_orderkey", 6000),
+    "events": ("event_id", 5000),
+    "part": ("p_partkey", 2000),
+    "documents": ("doc_id", 500),
+}
+
+
+def gen_cc_query(i):
+    t = rng.choice(list(CC_TABLES))
+    key, span = CC_TABLES[t]
+    m = rng.randint(2, 7)
+    lo = rng.randint(0, span // 2)
+    hi = lo + m * rng.randint(10, 40)  # chain length 10..40 per residue
+    p = rng.randint(3, 9)              # keep ~p/10 of edges (random breaks)
+    c = rng.randint(1, 999983)
+    base = (f"base AS (SELECT {key} AS id FROM {t} "
+            f"WHERE {key} BETWEEN {lo} AND {hi})")
+    edges = (f"edges AS (SELECT b.id AS src, b.id + {m} AS dst FROM base b "
+             f"JOIN base b2 ON b2.id = b.id + {m} "
+             f"WHERE (b.id * 2654435761 + {c}) % 10 < {p})")
+    nodes = ("nodes AS (SELECT src AS id FROM edges "
+             "UNION SELECT dst FROM edges)")
+    reach = ("reach(id, r) AS (SELECT id, id FROM nodes UNION ALL "
+             "SELECT reach.id, e.src FROM reach JOIN edges e ON e.dst = reach.r)")
+    labels = ("labels AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)")
+    shape = rng.random()
+    if shape < 0.4:  # p17's shape: the labels themselves
+        sel = ("SELECT id, keeper, id = keeper AS kept FROM labels "
+               "ORDER BY id")
+    elif shape < 0.7:  # p53's shape: cluster-size histogram
+        sel = ("SELECT cluster_size, count(*) AS n_clusters FROM "
+               "(SELECT keeper, count(*) AS cluster_size FROM labels "
+               "GROUP BY keeper) GROUP BY cluster_size ORDER BY cluster_size")
+    else:  # p56's shape: keeper-vs-dropped funnel
+        sel = ("SELECT count(*) AS n_total, "
+               "count(*) FILTER (WHERE id = keeper) AS n_kept, "
+               "CAST(sum(keeper) AS BIGINT) AS keeper_sum FROM labels")
+    return (f"y{i:03d}",
+            f"WITH RECURSIVE {base}, {edges}, {nodes}, {reach}, {labels} {sel}")
+
+
+# Manifest-arc shapes (the p68/p71 family, randomized): per-shard integrity
+# manifests — count, BIGINT byte total, order-independent bit_xor checksum
+# over a multiplicative hash — optionally FOLD-compacted into super-shards
+# (sum/sum/bit_xor re-aggregation, whose correctness is exactly the
+# mergeable-checksum property the manifest arc relies on). Integer-only
+# arithmetic; hash products stay far under 2^63 at every fixture scale so
+# both engines compute identical BIGINTs.
+MANIFEST_TABLES = {
+    "orders": ("o_orderkey", ["o_custkey", "o_orderkey"]),
+    "lineitem": ("l_orderkey", ["l_partkey", "l_suppkey"]),
+    "events": ("event_id", ["user_id", "event_id"]),
+    "documents": ("doc_id", ["n_chars", "doc_id"]),
+}
+
+
+def gen_manifest_query(i):
+    t = rng.choice(list(MANIFEST_TABLES))
+    key, ints = MANIFEST_TABLES[t]
+    S = rng.randint(8, 64)
+    c = rng.randint(1, 999983)
+    vol = rng.choice(ints)
+    hash_expr = f"({key} * 2654435761 + {c}) % 1099511627776"  # 2^40 keyspace
+    pred = f" WHERE {gen_pred(t)}" if t in TABLES and rng.random() < 0.5 else ""
+    shards = (f"shards AS (SELECT CAST({key} % {S} AS BIGINT) AS shard, "
+              f"count(*) AS n, CAST(sum({vol}) AS BIGINT) AS vol, "
+              f"bit_xor(CAST({hash_expr} AS BIGINT)) AS checksum "
+              f"FROM {t}{pred} GROUP BY 1)")
+    if rng.random() < 0.5:  # p68's shape: emit the manifest
+        sel = "SELECT * FROM shards ORDER BY shard"
+    else:  # p71's shape: fold-compact into super-shards
+        F = rng.randint(2, 6)
+        sel = (f"SELECT shard % {F} AS super_shard, CAST(sum(n) AS BIGINT) AS n, "
+               f"CAST(sum(vol) AS BIGINT) AS vol, bit_xor(checksum) AS checksum "
+               f"FROM shards GROUP BY 1 ORDER BY 1")
+    return (f"m{i:03d}", f"WITH {shards} {sel}")
+
+
 def gen_query(i):
     r = rng.random()
-    if r < 0.06:
+    if r < 0.05:
+        return gen_cc_query(i)
+    if r < 0.10:
+        return gen_manifest_query(i)
+    if r < 0.16:
         return gen_filter_query(i)
-    if r < 0.09:
+    if r < 0.19:
         return gen_conditional_query(i)
-    if r < 0.12:
-        return gen_scalar_query(i)
     if r < 0.22:
+        return gen_scalar_query(i)
+    if r < 0.32:
         return gen_setop_query(i)
-    if r < 0.30:
+    if r < 0.40:
         return gen_grouping_query(i)
-    if r < 0.36:
+    if r < 0.46:
         return gen_argmax_query(i)
-    if r < 0.42:
+    if r < 0.52:
         return gen_exists_query(i)
-    if r < 0.48:
+    if r < 0.58:
         return gen_corr_scalar_query(i)
-    if r < 0.54:
-        return gen_nulljoin_query(i)
-    if r < 0.59:
-        return gen_notin_query(i)
     if r < 0.64:
+        return gen_nulljoin_query(i)
+    if r < 0.69:
+        return gen_notin_query(i)
+    if r < 0.74:
         return gen_window_query(i)
-    if r < 0.70:
+    if r < 0.80:
         return gen_frame_query(i)
-    if r < 0.78:
+    if r < 0.88:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]

@@ -114,4 +114,10 @@ emit("documents", f"doc_id + k * {doc} AS doc_id, CASE {rot_cases} END AS text, 
                   "lang, source, n_chars")
 if not docs_only:
     emit("embeddings", f"vec_id + k * {vec} AS vec_id, embedding, label")
+
+# Done-marker, written LAST: a build that crashes partway (documents is
+# written before embeddings) must not look complete to run_gates.sh's
+# freshness check — presence of one parquet says nothing about the rest.
+with open(f"{dst}/_SUCCESS", "w") as f:
+    f.write(f"src={src} n={n} docs_only={docs_only}\n")
 print("done:", dst)

@@ -18,7 +18,10 @@ run() {
 
 run python3 tools/check_oracle.py /root/testdata/sf0.01
 
-if [ ! -f /tmp/graft_sf1/documents.parquet ]; then
+# freshness = the done-marker make_scale_fixture.py writes LAST, not the
+# presence of one parquet (a build that crashed between documents and
+# embeddings would otherwise pass the check and fail the gate confusingly)
+if [ ! -f /tmp/graft_sf1/_SUCCESS ]; then
   run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 fi
 # p72's DuckDB oracle (pairwise ground truth over CC labels) legitimately
