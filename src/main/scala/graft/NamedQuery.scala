@@ -81,6 +81,62 @@ object NamedQuery {
   def sqlDecSumStr(e: String): String =
     s"CAST(${sqlDecSumDec(e)} AS VARCHAR)"
 
+  /** The exact decimal sum's UNSCALED value (sum × 10^6) as BIGINT — the
+    * building block for ratios and constant divisions past [[decSum]]'s
+    * envelope. The r9 headroom audit (tools/audit_decsum.py, table in
+    * SCALING.md) measured group sums up to 1.8e11 at the 10× fixture —
+    * 20× past decSum's |sum| < 9e9 exactness boundary, the exact class
+    * that made q03 hash-fail. A BIGINT carries the unscaled sum exactly
+    * while |sum| < ~9.2e12 (2^63 unscaled) — 1000× more headroom — and a
+    * BIGINT→DOUBLE conversion is a single correctly-rounded hardware op
+    * in every engine, unlike a decimal→double cast (DuckDB double-rounds
+    * past 2^53). Guarded like [[decAvgUnscaled]]: Spark's non-ANSI
+    * decimal→long cast silently NULLs on overflow, so raise loudly
+    * instead. (The raw-SQL twin [[sqlDecSumUnscaled]] has no guard on the
+    * Spark side of a shared string; past the envelope the gate fails
+    * loudly on NULL-vs-error divergence — the audit flags entries long
+    * before.)
+    */
+  def decSumUnscaled(c: Column): Column = {
+    val u = (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast(DecimalType(38, 0))
+    when(u > lit(Long.MaxValue) || u < lit(Long.MinValue),
+      raise_error(lit("decSumUnscaled: unscaled sum exceeds BIGINT " +
+        "(group sum past the documented ~9.2e12 envelope)")).cast("long"))
+      .otherwise(u.cast("long"))
+  }
+
+  def sqlDecSumUnscaled(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(23,6))) * 1000000 AS BIGINT)"
+
+  /** Deterministic ratio of two decimal sums at ANY magnitude inside the
+    * unscaled BIGINT envelope: num/den = unscaled_num/unscaled_den (the
+    * 10^6 scales cancel), each BIGINT→DOUBLE conversion rounds once and
+    * identically cross-engine, then ONE division and one multiply. The
+    * replacement for `decSum(a)/decSum(b)` ratios whose internal sums
+    * clear 9e9 (q34/q76/q78's promo- and market-share shapes at the 10×
+    * audit: sums 3.6e9–9.5e9, within 3× of the cast boundary).
+    */
+  def decRatio(num: Column, den: Column, mult: Double = 1.0): Column =
+    lit(mult) * (decSumUnscaled(num).cast("double") /
+      decSumUnscaled(den).cast("double"))
+
+  /** DuckDB twin of [[decRatio]] — identical operation order (ratio first,
+    * multiplier last) so the IEEE roundings line up.
+    */
+  def sqlDecRatio(num: String, den: String, mult: String = "1.0"): String =
+    s"$mult * (CAST(${sqlDecSumUnscaled(num)} AS DOUBLE) / " +
+      s"CAST(${sqlDecSumUnscaled(den)} AS DOUBLE))"
+
+  /** Decimal sum divided by an integer constant (TPC-H Q17's `/ 7.0`
+    * yearly average), computed past the decSum envelope: unscaled BIGINT →
+    * one exact-constant division (k × 10^6 is exactly representable).
+    */
+  def decSumDivConst(c: Column, k: Long): Column =
+    decSumUnscaled(c).cast("double") / lit(k * 1e6)
+
+  def sqlDecSumDivConst(e: String, k: Long): String =
+    s"CAST(${sqlDecSumUnscaled(e)} AS DOUBLE) / $k" + "000000.0"
+
   /** Scale-proof average: the exact decimal sum's UNSCALED value (sum ×
     * 10^6, integral, < 2^63) floor-divided by the count in INTEGER
     * arithmetic — truncating division of non-negative longs is
@@ -94,18 +150,7 @@ object NamedQuery {
     * a post-select via [[avgFromUnscaled]] (integer div is not exposed on
     * Column, so the quotient is built by name).
     */
-  def decAvgUnscaled(c: Column): Column = {
-    // Guard the long cast: Spark's non-ANSI CAST silently yields NULL once
-    // the unscaled sum (sum × 10^6) exceeds 2^63, i.e. group sum ≥ ~9.2e12
-    // — while the DuckDB twin's CAST(.. AS BIGINT) raises. Compute the
-    // product at DECIMAL(38,0) (exact: sum < 1e27 × 1e6 = 1e33 < 1e38),
-    // raise loudly past the envelope instead of diverging silently.
-    val u = (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast(DecimalType(38, 0))
-    when(u > lit(Long.MaxValue) || u < lit(Long.MinValue),
-      raise_error(lit("decAvgUnscaled: unscaled sum exceeds BIGINT " +
-        "(group sum past the documented ~9.2e12 envelope)")).cast("long"))
-      .otherwise(u.cast("long"))
-  }
+  def decAvgUnscaled(c: Column): Column = decSumUnscaled(c)
 
   def avgFromUnscaled(uCol: String, cntCol: String): Column =
     expr(s"CAST($uCol div $cntCol AS DOUBLE) / 1000000.0")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt, decSumStr, sqlDecSumStr, decAvgUnscaled, avgFromUnscaled, sqlDecAvgScaleProof}
+import NamedQuery.{decSum, sqlDecSum, decAvg, sqlDecAvg, decSumAt, sqlDecSumAt, decSumStr, sqlDecSumStr, decSumDec, sqlDecSumDec, decRatio, sqlDecRatio, sqlDecSumDivConst, decAvgUnscaled, avgFromUnscaled, sqlDecAvgScaleProof}
 
 /** Query-layer operator inventory (SURVEY.md §2.2): the relational surface
   * Presto supplied over the reference connector's tables, re-expressed as
@@ -129,22 +129,29 @@ object QueriesCore {
              AND r2.r_name = 'EUROPE')
        ORDER BY p.p_partkey, s.s_name, n.n_name"""
 
-  /** Shared verbatim by the Spark query and the DuckDB oracle (q65). */
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q65).
+    * The 2% threshold compares DECIMALS, not doubles: the GLOBAL sum hit
+    * 6.4e10 at the r9 10x audit — 7x past the decimal->double cast's
+    * exactness boundary — so `value_dec * 50 > global_dec` does the
+    * equivalent compare in exact integer-scaled arithmetic (x > 2% of G
+    * <=> 50x > G). The per-supplier output value stays a double decSum
+    * (max 1.6e7 at 10x, 562x headroom — audited).
+    */
   private[graft] val tpchQ11Sql: String =
     """WITH supp_value AS (
          SELECT l.l_suppkey,
-                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) AS value
+                SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS value_dec
          FROM lineitem l, supplier s, nation n, region r
          WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
            AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
          GROUP BY l.l_suppkey)
-       SELECT l_suppkey, value FROM supp_value
-       WHERE value > (
-         SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) * 0.02
+       SELECT l_suppkey, CAST(value_dec AS DOUBLE) AS value FROM supp_value
+       WHERE value_dec * 50 > (
+         SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(23,6)))
          FROM lineitem l, supplier s, nation n, region r
          WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
            AND n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA')
-       ORDER BY value DESC, l_suppkey"""
+       ORDER BY value_dec DESC, l_suppkey"""
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q66).
     * The revenue filter is a quantity band (Q15's date window needs
@@ -166,8 +173,13 @@ object QueriesCore {
        ORDER BY s.s_suppkey"""
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q69).
-    * Q22's average is exact-decimal sum / exact count with ONE double
-    * division at the end — identical rounding in both engines; a plain
+    * Q22's average threshold divides the UNSCALED BIGINT sum (exact
+    * integer, one correctly-rounded int64->double conversion) by
+    * count × 10^6 (exact as a double while count < 2^53/10^6): the global
+    * positive-balance sum hit 6.9e8 at the r9 10x audit — 13x from the
+    * decimal->double cast's exactness boundary, inside the 100x
+    * conversion threshold. The per-country output sums stay double
+    * decSums (~2.8e7 each, >300x headroom — audited). A plain
     * AVG(double) would be association-order-dependent.
     */
   private[graft] val tpchQ22Sql: String =
@@ -175,7 +187,8 @@ object QueriesCore {
          SELECT c_custkey, c_nationkey, c_acctbal
          FROM customer
          WHERE c_acctbal > (
-             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(23,6))) AS DOUBLE) / count(*)
+             SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(23,6))) * 1000000
+                          AS BIGINT) AS DOUBLE) / (count(*) * 1000000.0)
              FROM customer WHERE c_acctbal > 0.0)
            AND NOT EXISTS (
              SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey))
@@ -187,10 +200,16 @@ object QueriesCore {
   /** Shared verbatim by the Spark query and the DuckDB oracle (q70).
     * Q17's per-part average threshold is exact-decimal sum / exact count
     * with ONE double division, then one double multiply by 0.2 — the same
-    * IEEE operation order in both engines, so the `<` compare can't flap.
+    * IEEE operation order in both engines, so the `<` compare can't flap
+    * (per-part quantity sums are tiny — 129 max at the r9 10x audit).
+    * The OUTPUT sum is the big one — 1.3e10 upper bound at 10x, past the
+    * decimal->double cast's exactness boundary — so it runs unscaled:
+    * exact BIGINT sum x 10^6, one int64->double conversion, one division
+    * by the exact constant 7e6.
     */
   private[graft] val tpchQ17Sql: String =
-    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) AS DOUBLE) / 7.0
+    """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(23,6))) * 1000000
+                   AS BIGINT) AS DOUBLE) / 7000000.0
               AS avg_yearly
        FROM lineitem l, part p
        WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
@@ -302,16 +321,21 @@ object QueriesCore {
        ORDER BY supp_nation, cust_nation, l_year"""
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q76). The
-    * ratio divides two decimal-summed DOUBLEs — identical operands on both
-    * engines, and IEEE division is deterministic, so the quotient hashes
-    * bit-exact without any decimal-division scale divergence.
+    * ratio divides the UNSCALED BIGINT forms of the two decimal sums (the
+    * 10^6 scales cancel): the per-year denominator hit 9.5e9 at the r9
+    * 10x audit — ON the decimal->double cast's exactness boundary — and
+    * an int64->double conversion rounds once, identically, in both
+    * engines at any magnitude under 2^63; the single IEEE division is
+    * then deterministic.
     */
   private[graft] val tpchQ8Sql: String =
     """SELECT o_year,
-              CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
-                            THEN CAST(volume AS DECIMAL(23,6))
-                            ELSE CAST(0 AS DECIMAL(23,6)) END) AS DOUBLE)
-              / CAST(SUM(CAST(volume AS DECIMAL(23,6))) AS DOUBLE) AS mkt_share
+              CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                 THEN CAST(volume AS DECIMAL(23,6))
+                                 ELSE CAST(0 AS DECIMAL(23,6)) END) * 1000000
+                   AS BIGINT) AS DOUBLE)
+              / CAST(CAST(SUM(CAST(volume AS DECIMAL(23,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) AS mkt_share
        FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                     l.l_extendedprice * (1 - l.l_discount) AS volume,
                     n2.n_name AS supp_nation
@@ -346,16 +370,21 @@ object QueriesCore {
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q78). The
     * fixture's p_type is a single word, so the canonical LIKE 'PROMO%%'
-    * becomes equality.
+    * becomes equality. The ratio runs on unscaled BIGINT sums (the r9 10x
+    * audit measured the month's revenue sums at 3.6e9 — 3x from the
+    * decimal->double cast boundary); ratio first, x100 last, so the IEEE
+    * roundings line up cross-engine.
     */
   private[graft] val tpchQ14Sql: String =
-    """SELECT CAST(100 AS DOUBLE)
-              * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
-                                        AS DECIMAL(23,6))
-                              ELSE CAST(0 AS DECIMAL(23,6)) END) AS DOUBLE)
-              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(23,6))) AS DOUBLE) AS promo_revenue
+    """SELECT 100.0
+              * (CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                              AS DECIMAL(23,6))
+                                    ELSE CAST(0 AS DECIMAL(23,6)) END) * 1000000
+                      AS BIGINT) AS DOUBLE)
+              / CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(23,6))) * 1000000
+                     AS BIGINT) AS DOUBLE)) AS promo_revenue
        FROM lineitem l, part p
        WHERE l.l_partkey = p.p_partkey
          AND l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -389,20 +418,25 @@ object QueriesCore {
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q81). The
     * canonical shape orders by revenue alone; n_name is added as a
-    * total-order tiebreak so ties are engine-independent.
+    * total-order tiebreak so ties are engine-independent. Revenue ships
+    * as the exact scale-6 string (q03 pattern): 9.1e7 per nation at the
+    * r9 10x audit — 99x from the decimal->double cast boundary, inside
+    * the 100x conversion threshold — with the ORDER BY kept on the
+    * decimal value, not the string.
     */
   private[graft] val tpchQ5Sql: String =
-    """SELECT n.n_name,
-              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                            AS DECIMAL(23,6))) AS DOUBLE) AS revenue
-       FROM customer c, orders o, lineitem l, supplier s, nation n, region r
-       WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
-         AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
-         AND r.r_name = 'ASIA'
-         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-         AND o.o_orderdate <  TIMESTAMP '1997-01-01'
-       GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"""
+    """SELECT n_name, CAST(rev AS STRING) AS revenue FROM (
+         SELECT n.n_name AS n_name,
+                CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(23,6))) AS DECIMAL(33,6)) AS rev
+         FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+         WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+           AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+           AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+           AND r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n.n_name) ORDER BY rev DESC, n_name"""
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q82). The
     * fixture has no partsupp table, so p_retailprice * l_quantity stands in
@@ -413,7 +447,8 @@ object QueriesCore {
     */
   private[graft] val tpchQ9Sql: String =
     """SELECT nation, o_year,
-              CAST(SUM(CAST(amount AS DECIMAL(23,6))) AS DOUBLE) AS sum_profit
+              CAST(CAST(SUM(CAST(amount AS DECIMAL(23,6))) AS DECIMAL(33,6))
+                   AS STRING) AS sum_profit
        FROM (SELECT n.n_name AS nation,
                     CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                     l.l_extendedprice * (1 - l.l_discount)
@@ -614,17 +649,20 @@ object QueriesCore {
 
     // Correlated scalar subquery (TPC-H Q17 shape): Catalyst decorrelates
     // into an aggregate + join. Comparison is safe in double: integer-valued
-    // quantities sum exactly (< 2^53), one division, one multiply.
+    // quantities sum exactly (< 2^53), one division, one multiply. The
+    // OUTPUT sum goes through the unscaled-BIGINT route: the r9 audit
+    // measured it at 2.8e10 at the 10x fixture — 3x past decSum's
+    // double-cast boundary (the q03 failure class).
     NamedQuery("q09_correlated_subquery",
       (s, dir) => {
         Tables.registerAll(s, dir)
-        s.sql(s"""SELECT ${sqlDecSum("l_extendedprice")} / 7.0 AS avg_yearly
+        s.sql(s"""SELECT ${sqlDecSumDivConst("l_extendedprice", 7)} AS avg_yearly
                  FROM lineitem
                  WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                      FROM lineitem l2
                                      WHERE l2.l_partkey = lineitem.l_partkey)""")
       },
-      Some(s"""SELECT ${sqlDecSum("l_extendedprice")} / 7.0 AS avg_yearly
+      Some(s"""SELECT ${sqlDecSumDivConst("l_extendedprice", 7)} AS avg_yearly
              FROM lineitem
              WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                                  FROM lineitem l2
@@ -725,10 +763,13 @@ object QueriesCore {
              ORDER BY o_custkey, o_orderkey""")),
 
     // ---------------------------------------------------- grouping sets etc.
+    // qty is a grand-total rollup row at its widest — 1.5e8 at the 10x
+    // audit, 59x from decSum's cast boundary — so it ships as the exact
+    // scale-6 string (q03 pattern, magnitude-proof).
     NamedQuery("q14_rollup",
       (s, dir) => t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+        .agg(count(lit(1)).as("n"), decSumStr(col("l_quantity")).as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
@@ -736,7 +777,7 @@ object QueriesCore {
         .orderBy(col("rf"), col("ls")),
       Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
              coalesce(l_linestatus, 'ALL') AS ls,
-             count(*) AS n, ${sqlDecSum("l_quantity")} AS qty
+             count(*) AS n, ${sqlDecSumStr("l_quantity")} AS qty
              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              ORDER BY rf, ls""")),
 
@@ -1079,10 +1120,15 @@ object QueriesCore {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-          .orderBy(col("revenue").desc, col("n_name"))
+          // 9.1e7 per nation at the 10x audit — 99x from the cast boundary,
+          // inside the 100x conversion threshold: the sum stays DECIMAL for
+          // the ORDER BY and ships as the exact string (q03 pattern)
+          .agg(decSumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("n_name"))
+          .select(col("n_name"), col("rev").cast("string").as("revenue"))
       },
-      Some(s"""SELECT n_name, ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS revenue
+      Some(s"""SELECT n_name, CAST(rev AS STRING) AS revenue FROM (
+             SELECT n_name, ${sqlDecSumDec("l_extendedprice * (1 - l_discount)")} AS rev
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1091,7 +1137,7 @@ object QueriesCore {
              WHERE r_name = 'ASIA'
                AND o_orderdate >= TIMESTAMP '1996-01-01'
                AND o_orderdate < TIMESTAMP '1997-01-01'
-             GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+             GROUP BY n_name) ORDER BY rev DESC, n_name""")),
 
     // TPC-H Q12 shape: conditional aggregation (CASE inside SUM).
     NamedQuery("q33_conditional_agg",
@@ -1119,22 +1165,27 @@ object QueriesCore {
                AND l_shipdate < TIMESTAMP '1997-01-01'
              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // TPC-H Q14 shape: ratio of conditional to total revenue (two decimal
-    // sums, one double division at the end).
+    // TPC-H Q14 shape: ratio of conditional to total revenue. The internal
+    // sums hit 3.7e9 at the 10x audit — 2x from decSum's double-cast
+    // boundary — so the ratio runs on unscaled BIGINT sums (decRatio):
+    // exact integer sums, two correctly-rounded int64->double conversions,
+    // one division, one multiply; identical in both engines at 1000x the
+    // old envelope.
     NamedQuery("q34_promo_revenue",
       (s, dir) => {
         val l = t(s, dir, "lineitem").filter(
           col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
         val p = t(s, dir, "part")
         l.join(p, col("l_partkey") === col("p_partkey"))
-          .agg((lit(100.0) *
-            decSum(when(col("p_type").startsWith("PROMO"),
-              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
-            / decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .as("promo_revenue"))
+          .agg(decRatio(
+            when(col("p_type").startsWith("PROMO"),
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)),
+            col("l_extendedprice") * (lit(1) - col("l_discount")),
+            mult = 100.0).as("promo_revenue"))
       },
-      Some(s"""SELECT 100.0 * ${sqlDecSum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
-             / ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS promo_revenue
+      Some(s"""SELECT ${sqlDecRatio(
+               "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+               "l_extendedprice * (1 - l_discount)", "100.0")} AS promo_revenue
              FROM lineitem JOIN part ON l_partkey = p_partkey
              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
                AND l_shipdate < TIMESTAMP '1996-04-01'""")),
@@ -1152,10 +1203,12 @@ object QueriesCore {
               && col("l_quantity").between(1, 21)) ||
             (col("p_brand") === "Brand#3" && col("p_size").between(10, 30)
               && col("l_quantity").between(20, 40)))
-          .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          // one global sum at 3.8e9 (10x audit) — 2x from decSum's cast
+          // boundary; emitted as the exact scale-6 string (q03 pattern)
+          .agg(decSumStr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
             count(lit(1)).as("n"))
       },
-      Some(s"""SELECT ${sqlDecSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+      Some(s"""SELECT ${sqlDecSumStr("l_extendedprice * (1 - l_discount)")} AS revenue,
              count(*) AS n
              FROM lineitem JOIN part ON l_partkey = p_partkey
              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -1179,20 +1232,23 @@ object QueriesCore {
              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup
              FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""")),
 
-    // Unpivot/melt: wide → long (the inverse of q36), via stack().
+    // Unpivot/melt: wide → long (the inverse of q36), via stack(). The
+    // price measure reached 1.1e11 at the 10x audit — 12x PAST decSum's
+    // double-cast boundary — so all three measures ship as exact scale-6
+    // strings (q03 pattern; the stacked v column is uniformly string).
     NamedQuery("q38_unpivot",
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(decSum(col("l_quantity")).as("qty"),
-          decSum(col("l_extendedprice")).as("price"),
-          decSum(col("l_tax")).as("tax"))
+        .agg(decSumStr(col("l_quantity")).as("qty"),
+          decSumStr(col("l_extendedprice")).as("price"),
+          decSumStr(col("l_tax")).as("tax"))
         .select(col("l_returnflag"),
           expr("stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, v)"))
         .orderBy(col("l_returnflag"), col("measure")),
       Some(s"""WITH w AS (
-               SELECT l_returnflag, ${sqlDecSum("l_quantity")} AS qty,
-                      ${sqlDecSum("l_extendedprice")} AS price,
-                      ${sqlDecSum("l_tax")} AS tax
+               SELECT l_returnflag, ${sqlDecSumStr("l_quantity")} AS qty,
+                      ${sqlDecSumStr("l_extendedprice")} AS price,
+                      ${sqlDecSumStr("l_tax")} AS tax
                FROM lineitem GROUP BY l_returnflag)
              SELECT l_returnflag, measure, v FROM (
                SELECT l_returnflag, 'qty' AS measure, qty AS v FROM w
@@ -1918,7 +1974,9 @@ object QueriesCore {
           .select(when(col("o_custkey") % 7 === 0, lit(null))
             .otherwise(col("o_custkey") % 100).as("k"), col("o_totalprice"))
           .groupBy(col("k"))
-          .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("sum_price"))
+          // per-key sums hit 5.4e10 at the 10x audit — 6x past decSum's
+          // cast boundary; exact scale-6 string (q03 pattern)
+          .agg(count(lit(1)).as("n_orders"), decSumStr(col("o_totalprice")).as("sum_price"))
         val b = t(s, dir, "customer")
           .select(when(col("c_custkey") % 7 === 0, lit(null))
             .otherwise(col("c_custkey") % 100).as("k"))
@@ -1930,7 +1988,7 @@ object QueriesCore {
       Some(s"""WITH a AS (
                SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
                            ELSE o_custkey % 100 END AS k,
-                      count(*) AS n_orders, ${sqlDecSum("o_totalprice")} AS sum_price
+                      count(*) AS n_orders, ${sqlDecSumStr("o_totalprice")} AS sum_price
                FROM orders GROUP BY 1),
              b AS (
                SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
@@ -2039,7 +2097,9 @@ object QueriesCore {
           .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
         fact.join(dim.hint("shuffle_hash"), Seq("hot_key", "salt"))
           .groupBy(col("hot_key"))
-          .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("sum_price"),
+          // hot-key sums hit 6.4e10 at the 10x audit — 7x past decSum's
+          // cast boundary; exact scale-6 string (q03 pattern)
+          .agg(count(lit(1)).as("n"), decSumStr(col("l_extendedprice")).as("sum_price"),
             max(col("dim_n")).as("dim_n"))
           .orderBy(col("hot_key"))
       },
@@ -2049,7 +2109,7 @@ object QueriesCore {
                SELECT n_nationkey % 5 AS hot_key, count(*) AS dim_n
                FROM nation GROUP BY 1)
              SELECT f.hot_key AS hot_key, count(*) AS n,
-                    ${sqlDecSum("l_extendedprice")} AS sum_price,
+                    ${sqlDecSumStr("l_extendedprice")} AS sum_price,
                     max(dim_n) AS dim_n
              FROM f JOIN d ON f.hot_key = d.hot_key
              GROUP BY f.hot_key ORDER BY hot_key""")),
@@ -2614,8 +2674,10 @@ object QueriesCore {
             when(col("op") === "I", col("price"))
               .otherwise(col("o_totalprice")).as("final_price"))
         merged.groupBy(col("final_status"))
+          // per-status sums hit 1.3e11 at the 10x audit — 15x past
+          // decSum's cast boundary; exact scale-6 string (q03 pattern)
           .agg(count(lit(1)).as("n"), sum(col("final_key")).as("sum_keys"),
-            decSum(col("final_price")).as("sum_price"))
+            decSumStr(col("final_price")).as("sum_price"))
           .orderBy(col("final_status"))
       },
       Some(s"""WITH base AS (
@@ -2650,7 +2712,7 @@ object QueriesCore {
                WHERE coalesce(n.op, '') <> 'D')
              SELECT final_status, count(*) AS n,
                     sum(final_key)::BIGINT AS sum_keys,
-                    ${sqlDecSum("final_price")} AS sum_price
+                    ${sqlDecSumStr("final_price")} AS sum_price
              FROM merged GROUP BY final_status ORDER BY final_status""")),
 
     // ------------------------------------------- q93 interval (range) join

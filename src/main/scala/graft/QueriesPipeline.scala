@@ -1684,12 +1684,15 @@ object QueriesPipeline {
           .filter(GF.bloomContains(col("bf"), col("l_orderkey")))
           .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy(col("l_returnflag"))
+          // per-flag sums hit 4.2e10 at the r9 10x audit — 5x past
+          // decSum's double-cast boundary; exact scale-6 string (q03
+          // pattern, magnitude-proof)
           .agg(count(lit(1)).as("n_items"),
-            NamedQuery.decSum(col("l_extendedprice")).as("revenue"))
+            NamedQuery.decSumStr(col("l_extendedprice")).as("revenue"))
           .orderBy(col("l_returnflag"))
       },
       Some(s"""SELECT l_returnflag, count(*) AS n_items,
-                    ${NamedQuery.sqlDecSum("l_extendedprice")} AS revenue
+                    ${NamedQuery.sqlDecSumStr("l_extendedprice")} AS revenue
              FROM lineitem
              WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                   WHERE o_totalprice > 300000)

@@ -60,7 +60,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 if "--skip-verify" not in sys.argv:
     env = dict(os.environ)
-    env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(CC_ENTRIES)
+    # p03 rides along for its oracle SQL (Verify filters oracle_sql.json to
+    # the ONLY set); its Spark side shares the pair cache p17 builds anyway
+    env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(CC_ENTRIES + [PAIRS_ENTRY])
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
         capture_output=True, text=True, cwd="/root/repo", env=env)

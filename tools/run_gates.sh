@@ -35,5 +35,17 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 8
 fi
 
+# GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
+# (check_cc_sample.py): sampled exact labels + label-substituted derived
+# oracles at the docs-only 100x fixture — the one family the full DuckDB
+# closure can't reach at that scale. ~15 min Spark + ~12 min DuckDB (the
+# p72 contamination replay dominates); off by default, on for round close.
+if [ "${GRAFT_CC_SAMPLE:-0}" = 1 ]; then
+  if [ ! -f /tmp/graft_sf100docs/_SUCCESS ]; then
+    run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf100docs 100 --docs-only
+  fi
+  run env GRAFT_CC_OUT=/tmp/cc_sample_out python3 tools/check_cc_sample.py /tmp/graft_sf100docs
+fi
+
 if [ "$fail" = 0 ]; then echo "ALL GATES GREEN"; else echo "GATES RED"; fi
 exit $fail
