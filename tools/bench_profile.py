@@ -37,7 +37,7 @@ def load(path):
 
 
 def main():
-    if len(sys.argv) != 3 or sys.argv[1] not in ("record", "check"):
+    if len(sys.argv) != 3 or sys.argv[1] not in ("record", "check", "merge"):
         print(__doc__)
         return 2
     mode, path = sys.argv[1], sys.argv[2]
@@ -45,6 +45,19 @@ def main():
     if mode == "record":
         json.dump(dict(sorted(cur.items())), open(PROFILE, "w"), indent=1)
         print(f"recorded {len(cur)} entries -> {PROFILE}")
+        return 0
+    if mode == "merge":
+        # per-entry MINIMA merge — the standing way to fold a full-registry
+        # run into the profile. `record` OVERWRITES, which silently loosens
+        # the guard whenever the new run's ambient is worse than the stored
+        # minima (every run at >1x ambient would); merge only tightens.
+        prof = load(PROFILE) if os.path.exists(PROFILE) else {}
+        merged = {k: min(prof.get(k, float("inf")), cur.get(k, float("inf")))
+                  for k in set(prof) | set(cur)}
+        improved = sum(1 for k in merged if k in prof and merged[k] < prof[k])
+        json.dump(dict(sorted(merged.items())), open(PROFILE, "w"), indent=1)
+        print(f"merged minima -> {PROFILE}: {improved} improved, "
+              f"total {sum(merged.values()):.1f}s over {len(merged)} entries")
         return 0
     prof = load(PROFILE)
     bad, new = [], []
