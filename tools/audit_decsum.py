@@ -38,9 +38,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 ENV53 = float(2 ** 53)
 ENV63 = float(2 ** 63)
 SCALE = {"p36_corpus_report": 9, "p70_pq_distortion": 12,
-         # q105's big column is DECIMAL(23,2) (price at cents scale) — its
-         # envelope is 2^53/100, not /10^6; its scale-6 qty column is tiny
-         "q105_aqe_skew_join": 2}  # default 6
+         # these two sum at DECIMAL(23,2) (cents scale) — envelope 2^53/100,
+         # not /10^6 (q105's scale-6 qty column is tiny; q95 is price-only)
+         "q105_aqe_skew_join": 2, "q95_group_by_all": 2}  # default 6
 # Entries converted (r9) to the unscaled-BIGINT route (sum x 10^6 as
 # BIGINT -> double): their envelope is 2^63 unscaled, i.e. |sum| < ~9.2e12.
 # Probes for these measure the INTERNAL unscaled sums.

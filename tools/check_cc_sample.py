@@ -96,12 +96,19 @@ for a, b in pairs:
     adj.setdefault(a, []).append(b)
     adj.setdefault(b, []).append(a)
 
-# deterministic seed pick: order paired ids by a multiplicative hash keyed
-# on --seed, take the first N (stable across runs, parameterizable so gate
-# runs can rotate samples the way the fuzzer rotates its grammar seeds)
+# deterministic seed pick: order paired ids by a keyed hash, take the
+# first N (stable across runs, parameterizable so gate runs can rotate
+# samples the way the fuzzer rotates its grammar seeds). A REAL hash, not
+# modular arithmetic: two earlier attempts silently degenerated — an
+# additive seed only rotates the key circle (ordering preserved), and a
+# multiplicative seed never wraps the modulus for doc_id-sized inputs
+# (d*M << P), leaving the ordering monotonic in d. Both were caught the
+# same way: different seeds produced byte-identical closure sizes.
+# blake2b has no such structure and is version-stable.
+import hashlib
+def key(d):
+    return hashlib.blake2b(f"{d}:{SEED}".encode(), digest_size=8).digest()
 nodes = sorted(adj)
-P = 9223372036854775783  # largest prime < 2^63
-key = lambda d: (d * 2654435761 + SEED * 1000003) % P
 seeds = sorted(nodes, key=lambda d: (key(d), d))[:SEEDS]
 
 # BFS-expand seeds to component closure over the full pair graph
