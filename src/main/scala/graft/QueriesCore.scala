@@ -301,10 +301,14 @@ object QueriesCore {
   /** Shared verbatim by the Spark query and the DuckDB oracle (q75).
     * year() is INT in Spark but BIGINT in DuckDB — the explicit BIGINT
     * cast keeps the driver's typed value hash identical across engines.
+    * Revenue ships as the exact scale-6 string (q03 pattern): at 112x
+    * headroom it was the tightest remaining double-cast sum in the r9
+    * audit, and the next fixture decade would put it past the boundary.
     */
   private[graft] val tpchQ7Sql: String =
     """SELECT supp_nation, cust_nation, l_year,
-              CAST(SUM(CAST(volume AS DECIMAL(23,6))) AS DOUBLE) AS revenue
+              CAST(CAST(SUM(CAST(volume AS DECIMAL(23,6))) AS DECIMAL(33,6))
+                   AS STRING) AS revenue
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
                     l.l_extendedprice * (1 - l.l_discount) AS volume
