@@ -589,6 +589,54 @@ def gen_manifest_query(i):
     return (f"m{i:03d}", f"WITH {shards} {sel}")
 
 
+# Correlated LATERAL subqueries (the q45 surface, randomized) in both
+# decorrelation classes: the aggregate lateral (one row per outer row,
+# count/sum/min-max — empty correlated groups yield cnt=0/NULL sums
+# identically cross-engine) and the top-n lateral (ORDER BY ... LIMIT n —
+# probed bit-exact in both engines before this family landed: Spark 4
+# decorrelates limited correlated subqueries). Top-n determinism: the
+# ORDER BY covers EVERY selected column, so any residual tie is between
+# fully-identical rows and the engines' pick is invisible to the row-set
+# compare — this fixture's l_linenumber is NOT unique per order (11,785
+# duplicate (orderkey, linenumber) pairs), which the first seed found as
+# a phantom mismatch when the order key was assumed unique.
+LATERAL_SHAPES = [
+    # (outer, okey, ocol, cap, inner, ikey, order_cols, val, predtable)
+    ("customer", "c_custkey", "c_nationkey", 1500, "orders", "o_custkey",
+     ["o_orderkey"], "o_totalprice", "orders"),
+    ("orders", "o_orderkey", "o_custkey", 4000, "lineitem", "l_orderkey",
+     ["l_linenumber"], "l_partkey", "lineitem"),
+    ("part", "p_partkey", "p_size", 600, "lineitem", "l_partkey",
+     ["l_orderkey", "l_linenumber"], "l_suppkey", "lineitem"),
+]
+
+
+def gen_lateral_query(i):
+    ot, okey, ocol, cap, it, ikey, ucols, val, pt = rng.choice(LATERAL_SHAPES)
+    pred = f" AND {gen_pred(pt)}" if rng.random() < 0.5 else ""
+    if rng.random() < 0.5:  # correlated-aggregate lateral
+        agg_val = (f"CAST(sum({val}) AS BIGINT)" if val != "o_totalprice"
+                   else f"max({val})")  # double sums aren't order-exact
+        aggs = (f"count(*) AS cnt, {agg_val} AS a0, "
+                f"{rng.choice(['min', 'max'])}({ucols[-1]}) AS a1")
+        nonempty = " AND l.cnt > 0" if rng.random() < 0.5 else ""
+        return (f"t{i:03d}",
+                f"SELECT o.{okey} AS k, o.{ocol} AS a9, l.cnt, l.a0, l.a1 "
+                f"FROM {ot} o, LATERAL (SELECT {aggs} FROM {it} "
+                f"WHERE {ikey} = o.{okey}{pred}) l "
+                f"WHERE o.{okey} <= {cap}{nonempty} ORDER BY k")
+    n = rng.randint(1, 3)
+    d = rng.choice(["", " DESC"])
+    rks = [f"rk{j}" for j in range(len(ucols))]
+    sel = ", ".join(f"{c} AS {r}" for c, r in zip(ucols, rks))
+    order = ", ".join(f"{c}{d}" for c in ucols + [val])
+    return (f"t{i:03d}",
+            f"SELECT o.{okey} AS k, {', '.join('l.' + r for r in rks)}, l.v "
+            f"FROM {ot} o, LATERAL (SELECT {sel}, {val} AS v FROM {it} "
+            f"WHERE {ikey} = o.{okey}{pred} ORDER BY {order} LIMIT {n}) l "
+            f"WHERE o.{okey} <= {cap} ORDER BY k, {', '.join(rks)}")
+
+
 def gen_query(i):
     r = rng.random()
     if r < 0.05:
@@ -619,7 +667,9 @@ def gen_query(i):
         return gen_window_query(i)
     if r < 0.80:
         return gen_frame_query(i)
-    if r < 0.88:
+    if r < 0.85:
+        return gen_lateral_query(i)
+    if r < 0.92:
         return gen_join_query(i)
     t = rng.choice(list(TABLES))
     spec = TABLES[t]
