@@ -97,10 +97,17 @@ object NamedQuery {
     * loudly on NULL-vs-error divergence — the audit flags entries long
     * before.)
     */
-  def decSumUnscaled(c: Column): Column = {
+  def decSumUnscaled(c: Column): Column = unscaledGuarded(c, "decSumUnscaled")
+
+  /** The guard is parameterized on the public entry point's name so an
+    * overflow at an avg call site (q26's _uqty/_uprice/_udisc) reports
+    * "decAvgUnscaled: …", not the alias target — the message exists to
+    * locate the failing aggregate.
+    */
+  private def unscaledGuarded(c: Column, ctx: String): Column = {
     val u = (sum(c.cast(DecimalType(23, 6))) * lit(1000000)).cast(DecimalType(38, 0))
     when(u > lit(Long.MaxValue) || u < lit(Long.MinValue),
-      raise_error(lit("decSumUnscaled: unscaled sum exceeds BIGINT " +
+      raise_error(lit(s"$ctx: unscaled sum exceeds BIGINT " +
         "(group sum past the documented ~9.2e12 envelope)")).cast("long"))
       .otherwise(u.cast("long"))
   }
@@ -150,7 +157,7 @@ object NamedQuery {
     * a post-select via [[avgFromUnscaled]] (integer div is not exposed on
     * Column, so the quotient is built by name).
     */
-  def decAvgUnscaled(c: Column): Column = decSumUnscaled(c)
+  def decAvgUnscaled(c: Column): Column = unscaledGuarded(c, "decAvgUnscaled")
 
   def avgFromUnscaled(uCol: String, cntCol: String): Column =
     expr(s"CAST($uCol div $cntCol AS DOUBLE) / 1000000.0")

@@ -258,12 +258,15 @@ object QueriesCore {
        ORDER BY s.s_suppkey"""
 
   /** Shared verbatim by the Spark query and the DuckDB oracle (q73).
-    * Q19's revenue sum is decimal-exact per addend with one double cast at
-    * the end — identical across engines and join orders.
+    * Q19's revenue sum is decimal-exact per addend and ships as the exact
+    * scale-6 string (q03 pattern): the r10 generic cast audit measured
+    * 8.3e8 at 10x — 11x from the decimal->double cast's 2^53 boundary,
+    * inside the 100x conversion threshold (the previous audit's regex
+    * never saw this entry's whitespace-split cast).
     */
   private[graft] val tpchQ19Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))
-              AS DOUBLE) AS revenue
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6)))
+              AS DECIMAL(33,6)) AS STRING) AS revenue
        FROM lineitem l, part p
        WHERE (p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
               AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
@@ -411,10 +414,14 @@ object QueriesCore {
        GROUP BY p.p_brand, p.p_type, p.p_size
        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
 
-  /** Shared verbatim by the Spark query and the DuckDB oracle (q80). */
+  /** Shared verbatim by the Spark query and the DuckDB oracle (q80).
+    * Revenue ships as the exact scale-6 string (q03 pattern): 3.8e8 at the
+    * r10 10x audit — 23x from the decimal->double cast boundary, inside
+    * the 100x conversion threshold.
+    */
   private[graft] val tpchQ6Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,6)))
-              AS DOUBLE) AS revenue
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(23,6)))
+              AS DECIMAL(33,6)) AS STRING) AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          AND l_shipdate <  TIMESTAMP '1998-01-01'

@@ -2637,8 +2637,13 @@ object QueriesPipeline {
         val w = per.crossJoin(broadcast(tot))
           .withColumn("raw_w", sqrt(col("n_chars").cast("double") / col("t")))
         // zsum through decimal quantization (decSum discipline): a plain
-        // double sum's association order is partition-dependent
-        val z = w.agg(NamedQuery.decSumAt(col("raw_w"), 28, 18).as("zsum"))
+        // double sum's association order is partition-dependent. Scale 12,
+        // NOT 18: each weight is <= 1 so zsum <= #languages, and the
+        // decimal->double cast is exact only below 2^53 unscaled — scale 18
+        // put zsum (~2.4e18 unscaled) 260x PAST the envelope, a latent q03
+        // the r10 generic cast audit caught; scale 12 keeps 12 significant
+        // fractional digits with a ~600x headroom at 15 languages.
+        val z = w.agg(NamedQuery.decSumAt(col("raw_w"), 28, 12).as("zsum"))
         w.crossJoin(broadcast(z))
           .select(col("lang"), col("n_docs"), col("n_chars"),
             (col("raw_w") / col("zsum")).as("p_sample"),
@@ -2654,7 +2659,7 @@ object QueriesPipeline {
              w AS (SELECT lang, n_docs, n_chars, t,
                           sqrt(CAST(n_chars AS DOUBLE) / t) AS raw_w
                    FROM per, tot),
-             z AS (SELECT CAST(SUM(CAST(raw_w AS DECIMAL(28,18))) AS DOUBLE)
+             z AS (SELECT CAST(SUM(CAST(raw_w AS DECIMAL(28,12))) AS DOUBLE)
                           AS zsum FROM w)
              SELECT lang, n_docs, n_chars, raw_w / zsum AS p_sample,
                     (raw_w / zsum) / (CAST(n_chars AS DOUBLE) / t) AS upweight

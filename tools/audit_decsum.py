@@ -37,10 +37,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 ENV53 = float(2 ** 53)
 ENV63 = float(2 ** 63)
-SCALE = {"p36_corpus_report": 9, "p70_pq_distortion": 12,
-         # these two sum at DECIMAL(23,2) (cents scale) — envelope 2^53/100,
-         # not /10^6 (q105's scale-6 qty column is tiny; q95 is price-only)
-         "q105_aqe_skew_join": 2, "q95_group_by_all": 2}  # default 6
+# Per-entry scale is DERIVED from the oracle's own cast text (the generic
+# regexes below capture (precision, scale); the tightest envelope — the
+# largest captured scale — governs). SCALE overrides entries whose oracle
+# mixes scales such that the max-|output| column belongs to the SMALLER
+# scale's cast (pairing max output with the max scale would be wrong).
+SCALE = {
+    # q105 sums revenue at DECIMAL(23,2) (cents — the 1.8e11 output column,
+    # envelope 9e13); its scale-6 cast is the tiny per-bucket qty average
+    # (r9 classification, SCALING.md). Derived max-scale would mis-pair.
+    "q105_aqe_skew_join": 2,
+}
 # Entries converted (r9) to the unscaled-BIGINT route (sum x 10^6 as
 # BIGINT -> double): their envelope is 2^63 unscaled, i.e. |sum| < ~9.2e12.
 # Probes for these measure the INTERNAL unscaled sums.
@@ -50,7 +57,10 @@ UNSCALED = {"q09_correlated_subquery", "q34_promo_revenue",
 # q65's remaining per-supplier decimal->double cast no longer matches the
 # SUM-cast regex (the sum is aliased before the cast since the r9 decimal
 # threshold restructure) — force it into the audit with its probe.
-FORCE = ["q65_tpch_q11_value_share"]
+# q62's cast is a WINDOW running sum (matched by pat_win below, measured by
+# probe: the per-custkey total bounds every prefix of positive addends).
+FORCE = ["q65_tpch_q11_value_share", "q62_window_rows_frame",
+         "q13_window_range_frame"]
 
 # Internal-sum probes for the entries whose decimal->double casts feed a
 # division or comparison rather than the output column. Each returns ONE
@@ -95,6 +105,12 @@ PROBES = {
         FROM lineitem
         WHERE l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)""",
+    # q62/q13: windowed running sums of o_totalprice per custkey — every
+    # frame of an all-positive series is bounded by the full per-key total
+    "q62_window_rows_frame": """
+        SELECT max(s) FROM (
+          SELECT SUM(CAST(o_totalprice AS DECIMAL(23,6))) AS s
+          FROM orders GROUP BY o_custkey)""",
     # Q20: max per-(part,supp) quantity sum (both cast sites share it)
     "q72_tpch_q20_part_promotion": """
         SELECT max(abs(s)) FROM (
@@ -127,14 +143,16 @@ PROBES = {
             SELECT unnest(embedding::DOUBLE[]) AS x,
                    generate_subscripts(embedding::DOUBLE[], 1) AS pos
             FROM embeddings) GROUP BY pos)""",
-    # p70 scale-12 per-pair dot products: bounded by max self-dot
-    "p70_pq_distortion": """
-        SELECT max(s) FROM (
-          SELECT vec_id, sum(abs(x * x)) AS s FROM (
-            SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
-            FROM embeddings) GROUP BY vec_id)""",
+    # p47's normalizer: the exact sum the DECIMAL(28,12)-quantized sqrt
+    # weights cast sees (one weight per language, each <= 1)
+    "p47_temperature_resampling": """
+        SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) FROM (
+          SELECT sqrt(CAST(sum(n_chars) AS DOUBLE) /
+                      (SELECT sum(n_chars) FROM documents)) AS w
+          FROM documents GROUP BY lang)""",
 }
 PROBES["p22_kmeans_two_steps"] = PROBES["p20_kmeans_step"]
+PROBES["q13_window_range_frame"] = PROBES["q62_window_rows_frame"]
 
 import duckdb
 con = duckdb.connect()
@@ -144,15 +162,72 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
 oracles = json.load(open(f"{OUT}/oracle_sql.json"))
-pat = re.compile(r"AS DECIMAL\((?:23,6|23,2|18,9|38,12)\)\)\) AS DOUBLE\)", re.I)
+# GENERIC cast-site discovery (ADVICE r9): match decimal-sum-to-double
+# shapes structurally and derive the envelope from the CAPTURED scale, so a
+# new precision or a restructured entry can't silently drop out of the
+# audit. Four recognized shapes:
+#   output  CAST(SUM(CAST(e AS DECIMAL(p,s))) [FILTER (WHERE ..)] AS DOUBLE)
+#   window  CAST(SUM(CAST(e AS DECIMAL(p,s))) OVER w AS DOUBLE)   [probe]
+#   uns     CAST(CAST(SUM(..) * 1000000 AS BIGINT) .. AS DOUBLE)  [2^63]
+#   dot     (SELECT sum(CAST(x*y AS DECIMAL(38,12))) FROM unnest..) AS DOUBLE
+# The dot class is a FIXED-LENGTH (64-term) per-pair product sum, bounded
+# for every entry by the corpus max self-dot (Cauchy-Schwarz: |a.b| <=
+# sqrt(a.a * b.b) <= max self-dot) — one shared probe, scale 12.
+pat = re.compile(
+    r"AS DECIMAL\((\d+),(\d+)\)\)\)\s*(?:FILTER \(WHERE [^)]*\)\s*)?AS DOUBLE\)",
+    re.I)
+# the OVER clause is a named window or an inline spec (one paren nesting
+# level covers epoch()/year() calls inside the spec)
+pat_win = re.compile(
+    r"AS DECIMAL\((\d+),(\d+)\)\)\)\s*OVER\s*(?:\w+|\((?:[^()]|\([^()]*\))*\))\s*AS DOUBLE\)",
+    re.I)
 pat_uns = re.compile(r"\* 1000000\s+AS BIGINT", re.I)
+pat_dot = re.compile(r"AS DECIMAL\(38,\s*12\)\)\)\s*FROM \(SELECT unnest", re.I)
+DOT_PROBE = """
+    SELECT max(s) FROM (
+      SELECT vec_id, sum(abs(x * x)) AS s FROM (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings) GROUP BY vec_id)"""
+
+# tripwire: ANY 'AS DOUBLE' whose preceding context contains a decimal SUM
+# but which matches no recognized shape means a cast site the audit can't
+# classify — fail loudly rather than silently skip it (this tripwire's
+# first run found four shape classes the r9 alternation-regex never saw)
+pat_trip = re.compile(r"AS\s+DOUBLE", re.I)
+unrecognized = []
+for k, sql in oracles.items():
+    for m in pat_trip.finditer(sql):
+        ctx = sql[max(0, m.start() - 200):m.end() + 1]
+        if "DECIMAL(" in ctx.upper() and "SUM(" in ctx.upper() \
+                and not pat.search(ctx) and not pat_win.search(ctx) \
+                and not pat_uns.search(ctx) and not pat_dot.search(ctx) \
+                and k not in FORCE and k not in PROBES:
+            unrecognized.append((k, ctx[-100:].replace("\n", " ")))
+if unrecognized:
+    for k, ctx in unrecognized:
+        print(f"UNRECOGNIZED decimal-sum->double cast in {k}: ...{ctx}")
+    print("audit_decsum: add a probe/FORCE entry or extend the pattern")
+    sys.exit(1)
+
+# scale derivation uses the output + window classes only — dot-class casts
+# are audited separately below (a mixed oracle like p20 has scale-12 dot
+# norms AND a scale-6 centroid mean; pairing the centroid probe with the
+# dot envelope under-reports headroom by 10^6)
+derived_scale = {}
+for k in oracles:
+    caps = [int(s) for _, s in pat.findall(oracles[k])] \
+         + [int(s) for _, s in pat_win.findall(oracles[k])]
+    if caps:
+        derived_scale[k] = max(caps)
+dot_entries = sorted(k for k in oracles if pat_dot.search(oracles[k]))
 entries = sorted(set(k for k in oracles
-                     if pat.search(oracles[k]) or pat_uns.search(oracles[k]))
+                     if pat.search(oracles[k]) or pat_win.search(oracles[k])
+                     or pat_uns.search(oracles[k]))
                  | set(FORCE))
 
 rows, flagged = [], []
 for name in entries:
-    scale = SCALE.get(name, 6)
+    scale = SCALE.get(name, derived_scale.get(name, 6))
     # an entry on the unscaled route is bounded by 2^63 unscaled unless it
     # ALSO retains a decimal->double SUM cast (then the tighter 2^53 class
     # governs and the probe measures that remnant)
@@ -182,6 +257,23 @@ for name in entries:
     rows.append((name, kind, f"{mx:.3e}", f"{envelope:.1e}", f"{head:,.0f}x"))
     if head < FLAG:
         flagged.append(name)
+
+# dot class: one shared measurement (max self-dot bounds every pairwise
+# dot by Cauchy-Schwarz) against the scale-12 envelope, covering all
+# entries whose only 38,12 casts are fixed-length embedding products
+if dot_entries:
+    try:
+        v = float(con.sql(DOT_PROBE).fetchone()[0] or 0.0)
+        env_dot = ENV53 / 10 ** 12
+        head = env_dot / v if v > 0 else float("inf")
+        rows.append((f"[dot x{len(dot_entries)}] " + ",".join(
+            e.split("_")[0] for e in dot_entries), "probe",
+            f"{v:.3e}", f"{env_dot:.1e}", f"{head:,.0f}x"))
+        if head < FLAG:
+            flagged.extend(dot_entries)
+    except Exception as e:
+        rows.append(("[dot]", "ERROR", str(e)[:80], "", ""))
+        flagged.extend(dot_entries)
 
 print(f"decSum headroom at {SF_DIR} (envelope = 2^53 / 10^scale):\n")
 print("| entry | how | max abs sum | envelope | headroom |")

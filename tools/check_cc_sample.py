@@ -150,10 +150,22 @@ n_comp = len(comp_min)
 print(f"[cc] ground truth: {n_comp} components, max size "
       f"{max(comp_size.values())}", flush=True)
 
+p17_rel = con.sql(f"SELECT doc_id, keeper_id, kept FROM "
+                  f"read_parquet('{OUT}/p17_dedup_keeper/*.parquet')")
+# the driver's hasher sees column TYPES (r5 lesson, same rule as
+# check_oracle.py): p17's columns must read back as the exact types its
+# 1x/10x oracle pins (BIGINT ids, BOOLEAN kept) — a writer change that
+# widened doc_id to HUGEINT/DOUBLE would carry bit-identical values here
+# yet hash-fail the driver
+p17_types = dict(zip([c.lower() for c in p17_rel.columns],
+                     [str(t) for t in p17_rel.types]))
+P17_WANT_TYPES = {"doc_id": "BIGINT", "keeper_id": "BIGINT",
+                  "kept": "BOOLEAN"}
+if p17_types != P17_WANT_TYPES:
+    fails.append(("p17_sample",
+                  f"TYPES: spark={p17_types} want={P17_WANT_TYPES}"))
 spark = dict()
-for doc_id, keeper_id, kept in con.sql(
-        f"SELECT doc_id, keeper_id, kept FROM "
-        f"read_parquet('{OUT}/p17_dedup_keeper/*.parquet')").fetchall():
+for doc_id, keeper_id, kept in p17_rel.fetchall():
     spark[doc_id] = (keeper_id, kept)
 
 bad = 0
@@ -180,8 +192,14 @@ else:
           f"exact (keeper, kept) of the union-find ground truth", flush=True)
 
 # ---- part 2: label-substituted derived oracles -----------------------
-SUB_START = "edges AS"
-SUB_END = "AS keeper_id FROM reach GROUP BY id)"
+# the splice is text-coupled to the derived oracles' closure block; anchor
+# the markers with word boundaries and require EXACTLY ONE match of each,
+# so a renamed CTE (candidate_edges), comment text, or a refactor that
+# duplicates the block fails with a precise message instead of splicing at
+# the wrong offset
+import re as _re
+SUB_START = _re.compile(r"\bedges AS \(")
+SUB_END = _re.compile(r"\bAS keeper_id FROM reach GROUP BY id\)")
 labels_cte = ("labels AS (SELECT doc_id AS id, keeper_id FROM "
               f"read_parquet('{OUT}/p17_dedup_keeper/*.parquet'))")
 
@@ -210,11 +228,14 @@ for name in CC_ENTRIES:
     if name == "p17_dedup_keeper":
         continue  # part 1 IS p17's check; substitution would be circular
     sql = oracles[name]
-    i, j = sql.find(SUB_START), sql.find(SUB_END)
-    if i < 0 or j < 0:
-        fails.append((name, "SUBST: closure CTE markers not found"))
+    starts = list(SUB_START.finditer(sql))
+    ends = list(SUB_END.finditer(sql))
+    if len(starts) != 1 or len(ends) != 1:
+        fails.append((name, f"SUBST: closure CTE markers matched "
+                            f"{len(starts)} start(s) / {len(ends)} end(s), "
+                            "need exactly 1 of each"))
         continue
-    sub = sql[:i] + labels_cte + sql[j + len(SUB_END):]
+    sub = sql[:starts[0].start()] + labels_cte + sql[ends[0].end():]
     t0 = time.time()
     try:
         want_rel = con.sql(sub)
@@ -223,11 +244,20 @@ for name in CC_ENTRIES:
         got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         got_cols = [c.lower() for c in got_rel.columns]
         got = norm(got_rel.fetchall(), got_cols)
+        # same per-column TYPE rule as check_oracle.py (r5: the driver hash
+        # sees types — BIGINT-vs-HUGEINT/DOUBLE fails even on equal values)
+        got_types = dict(zip(got_cols, [str(t) for t in got_rel.types]))
+        want_types = dict(zip(want_cols, [str(t) for t in want_rel.types]))
     except Exception as e:
         fails.append((name, f"EXEC: {e}"))
         continue
     if sorted(got_cols) != sorted(want_cols):
         fails.append((name, f"COLS: spark={sorted(got_cols)} duck={sorted(want_cols)}"))
+        continue
+    tdiff = {c: (got_types[c], want_types[c]) for c in got_types
+             if got_types[c] != want_types[c]}
+    if tdiff:
+        fails.append((name, f"TYPES: {tdiff} (spark, duck)"))
         continue
     if len(got) != len(want):
         fails.append((name, f"ROWS: spark={len(got)} duck={len(want)}"))

@@ -30,11 +30,16 @@ fi
 # (still far under the free-disk headroom, still fail-fast at 100x scale).
 run env GRAFT_DUCK_TEMP_CAP=60GiB python3 tools/check_oracle.py /tmp/graft_sf1
 
+# default seeds ROTATE BY THEMSELVES (ISO year+week, e.g. 202633) so a run
+# that forgets to export the env vars still samples fresh fuzz queries and
+# a fresh CC closure each week — a pinned literal default re-proved the
+# same 60 queries forever, the exact degenerate-sampling failure the r9 CC
+# postscript diagnosed. Env overrides remain for reproducing a failure.
+seed_default="$(date +%G%V)"
+
 if [ "${1:-}" != "--skip-fuzz" ]; then
-  # rotate the seed each round (GRAFT_FUZZ_SEED) — a fixed seed would
-  # re-prove the same 60 queries forever; r8 closed on 8 and 17, r9 on 21
-  run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 "${GRAFT_FUZZ_SEED:-21}"
-  run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-21}"
+  run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
+  run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
 fi
 
 # GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
@@ -46,9 +51,9 @@ if [ "${GRAFT_CC_SAMPLE:-0}" = 1 ]; then
   if [ ! -f /tmp/graft_sf100docs/_SUCCESS ]; then
     run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf100docs 100 --docs-only
   fi
-  # rotate the sample too (GRAFT_CC_SEED) — same reasoning as the fuzz seed
+  # the sample seed rotates with the same weekly default as the fuzz seed
   run env GRAFT_CC_OUT=/tmp/cc_sample_out python3 tools/check_cc_sample.py \
-    /tmp/graft_sf100docs --seed="${GRAFT_CC_SEED:-2}"
+    /tmp/graft_sf100docs --seed="${GRAFT_CC_SEED:-$seed_default}"
 fi
 
 if [ "$fail" = 0 ]; then echo "ALL GATES GREEN"; else echo "GATES RED"; fi
