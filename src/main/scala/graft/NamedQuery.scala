@@ -90,12 +90,16 @@ object NamedQuery {
     * while |sum| < ~9.2e12 (2^63 unscaled) — 1000× more headroom — and a
     * BIGINT→DOUBLE conversion is a single correctly-rounded hardware op
     * in every engine, unlike a decimal→double cast (DuckDB double-rounds
-    * past 2^53). Guarded like [[decAvgUnscaled]]: Spark's non-ANSI
-    * decimal→long cast silently NULLs on overflow, so raise loudly
-    * instead. (The raw-SQL twin [[sqlDecSumUnscaled]] has no guard on the
-    * Spark side of a shared string; past the envelope the gate fails
-    * loudly on NULL-vs-error divergence — the audit flags entries long
-    * before.)
+    * past 2^53 — demonstrated, not just theorized: DecimalEnvelopeSpec +
+    * tools/red_team_decsum.py replay a committed fixture summing to
+    * (2^53+1)/10^6 where the two engines land 1 ulp apart). The guard
+    * raises loudly with the calling entry point's name. The raw-SQL twin
+    * [[sqlDecSumUnscaled]] has no explicit guard on the Spark side of a
+    * shared string, but past 2^63 BOTH engines fail loudly anyway — Spark
+    * runs ANSI by default since 4.0 so the overflowing decimal→BIGINT
+    * cast throws, and DuckDB raises a conversion error (both pinned on
+    * the over-2^63 fixture group) — and the audit flags entries long
+    * before the envelope.
     */
   def decSumUnscaled(c: Column): Column = unscaledGuarded(c, "decSumUnscaled")
 

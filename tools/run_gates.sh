@@ -18,6 +18,12 @@ run() {
 
 run python3 tools/check_oracle.py /root/testdata/sf0.01
 
+# decimal red-team (seconds): re-prove live that the retired decimal->
+# double route diverges from DuckDB past 2^53 on the committed adversarial
+# fixture and that the magnitude-proof routes stay exact / fail loudly
+# (the Spark half of the same constants is pinned by DecimalEnvelopeSpec)
+run python3 tools/red_team_decsum.py
+
 # freshness = the done-marker make_scale_fixture.py writes LAST, not the
 # presence of one parquet (a build that crashed between documents and
 # embeddings would otherwise pass the check and fail the gate confusingly)
