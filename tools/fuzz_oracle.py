@@ -637,37 +637,197 @@ def gen_lateral_query(i):
             f"WHERE o.{okey} <= {cap} ORDER BY k, {', '.join(rks)}")
 
 
+# ---- d-family: decimal-boundary aggregates (verdict r9 item #4a) ------
+# Randomized GROUP BY sums driven PAST the 2^53/10^6 decSum boundary by an
+# integer magnitude factor, exercising the magnitude-proof routes the
+# registry converted to in r9/r10: the exact scale-6 string (decSumStr),
+# the unscaled-BIGINT value (decSumUnscaled), and the unscaled ratio
+# (decRatio). Determinism: the multiplied expression is evaluated in IEEE
+# doubles identically per row in both engines (same parquet values, same
+# op order in one shared string), quantized once at DECIMAL(23,6), summed
+# exactly. Envelope (measured, not guessed — the first draft of this
+# family overflowed its own guard at 10x, which failed LOUDLY as the r10
+# red-team spec pins): global 10x sums are 3.2e11 (lineitem extprice) and
+# 3.8e11 (orders totalprice), so price-like factors cap at 12 (worst
+# 4.5e12, a 2x margin under the 9.2e12 unscaled-BIGINT envelope) while
+# quantity (10x sum 1.5e8) can take 40 and straddle the 9e9 decSum
+# boundary itself. The family is calibrated for the 1x and 10x gate
+# fixtures only.
+DEC_SHAPES = [
+    ("lineitem", ["l_returnflag", "l_linestatus"],
+     [("l_extendedprice", 12), ("l_extendedprice * (1 - l_discount)", 12),
+      ("l_quantity", 40)]),
+    ("orders", ["o_orderstatus", "o_orderpriority"], [("o_totalprice", 12)]),
+]
+
+
+def _uns(expr):
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(23,6))) * 1000000 AS BIGINT)"
+
+
+def gen_decimal_query(i):
+    t, groups_all, exprs = rng.choice(DEC_SHAPES)
+    e, kmax = rng.choice(exprs)
+    k = rng.randint(3, kmax)
+    big = f"({e}) * {k}"
+    groups = rng.sample(groups_all, k=rng.randint(0, 2))
+    aggs = ["count(*) AS cnt"]
+    route = rng.choice(["str", "uns", "ratio", "both"])
+    if route in ("str", "both"):
+        aggs.append(f"CAST(CAST(SUM(CAST({big} AS DECIMAL(23,6))) "
+                    f"AS DECIMAL(33,6)) AS STRING) AS a0")
+    if route in ("uns", "both"):
+        aggs.append(f"{_uns(big)} AS a1")
+    if route == "ratio":
+        # sum(k*e)/sum(e) computed the decRatio way: two exact unscaled
+        # BIGINTs, one correctly-rounded conversion each, ONE division
+        aggs.append(f"1.0 * (CAST({_uns(big)} AS DOUBLE) / "
+                    f"CAST({_uns(f'({e})')} AS DOUBLE)) AS a2")
+    where = f" WHERE {gen_pred(t)}" if rng.random() < 0.4 else ""
+    if groups:
+        gsel = [f"{g} AS g{n}" for n, g in enumerate(groups)]
+        gnames = [f"g{n}" for n in range(len(groups))]
+        return (f"d{i:03d}",
+                f"SELECT {', '.join(gsel + aggs)} FROM {t}{where} "
+                f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
+    return (f"d{i:03d}", f"SELECT {', '.join(aggs)} FROM {t}{where}")
+
+
+# ---- v-family: pivot / unpivot shapes (verdict r9 item #4b) ------------
+# True PIVOT/UNPIVOT operators, not the conditional-aggregation emulation
+# (gen_filter_query covers that): Spark's relational PIVOT/UNPIVOT clauses
+# on the Spark side, a hand-built conditional-agg / UNION ALL twin on the
+# DuckDB side (the dialects' pivot syntaxes are incompatible, so this
+# family uses the fuzzer's paired-SQL mechanism). Aggregates restricted to
+# sum/min/max: absent (group, pivot-value) combos are NULL under both the
+# PIVOT operator and FILTERed aggregation, whereas count would yield
+# NULL-vs-0.
+PIVOT_SHAPES = [
+    ("lineitem", "l_returnflag", "l_linestatus", ["F", "O"], ["l_partkey", "l_suppkey"]),
+    ("orders", "o_orderpriority", "o_orderstatus", ["F", "O", "P"], ["o_custkey"]),
+    ("events", "user_id % 10", "event_type",
+     ["click", "view", "purchase", "error", "signup"], ["user_id", "event_id"]),
+]
+
+
+def gen_pivot_query(i):
+    t, g, pc, vals_all, valcols = rng.choice(PIVOT_SHAPES)
+    if rng.random() < 0.5:  # PIVOT
+        vals = rng.sample(vals_all, k=rng.randint(2, min(3, len(vals_all))))
+        v = rng.choice(valcols)
+        agg = rng.choice([("CAST(sum(v) AS BIGINT)", "CAST(sum({c}) {f} AS BIGINT)"),
+                          ("min(v)", "min({c}) {f}"),
+                          ("max(v)", "max({c}) {f}")])
+        where = f" WHERE {gen_pred(t)}" if rng.random() < 0.4 else ""
+        in_list = ", ".join(f"'{x}'" for x in vals)
+        spark = (f"SELECT * FROM (SELECT {g} AS g0, {pc} AS pc, {v} AS v "
+                 f"FROM {t}{where}) "
+                 f"PIVOT ({agg[0]} FOR pc IN ({in_list})) ORDER BY g0")
+        cols = ", ".join(
+            agg[1].format(c="v", f=f"FILTER (WHERE pc = '{x}')") + f' AS "{x}"'
+            for x in vals)
+        duck = (f"SELECT g0, {cols} FROM (SELECT {g} AS g0, {pc} AS pc, "
+                f"{v} AS v FROM {t}{where}) GROUP BY g0 ORDER BY g0")
+        return (f"v{i:03d}", spark, duck)
+    # UNPIVOT: wide aggregate row -> (metric, val) pairs. All metrics are
+    # non-null BIGINTs (sums/counts over non-empty groups), so Spark's
+    # exclude-nulls default can't diverge from the UNION ALL twin.
+    v = rng.choice(valcols)
+    n_metrics = rng.randint(2, 3)
+    mdefs = [f"CAST(sum({v}) AS BIGINT) AS m0",
+             "CAST(count(*) AS BIGINT) AS m1",
+             f"CAST(max({v}) AS BIGINT) AS m2"][:n_metrics]
+    where = f" WHERE {gen_pred(t)}" if rng.random() < 0.4 else ""
+    base = (f"SELECT {g} AS g0, {', '.join(mdefs)} FROM {t}{where} "
+            f"GROUP BY {g}")
+    mnames = [f"m{j}" for j in range(n_metrics)]
+    spark = (f"SELECT g0, metric, val FROM ({base}) "
+             f"UNPIVOT (val FOR metric IN ({', '.join(mnames)})) "
+             f"ORDER BY g0, metric")
+    arms = " UNION ALL ".join(
+        f"SELECT g0, '{m}' AS metric, {m} AS val FROM base" for m in mnames)
+    duck = f"WITH base AS ({base}) {arms} ORDER BY g0, metric"
+    return (f"v{i:03d}", spark, duck)
+
+
+# ---- h-family: array / higher-order-function shapes (r9 item #4b) ------
+# transform/filter/aggregate/array_sort/sequence lambdas over real token
+# arrays (documents.text split on space) and synthetic integer sequences.
+# Paired SQL: Spark's HOF names (transform, filter, aggregate, size,
+# element_at, sequence) vs DuckDB's list_* family. All outputs are exact
+# (integer arithmetic, string min) — no doubles anywhere.
+def gen_hof_query(i):
+    cap = rng.randint(100, 400)
+    shapes = rng.sample(range(4), k=rng.randint(1, 2))
+    s_sel, d_sel = [], []
+    for j, sh in enumerate(shapes):
+        if sh == 0:  # token-length reduce
+            s_sel.append(f"CAST(aggregate(transform(split(text, ' '), "
+                         f"x -> length(x)), 0, (a, x) -> a + x) AS BIGINT) AS a{j}")
+            d_sel.append(f"CAST(list_sum(list_transform(string_split(text, ' '), "
+                         f"x -> length(x))) AS BIGINT) AS a{j}")
+        elif sh == 1:  # filter + size
+            k = rng.randint(2, 8)
+            s_sel.append(f"CAST(size(filter(split(text, ' '), "
+                         f"x -> length(x) > {k})) AS BIGINT) AS a{j}")
+            d_sel.append(f"CAST(len(list_filter(string_split(text, ' '), "
+                         f"x -> length(x) > {k})) AS BIGINT) AS a{j}")
+        elif sh == 2:  # sort + first element (min token, binary collation)
+            s_sel.append(f"element_at(array_sort(filter(split(text, ' '), "
+                         f"x -> length(x) >= 1)), 1) AS a{j}")
+            d_sel.append(f"list_sort(list_filter(string_split(text, ' '), "
+                         f"x -> length(x) >= 1))[1] AS a{j}")
+        else:  # data-dependent sequence reduce
+            m, b = rng.randint(3, 7), rng.randint(2, 5)
+            n = f"CAST(doc_id % {m} + {b} AS INT)"
+            s_sel.append(f"CAST(aggregate(sequence(1, {n}), 0, "
+                         f"(a, x) -> a + x * x) AS BIGINT) AS a{j}")
+            d_sel.append(f"CAST(list_sum(list_transform(generate_series(1, {n}), "
+                         f"x -> x * x)) AS BIGINT) AS a{j}")
+    spark = (f"SELECT doc_id AS k, {', '.join(s_sel)} FROM documents "
+             f"WHERE doc_id <= {cap} ORDER BY k")
+    duck = (f"SELECT doc_id AS k, {', '.join(d_sel)} FROM documents "
+            f"WHERE doc_id <= {cap} ORDER BY k")
+    return (f"h{i:03d}", spark, duck)
+
+
 def gen_query(i):
     r = rng.random()
-    if r < 0.05:
+    if r < 0.04:
         return gen_cc_query(i)
-    if r < 0.10:
+    if r < 0.08:
         return gen_manifest_query(i)
-    if r < 0.16:
+    if r < 0.13:
+        return gen_decimal_query(i)
+    if r < 0.18:
+        return gen_pivot_query(i)
+    if r < 0.23:
+        return gen_hof_query(i)
+    if r < 0.28:
         return gen_filter_query(i)
-    if r < 0.19:
+    if r < 0.31:
         return gen_conditional_query(i)
-    if r < 0.22:
+    if r < 0.34:
         return gen_scalar_query(i)
-    if r < 0.32:
+    if r < 0.42:
         return gen_setop_query(i)
-    if r < 0.40:
+    if r < 0.49:
         return gen_grouping_query(i)
-    if r < 0.46:
+    if r < 0.54:
         return gen_argmax_query(i)
-    if r < 0.52:
+    if r < 0.59:
         return gen_exists_query(i)
-    if r < 0.58:
-        return gen_corr_scalar_query(i)
     if r < 0.64:
-        return gen_nulljoin_query(i)
+        return gen_corr_scalar_query(i)
     if r < 0.69:
+        return gen_nulljoin_query(i)
+    if r < 0.73:
         return gen_notin_query(i)
-    if r < 0.74:
+    if r < 0.77:
         return gen_window_query(i)
-    if r < 0.80:
+    if r < 0.82:
         return gen_frame_query(i)
-    if r < 0.85:
+    if r < 0.86:
         return gen_lateral_query(i)
     if r < 0.92:
         return gen_join_query(i)
@@ -718,7 +878,16 @@ def gen_query(i):
             f"GROUP BY {', '.join(groups)} ORDER BY {', '.join(gnames)}")
 
 
-queries = dict(gen_query(i) for i in range(N))
+# a generator may return (name, shared_sql) or (name, spark_sql, duck_sql)
+# — the paired form exists for operators whose syntaxes are incompatible
+# across the two dialects (PIVOT/UNPIVOT, the list_*/HOF families). QFILE
+# (what graft.RunSql executes) always carries the SPARK side; the DuckDB
+# replay below uses the twin when one was registered.
+queries, duck_queries = {}, {}
+for i in range(N):
+    q = gen_query(i)
+    queries[q[0]] = q[1]
+    duck_queries[q[0]] = q[2] if len(q) > 2 else q[1]
 json.dump(queries, open(QFILE, "w"), indent=1)
 print(f"generated {N} queries (seed {SEED}) -> {QFILE}")
 
@@ -743,7 +912,7 @@ for name, sql in sorted(queries.items()):
         got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
         cols = [c.lower() for c in got_rel.columns]
         got = sorted(map(tuple, got_rel.fetchall()), key=str)
-        want_rel = con.sql(sql)
+        want_rel = con.sql(duck_queries[name])
         wcols = [c.lower() for c in want_rel.columns]
         want = sorted(map(tuple, want_rel.fetchall()), key=str)
     except Exception as e:
