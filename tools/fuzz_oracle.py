@@ -656,8 +656,9 @@ def gen_lateral_query(i):
 DEC_SHAPES = [
     ("lineitem", ["l_returnflag", "l_linestatus"],
      [("l_extendedprice", 12), ("l_extendedprice * (1 - l_discount)", 12),
-      ("l_quantity", 40)]),
-    ("orders", ["o_orderstatus", "o_orderpriority"], [("o_totalprice", 12)]),
+      ("l_quantity", 40)], ("l_returnflag", "R")),
+    ("orders", ["o_orderstatus", "o_orderpriority"], [("o_totalprice", 12)],
+     ("o_orderstatus", "F")),
 ]
 
 
@@ -666,10 +667,18 @@ def _uns(expr):
 
 
 def gen_decimal_query(i):
-    t, groups_all, exprs = rng.choice(DEC_SHAPES)
+    t, groups_all, exprs, (sgncol, sgnval) = rng.choice(DEC_SHAPES)
     e, kmax = rng.choice(exprs)
     k = rng.randint(3, kmax)
     big = f"({e}) * {k}"
+    if rng.random() < 0.35:
+        # signed variant: one categorical branch contributes NEGATIVE
+        # addends, so sums are mixed-sign (and can land near zero or fully
+        # negative) — exercising the exact-string route's sign rendering
+        # and the unscaled route's negative BIGINTs. |sum| only shrinks,
+        # so the factor envelope above still bounds it.
+        big = (f"({e}) * (CASE WHEN {sgncol} = '{sgnval}' "
+               f"THEN -{k} ELSE {k} END)")
     groups = rng.sample(groups_all, k=rng.randint(0, 2))
     aggs = ["count(*) AS cnt"]
     route = rng.choice(["str", "uns", "ratio", "both"])
