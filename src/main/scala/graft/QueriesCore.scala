@@ -2612,23 +2612,36 @@ object QueriesCore {
 
     // ---------------------------------------- q91 windowed COUNT(DISTINCT)
     // Running distinct-user count per event_type — an operator Spark's
-    // window engine does NOT support natively (COUNT(DISTINCT) OVER throws);
-    // the bridge is size(collect_set() OVER), which keeps the dedup inside
-    // the window frame. The RANGE frame (not ROWS) makes ties on ts
-    // deterministic: all peer rows see the same running value. Scale: one
-    // shuffle on event_type, per-partition sort on ts — but the collect_set
-    // state is bounded by per-group distinct cardinality, so at 100 TB the
-    // right variant is the bounded sketch (q18's HLL over a window) once
-    // exactness can be traded; this entry is the exact form. DuckDB supports
-    // windowed DISTINCT aggregates natively — the oracle uses them directly.
+    // window engine does NOT support natively (COUNT(DISTINCT) OVER throws).
+    // Mechanism: a user contributes to the running distinct count exactly
+    // once, at their FIRST event within the event_type — so flag first
+    // occurrences (row_number over (type, user) ordered by ts) and take a
+    // running SUM of the flag. The RANGE frame (not ROWS) makes ties on ts
+    // deterministic: all peer rows see the same running value, and the
+    // flag's position among one user's equal-ts rows cannot matter because
+    // peers aggregate together. Scale: this REPLACED size(collect_set()
+    // OVER) in r10 — that form re-serializes the accumulated set per ROW,
+    // i.e. O(rows × distinct-users) work inside a 5-value event_type
+    // partitioning, which the 100× relational gate caught as one window
+    // task pegging a core for 70+ minutes (10M rows × 100k users). The
+    // first-seen flag is O(1)/row after the sort; one extra well-keyed
+    // shuffle on (event_type, user_id) buys the linearity. DuckDB supports
+    // windowed DISTINCT aggregates natively — the oracle uses them
+    // directly.
     NamedQuery("q91_window_count_distinct",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        val firstSeen = Window
+          .partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("ts"))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, dir, "events")
+          .withColumn("is_first",
+            when(row_number().over(firstSeen) === 1, lit(1L))
+              .otherwise(lit(0L)))
           .select(col("event_id"), col("event_type"), col("ts"),
-            size(collect_set(col("user_id")).over(w)).cast("bigint")
+            sum(col("is_first")).over(w).cast("bigint")
               .as("running_distinct_users"))
           .orderBy(col("event_id"))
       },

@@ -695,11 +695,19 @@ class ScaleSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
-  test("q91 windowed count-distinct: one keyed shuffle feeds the window, no join") {
+  test("q91 windowed count-distinct: two keyed shuffles (first-seen flag " +
+      "then running sum), no join, no per-row set") {
     val p = plan("q91_window_count_distinct")
+    // the r10 100x gate caught the old size(collect_set() OVER) form
+    // re-serializing the accumulated set per row — O(rows x distinct)
+    // inside a 5-value partitioning. The linear form pays ONE extra
+    // well-keyed shuffle: (event_type, user_id) for the first-seen
+    // row_number, then (event_type) for the running sum of the flag.
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(p.contains("Window"), p)
     assert(!p.contains("Join"), p)
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("collect_set"), p)
+    assert(n == 2, s"expected the two window shuffles, got $n:\n$p")
   }
 
   test("q92 MERGE apply: one full-outer join on the key, no nested loop") {
