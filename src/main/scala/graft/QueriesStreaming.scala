@@ -23,6 +23,17 @@ import NamedQuery.{decSum, sqlDecSum}
   */
 object QueriesStreaming {
 
+  /** Stream-completion timeout (ms). 180 s covers every topology at the
+    * scales the standing gates run routinely (sf0.01 / 10×); the
+    * second-decade (100×) replays override via
+    * SPARK_GRAFT_STREAM_TIMEOUT_MS instead of this default growing to fit
+    * the largest fixture ever run — a topology that silently needed 10×
+    * the budget at gate scale would be a regression worth failing on.
+    */
+  private val streamTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS").map(_.toLong)
+      .getOrElse(180000L)
+
   /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
     * session value after. Streaming state stores carry FIXED per-partition
     * cost every micro-batch (delta file + snapshot + maintenance per
@@ -63,7 +74,7 @@ object QueriesStreaming {
                          mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    try require(q.awaitTermination(180000L), s"stream $name did not finish")
+    try require(q.awaitTermination(streamTimeoutMs), s"stream $name did not finish")
     finally q.stop()
     s.table(name)
   }
@@ -118,7 +129,7 @@ object QueriesStreaming {
     * happens once per (fixture, chunks) per JVM, not once per entry per
     * bench pass.
     */
-  private def stagedDir(s: SparkSession, dir: String, chunks: Int): java.nio.file.Path =
+  private[graft] def stagedDir(s: SparkSession, dir: String, chunks: Int): java.nio.file.Path =
     stagedDirs.computeIfAbsent((dir, chunks), { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_stage_")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -479,7 +490,7 @@ object QueriesStreaming {
             .outputMode("update").trigger(Trigger.AvailableNow())
             .foreachBatch(writeBatch)
             .start()
-          try require(q.awaitTermination(180000L), "stream s08 did not finish")
+          try require(q.awaitTermination(streamTimeoutMs), "stream s08 did not finish")
           finally q.stop()
           // materialize the read-back (localCheckpoint pins the rows in the
           // block manager) so the scratch dirs can be deleted immediately.
@@ -862,7 +873,7 @@ object QueriesStreaming {
             .outputMode("update").trigger(Trigger.AvailableNow())
             .foreachBatch(writeBatch)
             .start()
-          try require(q.awaitTermination(180000L), "stream s15 did not finish")
+          try require(q.awaitTermination(streamTimeoutMs), "stream s15 did not finish")
           finally q.stop()
           val updates = s.read.parquet(outDir.toString).localCheckpoint()
           val finals = updates
@@ -1192,7 +1203,7 @@ object QueriesStreaming {
               .trigger(Trigger.AvailableNow())
               .foreachBatch(probeBatch)
               .start()
-            try require(q.awaitTermination(180000L), "stream s21 did not finish")
+            try require(q.awaitTermination(streamTimeoutMs), "stream s21 did not finish")
             finally q.stop()
             s.read.parquet(outDir.toString).localCheckpoint()
               .orderBy(col("new_id"))
@@ -1346,7 +1357,7 @@ object QueriesStreaming {
             .trigger(Trigger.AvailableNow())
             .foreachBatch(split)
             .start()
-          try require(q.awaitTermination(180000L), "stream s24 did not finish")
+          try require(q.awaitTermination(streamTimeoutMs), "stream s24 did not finish")
           finally q.stop()
           val clean = s.read.parquet(cleanDir.toString)
             .select(lit("ok").as("status"), col("k"))
@@ -1441,7 +1452,7 @@ object QueriesStreaming {
               .trigger(Trigger.AvailableNow())
               .foreachBatch(apply)
               .start()
-            try require(q.awaitTermination(180000L), "stream s26 did not finish")
+            try require(q.awaitTermination(streamTimeoutMs), "stream s26 did not finish")
             finally q.stop()
             s.read.parquet(target.toString).localCheckpoint()
               .filter(!col("del"))
@@ -1633,7 +1644,7 @@ object QueriesStreaming {
             val q = dedup.writeStream.option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch(write).start()
-            try require(q.awaitTermination(180000L), "stream s30 did not finish")
+            try require(q.awaitTermination(streamTimeoutMs), "stream s30 did not finish")
             finally q.stop()
           }
           arm(2); runPhase() // phase 1: first half of history
@@ -1805,7 +1816,7 @@ object QueriesStreaming {
             val q = agg.writeStream.option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch(writeBatch).start()
-            try require(q.awaitTermination(180000L), "stream s33 did not finish")
+            try require(q.awaitTermination(streamTimeoutMs), "stream s33 did not finish")
             finally q.stop()
           }
           arm(2); runPhase() // phase 1: first half of history
@@ -1886,7 +1897,7 @@ object QueriesStreaming {
               .foreachBatch((batch: DataFrame, bid: Long) =>
                 graft.sources.JdbcTxnSink.upsertBatch(url, batch, bid))
               .start()
-            try require(q.awaitTermination(180000L), "stream s34 did not finish")
+            try require(q.awaitTermination(streamTimeoutMs), "stream s34 did not finish")
             finally q.stop()
           }
           arm(2); runPhase() // phase 1: first half of history

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // second-decade streaming audit: SPARK_GRAFT_STREAM_METRICS=<file>
+    // captures per-trigger state rows/bytes + durations for every stream
+    graft.streaming.StreamMetricsListener.attachIfConfigured(spark)
     new java.io.File(outDir).mkdirs()
     // local-iteration knob (driver never sets it): comma-separated name
     // prefixes, e.g. SPARK_GRAFT_VERIFY_ONLY=s08,q63 — mirrors the bench's

@@ -192,15 +192,36 @@ DOT_PROBE = """
 # tripwire: ANY 'AS DOUBLE' whose preceding context contains a decimal SUM
 # but which matches no recognized shape means a cast site the audit can't
 # classify — fail loudly rather than silently skip it (this tripwire's
-# first run found four shape classes the r9 alternation-regex never saw)
+# first run found four shape classes the r9 alternation-regex never saw).
+# Each 'AS DOUBLE' is classified INDIVIDUALLY (ADVICE r10): a recognized
+# cast that merely appears EARLIER in the 200-char window must not satisfy
+# the search for the cast under test, or an adjacent unrecognized
+# decimal-sum cast is masked (false negative). Two anchor rules:
+#   - output/window shapes end in 'AS DOUBLE)': the match must END at the
+#     window's end, i.e. classify THIS cast, not a neighbor's;
+#   - marker shapes (uns/dot) tag the nearest ENCLOSING conversion: the
+#     marker must occur after any earlier 'AS DOUBLE' in the window, else
+#     it belongs to a previous (separately classified) cast.
 pat_trip = re.compile(r"AS\s+DOUBLE", re.I)
+
+
+def classified(ctx):
+    if any(mm.end() == len(ctx) for p in (pat, pat_win)
+           for mm in p.finditer(ctx)):
+        return True
+    cur_end = len(ctx) - 1  # current match ends at len(ctx)-1 (+1 char)
+    prev_end = max((t.end() for t in pat_trip.finditer(ctx)
+                    if t.end() < cur_end), default=0)
+    return any(mm.start() >= prev_end for p in (pat_uns, pat_dot)
+               for mm in p.finditer(ctx))
+
+
 unrecognized = []
 for k, sql in oracles.items():
     for m in pat_trip.finditer(sql):
         ctx = sql[max(0, m.start() - 200):m.end() + 1]
         if "DECIMAL(" in ctx.upper() and "SUM(" in ctx.upper() \
-                and not pat.search(ctx) and not pat_win.search(ctx) \
-                and not pat_uns.search(ctx) and not pat_dot.search(ctx) \
+                and not classified(ctx) \
                 and k not in FORCE and k not in PROBES:
             unrecognized.append((k, ctx[-100:].replace("\n", " ")))
 if unrecognized:

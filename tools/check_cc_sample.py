@@ -50,6 +50,11 @@ for a in sys.argv[1:]:
         SEEDS = int(a[len("--seeds="):])
     if a.startswith("--seed="):
         SEED = int(a[len("--seed="):])
+# print the EFFECTIVE seed into this tool's own output (ADVICE r10): the
+# weekly-rotating default means a red run near a week boundary is only
+# reproducible if the seed that actually ran is in the log, not just in
+# the caller's echoed command line
+print(f"[cc] fixture={SF_DIR} seeds={SEEDS} seed={SEED}", flush=True)
 
 CC_ENTRIES = ["p17_dedup_keeper", "p19_clean_corpus", "p35_keeper_by_quality",
               "p53_cluster_size_histogram", "p56_dedup_funnel",

@@ -782,7 +782,12 @@ def gen_hof_query(i):
             d_sel.append(f"CAST(len(list_filter(string_split(text, ' '), "
                          f"x -> length(x) > {k})) AS BIGINT) AS a{j}")
         elif sh == 2:  # sort + first element (min token, binary collation)
-            s_sel.append(f"element_at(array_sort(filter(split(text, ' '), "
+            # try_element_at, not element_at: under Spark 4 ANSI (the
+            # default) element_at THROWS on an empty array — an empty or
+            # whitespace-only text filters to [] and would hard-fail the
+            # whole fuzz run — while DuckDB's [1] returns NULL. try_
+            # returns NULL on out-of-range, matching the DuckDB twin.
+            s_sel.append(f"try_element_at(array_sort(filter(split(text, ' '), "
                          f"x -> length(x) >= 1)), 1) AS a{j}")
             d_sel.append(f"list_sort(list_filter(string_split(text, ' '), "
                          f"x -> length(x) >= 1))[1] AS a{j}")

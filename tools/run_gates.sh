@@ -42,10 +42,23 @@ run env GRAFT_DUCK_TEMP_CAP=60GiB python3 tools/check_oracle.py /tmp/graft_sf1
 # same 60 queries forever, the exact degenerate-sampling failure the r9 CC
 # postscript diagnosed. Env overrides remain for reproducing a failure.
 seed_default="$(date +%G%V)"
+# record the resolved seed ONCE up front (ADVICE r10): a red gate observed
+# near an ISO-week boundary is otherwise not reproducible — rerunning the
+# script after the week ticks over samples different queries/closures
+echo "gates: weekly default seed = $seed_default" \
+  "(fuzz=${GRAFT_FUZZ_SEED:-$seed_default} cc=${GRAFT_CC_SEED:-$seed_default})"
 
 if [ "${1:-}" != "--skip-fuzz" ]; then
   run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
   run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
+  # streaming differential fuzzer (verdict r10 #4): randomized stateful
+  # micro-batch topologies (window/session/dedup-chain/restart × watermark
+  # × key) vs batch-replay twins — the s-family's grammar coverage. Two
+  # seeds × two scales per gate run (seed and seed+1, crossed over scales
+  # so a week covers all four cells across the two standing invocations).
+  sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
+  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 8 $sfz_seed"
+  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 8 $((sfz_seed + 1))"
 fi
 
 # GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
