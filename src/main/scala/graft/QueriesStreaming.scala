@@ -486,7 +486,7 @@ object QueriesStreaming {
               
               .partitionBy("w_sec", "event_type")
               .parquet(outDir.toString)
-          val q = agg.writeStream
+          val q = agg.writeStream.queryName(sink("s08", dir))
             .outputMode("update").trigger(Trigger.AvailableNow())
             .foreachBatch(writeBatch)
             .start()
@@ -869,7 +869,7 @@ object QueriesStreaming {
           val writeBatch: (DataFrame, Long) => Unit = (batch, bid) =>
             batch.withColumn("batch_id", lit(bid))
               .write.mode("append").parquet(outDir.toString)
-          val q = agg.writeStream
+          val q = agg.writeStream.queryName(sink("s15", dir))
             .outputMode("update").trigger(Trigger.AvailableNow())
             .foreachBatch(writeBatch)
             .start()
@@ -1199,7 +1199,7 @@ object QueriesStreaming {
             val probeBatch: (DataFrame, Long) => Unit = (batch, _) =>
               QueriesPipeline.probeCorpusDedup(batch, idx)
                 .write.mode("append").parquet(outDir.toString)
-            val q = src.writeStream.outputMode("append")
+            val q = src.writeStream.queryName(sink("s21", dir)).outputMode("append")
               .trigger(Trigger.AvailableNow())
               .foreachBatch(probeBatch)
               .start()
@@ -1353,7 +1353,7 @@ object QueriesStreaming {
             parsed.filter(!isOk).select(col("event_id"), col("props"))
               .write.mode("append").parquet(dlqDir.toString)
           }
-          val q = src.writeStream.outputMode("append")
+          val q = src.writeStream.queryName(sink("s24", dir)).outputMode("append")
             .trigger(Trigger.AvailableNow())
             .foreachBatch(split)
             .start()
@@ -1448,7 +1448,7 @@ object QueriesStreaming {
                 .write.mode("overwrite").parquet(target.toString)
               hasTarget = true
             }
-            val q = evs.writeStream.outputMode("append")
+            val q = evs.writeStream.queryName(sink("s26", dir)).outputMode("append")
               .trigger(Trigger.AvailableNow())
               .foreachBatch(apply)
               .start()
@@ -1641,7 +1641,7 @@ object QueriesStreaming {
             val write: (DataFrame, Long) => Unit = (b, id) =>
               b.write.mode("overwrite")
                 .parquet(out.resolve(s"batch=$id").toString)
-            val q = dedup.writeStream.option("checkpointLocation", ckpt)
+            val q = dedup.writeStream.queryName(sink("s30", dir)).option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch(write).start()
             try require(q.awaitTermination(streamTimeoutMs), "stream s30 did not finish")
@@ -1813,7 +1813,7 @@ object QueriesStreaming {
               .option("compression", "none")
                 .partitionBy("w_sec", "event_type")
                 .parquet(out.toString)
-            val q = agg.writeStream.option("checkpointLocation", ckpt)
+            val q = agg.writeStream.queryName(sink("s33", dir)).option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch(writeBatch).start()
             try require(q.awaitTermination(streamTimeoutMs), "stream s33 did not finish")
@@ -1892,7 +1892,7 @@ object QueriesStreaming {
               .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
               .select(unix_timestamp(col("window.start")).as("w_sec"),
                 col("event_type"), col("n"), col("sum_value"))
-            val q = agg.writeStream.option("checkpointLocation", ckpt)
+            val q = agg.writeStream.queryName(sink("s34", dir)).option("checkpointLocation", ckpt)
               .outputMode("update").trigger(Trigger.AvailableNow())
               .foreachBatch((batch: DataFrame, bid: Long) =>
                 graft.sources.JdbcTxnSink.upsertBatch(url, batch, bid))

@@ -314,7 +314,9 @@ object EventStreams {
     * and removes its entry. This is the idiom for window semantics the
     * built-in `window()` can't express (per-window custom finalization,
     * dynamic per-key window sets): state is O(open windows per key), every
-    * update is a point lookup — no per-batch scan of the map — and
+    * update is a point lookup and every timer is armed at window CREATION
+    * — no per-batch scan of the map or of armed timers (see
+    * handleInputRows for why creation-time arming is exactly-once) — and
     * eviction is driven by timers, not by re-reading state. The aggregates
     * are order-insensitive (count, max) so incremental merge order can't
     * affect the result.
@@ -331,13 +333,23 @@ object EventStreams {
                                  timerValues: TimerValues): Iterator[UserWindow] = {
       rows.foreach { e =>
         val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
-        val cur = if (wins.containsKey(w)) wins.getValue(w) else WinAgg(0L, Double.MinValue)
-        wins.updateValue(w, WinAgg(cur.n + 1, math.max(cur.maxV, e.value)))
-      }
-      val armed = getHandle.listTimers().toSet
-      wins.keys().foreach { w =>
-        val end = w + windowMs
-        if (!armed.contains(end)) getHandle.registerTimer(end)
+        if (wins.containsKey(w)) {
+          val cur = wins.getValue(w)
+          wins.updateValue(w, WinAgg(cur.n + 1, math.max(cur.maxV, e.value)))
+        } else {
+          // Window created by THIS row → arm its end timer here, exactly
+          // once. Arming-on-creation is sufficient AND unique: a window
+          // cannot be re-created after its timer fired, because any row
+          // that would re-create it has ts < windowEnd <= watermark and
+          // is dropped as late upstream (EventTime mode). This replaced
+          // the original per-batch `listTimers() + wins.keys()` sweep —
+          // O(armed timers + open windows) PER KEY PER TRIGGER, the q91
+          // mechanism class (work ∝ state size, not batch size), which
+          // the 100× streaming gate caught at 116 s/trigger scanning
+          // 7.7 M map entries; per-row point ops only now.
+          wins.updateValue(w, WinAgg(1L, e.value))
+          getHandle.registerTimer(w + windowMs)
+        }
       }
       Iterator.empty
     }
