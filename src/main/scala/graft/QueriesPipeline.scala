@@ -544,6 +544,20 @@ object QueriesPipeline {
   private def sqlPairScore(ea: String, eb: String, na: String, nb: String): String =
     s"CAST(${GF.sqlDotDecimal(ea, eb)} AS DOUBLE) / ($na * $nb)"
 
+  /** DuckDB twin of the Spark side's certified DOUBLE prefilter (p05's
+    * scaladoc carries the bound): a plain list_dot_product gate at 0.9985
+    * that provably cannot discard a pair whose EXACT cosine is ≥ 0.999
+    * (the 64-term double dot errs by ≲1e-13 against a 5e-4 margin); the
+    * exact decimal [[sqlPairScore]] still DECIDES membership on the
+    * survivors, so oracle results are unchanged. Without this the twin
+    * decimal-scored EVERY bucket/cluster candidate — 927 s at the 10×
+    * fixture for p05 alone, hours at 100× — paying exactly the cost the
+    * engine's fast path exists to avoid.
+    */
+  private def sqlPairPrefilter(ea: String, eb: String,
+                               na: String, nb: String): String =
+    s"list_dot_product($ea::DOUBLE[], $eb::DOUBLE[]) / ($na * $nb) >= 0.9985"
+
   /** p33's synthetic ingest batch: re-ingested docs with their first two
     * tokens dropped + novel docs in reversed token order. Shared by p33
     * (one batch probe) and s21 (the same rows arriving as a stream).
@@ -916,7 +930,8 @@ object QueriesPipeline {
              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                     ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
              FROM bucketed a JOIN probes b
-               ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             WHERE ${sqlPairPrefilter("a.embedding", "b.embedding", "a.norm", "b.norm")})
            SELECT id_a, id_b, cos FROM cand
            WHERE cos >= 0.999 ORDER BY id_a, id_b"""
       }),
@@ -2386,7 +2401,8 @@ object QueriesPipeline {
                SELECT a.part AS part, a.vec_id AS id_a, b.vec_id AS id_b,
                       ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
                FROM assigned a JOIN assigned b
-                 ON a.part = b.part AND a.vec_id < b.vec_id)
+                 ON a.part = b.part AND a.vec_id < b.vec_id
+               WHERE ${sqlPairPrefilter("a.embedding", "b.embedding", "a.norm", "b.norm")})
              SELECT part, id_a, id_b, cos FROM scored
              WHERE cos >= 0.999 ORDER BY id_a, id_b""")),
 

@@ -25,8 +25,18 @@ scale by N (no artificial hot keys, no cross-replica key collisions):
   N > 26 would alias replicas (k and k+26 identical) into N/26-sized
   duplicate clusters and an O(N^2) pair blow-up that measures the fixture,
   not the engine; affine supports N <= 312 (12 units x 26 shifts).
-- embeddings: vec_id offset, vectors/labels copied (ANN cost is driven by
-  corpus size; duplicate points change nothing about the scan/bucket work).
+- embeddings: vec_id offset, labels copied, vectors passed through a
+  per-replica-PAIR DIAGONAL +-1 ORTHOGONAL transform (deterministic sign
+  flips; replicas 2j and 2j+1 share a pattern, pair 0 = identity): intra-
+  replica dot products and norms are preserved bit-exactly, cross-PAIR
+  cosines collapse far below any near-dup threshold, and each vector has
+  exactly ONE exact-duplicate partner in its sibling replica — planted
+  positives for the pair kernels at every scale (sf0.1's own vectors hold
+  no >=0.999 pair), with candidate/result sets scaling as N/2 (linear).
+  Plain copies (pre-r11) aliased every vector into an N-sized exact-
+  duplicate cluster — an O(N^2) candidate blow-up that measured the
+  fixture, not the engine (same reasoning as the affine cipher for
+  documents).
 - region/nation: copied unchanged (fixed-size dimensions at every scale).
 
 Usage: python3 tools/make_scale_fixture.py [SRC_DIR] [DST_DIR] [N] [--docs-only]
@@ -113,7 +123,33 @@ rot_cases = " ".join(
 emit("documents", f"doc_id + k * {doc} AS doc_id, CASE {rot_cases} END AS text, "
                   "lang, source, n_chars")
 if not docs_only:
-    emit("embeddings", f"vec_id + k * {vec} AS vec_id, embedding, label")
+    # per-replica diagonal +-1 orthogonal transform (deterministic sign
+    # flips; replica 0 = identity, so 1x-vintage bytes are preserved).
+    # Sign flips keep every INTRA-replica dot product and norm BIT-EXACT
+    # (each term a_i*b_i*s_i^2 = a_i*b_i, and -x is an exact IEEE op), so
+    # the planted near-dup cluster structure inside each replica survives
+    # untouched — while CROSS-replica cosines collapse toward 0, so no
+    # cross-replica near-dups appear and pair counts scale linearly in N.
+    # Plain vector copies (the pre-r11 behavior) gave every vector N-1
+    # exact cross-replica duplicates: harmless for scan/top-k kernels (the
+    # original comment's claim) but an O(N^2) pair blow-up for the
+    # PAIR-GENERATION kernels (p05 within-bucket verify, p42 within-
+    # cluster dedup) — 100 copies => C(100,2) self-pairs per vector, ~10^4
+    # x the candidate set. This is the affine-cipher rationale, embeddings
+    # edition: the fixture must not alias replicas into duplicate
+    # clusters, or the gate measures the fixture instead of the engine.
+    # Replica PAIRS (2j, 2j+1) share one sign pattern, so every vector has
+    # exactly ONE exact-duplicate partner (cos = 1.0) in its sibling
+    # replica: the planted positives the pair kernels must find exist at
+    # EVERY scale (sf0.1's own 2000 vectors hold no >=0.999 pair, so
+    # without this the kernels would return empty at 10x/100x), and the
+    # candidate/result sets scale as N/2 — still linear.
+    emit("embeddings",
+         f"vec_id + k * {vec} AS vec_id, "
+         "CASE WHEN k < 2 THEN embedding ELSE "
+         "list_transform(embedding, (x, i) -> "
+         "CASE WHEN (hash((k // 2) * 128 + i) & 1) = 0 THEN x ELSE -x END) "
+         "END AS embedding, label")
 
 # Done-marker, written LAST: a build that crashes partway (documents is
 # written before embeddings) must not look complete to run_gates.sh's
