@@ -2388,15 +2388,38 @@ object QueriesPipeline {
              vecs AS (SELECT vec_id, embedding, $sqlNorm AS norm FROM vecs0),
              seeds AS (SELECT vec_id AS seed_id, embedding AS se, norm AS sn
                        FROM vecs WHERE vec_id >= 100 AND vec_id < ${100 + p42K}),
-             scoredseeds AS (
-               SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
-                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+             -- certified double fast path for the ASSIGNMENT argmax, the
+             -- oracle twin of NearestSeeds' map-side kernel: score all
+             -- N x k pairs with a plain double dot (NARROW rows — the
+             -- naive formulation dragged each embedding through a
+             -- row_number over N x k rows and hit the 60 GiB spill cap at
+             -- 100 x with k=1600), keep per vector every seed within 1e-9
+             -- of the double max, and let the EXACT decimal score decide
+             -- among those. Sound by the usual bound: |double - exact| <=
+             -- eps ~ 1e-13 per pair, so the exact argmax's double score
+             -- is >= dmax - 2*eps and can never be pruned by a 1e-9 gate.
+             dscored AS (
+               SELECT v.vec_id, s.seed_id,
+                      list_dot_product(v.embedding::DOUBLE[], se::DOUBLE[])
+                        / (v.norm * sn) AS dscore
                FROM vecs v CROSS JOIN seeds s),
+             dbest AS (SELECT vec_id, max(dscore) AS dmax
+                       FROM dscored GROUP BY vec_id),
+             cand_seed AS (
+               SELECT d.vec_id, d.seed_id FROM dscored d JOIN dbest b
+                 ON d.vec_id = b.vec_id AND d.dscore >= b.dmax - 1e-9),
+             exactscored AS (
+               SELECT c.vec_id, c.seed_id,
+                      ${sqlPairScore("v.embedding", "se", "v.norm", "sn")} AS score
+               FROM cand_seed c
+               JOIN vecs v ON v.vec_id = c.vec_id
+               JOIN seeds s ON s.seed_id = c.seed_id),
              assigned AS (
-               SELECT seed_id AS part, vec_id, embedding, norm FROM (
-                 SELECT *, row_number() OVER (PARTITION BY vec_id
+               SELECT x.seed_id AS part, x.vec_id, v.embedding, v.norm FROM (
+                 SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
                    ORDER BY score DESC, seed_id) AS rn
-                 FROM scoredseeds) WHERE rn = 1),
+                 FROM exactscored) x
+               JOIN vecs v ON v.vec_id = x.vec_id WHERE x.rn = 1),
              scored AS (
                SELECT a.part AS part, a.vec_id AS id_a, b.vec_id AS id_b,
                       ${sqlPairScore("a.embedding", "b.embedding", "a.norm", "b.norm")} AS cos
