@@ -39,17 +39,22 @@ scale by N (no artificial hot keys, no cross-replica key collisions):
   documents).
 - region/nation: copied unchanged (fixed-size dimensions at every scale).
 
-Usage: python3 tools/make_scale_fixture.py [SRC_DIR] [DST_DIR] [N] [--docs-only]
+Usage: python3 tools/make_scale_fixture.py [SRC_DIR] [DST_DIR] [N] [--docs-only|--events-only]
 Defaults: /root/testdata/sf0.1 /tmp/graft_sf1 10
 --docs-only scales ONLY documents by N and copies every other table
 unchanged - the cheap second-decade fixture for the documents-bound
 dedup/index kernels (verdict r7 #4), where the relational tables' scale is
-irrelevant but Bench still preloads them.
+irrelevant but Bench still preloads them. --events-only likewise scales
+ONLY events - the spot-measurement fixture for the streaming topologies
+(verdict r11 #5), whose cost is events-bound; it also dodges the affine
+cipher's N <= 312 ceiling (documents stay at 1x), so event scales beyond
+300x stay buildable.
 """
 import sys
 import duckdb
 
 docs_only = "--docs-only" in sys.argv
+events_only = "--events-only" in sys.argv
 args = [a for a in sys.argv[1:] if not a.startswith("--")]
 src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
 dst = args[1] if len(args) > 1 else "/tmp/graft_sf1"
@@ -65,18 +70,25 @@ def stride(table, key):
     return con.sql(f"SELECT max({key}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
 
 
-def emit(table, select_body):
+def emit(table, select_body, joins=""):
     q = (f"COPY (SELECT {select_body} FROM '{src}/{table}.parquet' "
-         f"CROSS JOIN range({n}) r(k) ORDER BY k) "
+         f"CROSS JOIN range({n}) r(k) {joins} ORDER BY k) "
          f"TO '{dst}/{table}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)")
     con.execute(q)
     rows = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {rows} rows")
 
 
-copy_unchanged = ("region", "nation") if not docs_only else (
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "embeddings")
+assert not (docs_only and events_only), "pick one of --docs-only/--events-only"
+full = not docs_only and not events_only
+if docs_only:
+    copy_unchanged = ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "embeddings")
+elif events_only:
+    copy_unchanged = ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "documents", "embeddings")
+else:
+    copy_unchanged = ("region", "nation")
 for t in copy_unchanged:
     con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' "
                 "(FORMAT PARQUET, COMPRESSION SNAPPY)")
@@ -91,7 +103,7 @@ user = stride("events", "user_id")
 doc = stride("documents", "doc_id")
 vec = stride("embeddings", "vec_id")
 
-if not docs_only:
+if full:
     emit("customer", f"c_custkey + k * {cust} AS c_custkey, c_name, c_nationkey, "
                      "c_acctbal, c_mktsegment")
     emit("supplier", f"s_suppkey + k * {supp} AS s_suppkey, s_name, s_nationkey, s_acctbal")
@@ -104,25 +116,50 @@ if not docs_only:
                      "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
     emit("events", f"event_id + k * {evid} AS event_id, ts, user_id + k * {user} AS user_id, "
                    "event_type, value, props")
+if events_only:
+    emit("events", f"event_id + k * {evid} AS event_id, ts, user_id + k * {user} AS user_id, "
+                   "event_type, value, props")
 
 # per-replica affine cipher: replica k maps letter i -> (a*i + b) mod 26,
 # (a, b) drawn from units-of-26 x shifts. a=1 block first so replicas 0-25
 # reproduce the former Caesar rotations bit-for-bit.
 alpha = "abcdefghijklmnopqrstuvwxyz"
-affine_pairs = [(a, b) for a in (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-                for b in range(26)]
-assert n <= len(affine_pairs), f"affine family supports N <= {len(affine_pairs)}"
+if full or docs_only:
+    affine_pairs = [(a, b) for a in (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+                    for b in range(26)]
+    assert n <= len(affine_pairs), f"affine family supports N <= {len(affine_pairs)}"
 
-def affine_alpha(a, b):
-    return "".join(alpha[(a * i + b) % 26] for i in range(26))
+    def affine_alpha(a, b):
+        return "".join(alpha[(a * i + b) % 26] for i in range(26))
 
-rot_cases = " ".join(
-    f"WHEN k = {k} THEN translate(text, '{alpha}{alpha.upper()}', "
-    f"'{affine_alpha(a, b)}{affine_alpha(a, b).upper()}')"
-    for k, (a, b) in enumerate(affine_pairs[:n]))
-emit("documents", f"doc_id + k * {doc} AS doc_id, CASE {rot_cases} END AS text, "
-                  "lang, source, n_chars")
-if not docs_only:
+    rot_cases = " ".join(
+        f"WHEN k = {k} THEN translate(text, '{alpha}{alpha.upper()}', "
+        f"'{affine_alpha(a, b)}{affine_alpha(a, b).upper()}')"
+        for k, (a, b) in enumerate(affine_pairs[:n]))
+    emit("documents", f"doc_id + k * {doc} AS doc_id, CASE {rot_cases} END AS text, "
+                      "lang, source, n_chars")
+def mix64(z):
+    """SplitMix64 finalizer — a fixed, dependency-free bit mixer, so the
+    sign patterns (and therefore fixture BYTES and the planted cross-pair
+    structure) are reproducible on any Python/DuckDB version. The previous
+    derivation used DuckDB's hash() builtin, whose output is an
+    implementation detail free to change between DuckDB releases
+    (ADVICE r11): a version bump would have silently produced a different
+    fixture under the same _SUCCESS marker.
+    """
+    z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+
+
+# bumped whenever any replica transform changes (affine cipher, sign
+# derivation): run_gates.sh matches this against the _SUCCESS marker and
+# rebuilds stale fixtures — presence of _SUCCESS alone says nothing about
+# the generator vintage that produced it (ADVICE r11).
+TRANSFORM_VERSION = "r12a"
+
+if full:
     # per-replica diagonal +-1 orthogonal transform (deterministic sign
     # flips; replica 0 = identity, so 1x-vintage bytes are preserved).
     # Sign flips keep every INTRA-replica dot product and norm BIT-EXACT
@@ -144,16 +181,56 @@ if not docs_only:
     # EVERY scale (sf0.1's own 2000 vectors hold no >=0.999 pair, so
     # without this the kernels would return empty at 10x/100x), and the
     # candidate/result sets scale as N/2 — still linear.
+    #
+    # Sign bits come from mix64 (SplitMix64) on (pattern, dim), NOT from
+    # DuckDB's hash() builtin — version-independent bytes. Multiplying by
+    # the +-1.0 pattern value is the same exact IEEE op as the former
+    # CASE-negation (sign-bit flip / identity; -0.0 handling identical).
+    dim = con.sql(f"SELECT len(embedding) FROM '{src}/embeddings.parquet' "
+                  "LIMIT 1").fetchone()[0]
+    npat = (n - 1) // 2  # patterns for k >= 2 (p = k // 2 in 1..npat)
+    con.execute("CREATE TEMP TABLE sign_pat(p BIGINT, sv DOUBLE[])")
+    patterns = {0: [1.0] * dim}  # identity (k < 2), assertion-only
+    for p in range(1, npat + 1):
+        patterns[p] = [1.0 if mix64(p * 1000003 + d) & 1 == 0 else -1.0
+                       for d in range(dim)]
+        con.execute("INSERT INTO sign_pat VALUES (?, ?)", [p, patterns[p]])
     emit("embeddings",
          f"vec_id + k * {vec} AS vec_id, "
          "CASE WHEN k < 2 THEN embedding ELSE "
-         "list_transform(embedding, (x, i) -> "
-         "CASE WHEN (hash((k // 2) * 128 + i) & 1) = 0 THEN x ELSE -x END) "
-         "END AS embedding, label")
+         "list_transform(embedding, (x, i) -> x * sv[i]) "
+         "END AS embedding, label",
+         joins="LEFT JOIN sign_pat ON sign_pat.p = k // 2")
+
+    # Post-build structural assertion (ADVICE r11): the 'no cross-pair
+    # near-dups' property is probabilistic — a base vector with its mass
+    # concentrated on dimensions where two patterns agree could still
+    # exceed the 0.999 kernel threshold. Check it EXACTLY for the one
+    # structured risk: same-base cross-pattern cosines,
+    # cos(v . s_p, v . s_q) = sum(x_i^2 s_p(i) s_q(i)) / sum(x_i^2), for
+    # every base vector x every distinct pattern pair (identity included).
+    # Different-base cross-replica pairs inherit the 1x fixture's own
+    # no->=0.999-pair property plus independent sign scrambling; only the
+    # same-base pairs carry planted structure worth proving.
+    import numpy as np
+    base = con.sql(f"SELECT embedding FROM '{src}/embeddings.parquet' "
+                   "ORDER BY vec_id").fetchnumpy()["embedding"]
+    X2 = np.stack([np.asarray(v, dtype=np.float64) ** 2 for v in base])
+    X2 = X2 / X2.sum(axis=1, keepdims=True)          # rows sum to 1
+    S = np.array([patterns[p] for p in sorted(patterns)])  # (npat+1, dim)
+    pairs = [(a, b) for a in range(len(S)) for b in range(a + 1, len(S))]
+    A = np.stack([S[a] * S[b] for a, b in pairs])    # (n_pairs, dim)
+    worst = float(np.abs(X2 @ A.T).max()) if pairs else 0.0
+    print(f"embeddings cross-pattern check: max |cos| = {worst:.4f} "
+          f"over {len(base)} base vectors x {len(pairs)} pattern pairs")
+    assert worst <= 0.99, (
+        f"cross-pattern cosine {worst} exceeds 0.99 - a sign-pattern "
+        "collision re-aliases replicas; pick a different mix constant")
 
 # Done-marker, written LAST: a build that crashes partway (documents is
 # written before embeddings) must not look complete to run_gates.sh's
 # freshness check — presence of one parquet says nothing about the rest.
 with open(f"{dst}/_SUCCESS", "w") as f:
-    f.write(f"src={src} n={n} docs_only={docs_only}\n")
+    f.write(f"src={src} n={n} docs_only={docs_only} "
+            f"transform={TRANSFORM_VERSION}\n")
 print("done:", dst)

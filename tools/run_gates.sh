@@ -26,8 +26,14 @@ run python3 tools/red_team_decsum.py
 
 # freshness = the done-marker make_scale_fixture.py writes LAST, not the
 # presence of one parquet (a build that crashed between documents and
-# embeddings would otherwise pass the check and fail the gate confusingly)
-if [ ! -f /tmp/graft_sf1/_SUCCESS ]; then
+# embeddings would otherwise pass the check and fail the gate confusingly).
+# The marker also records the generator's TRANSFORM_VERSION: a fixture
+# built by an older generator (e.g. pre-r12 aliased embeddings, or the
+# DuckDB-version-dependent sign bits) silently fails the vintage match
+# and rebuilds instead of running the gates against stale bytes
+# (ADVICE r11). Keep the literal in sync with make_scale_fixture.py.
+fixture_vintage="transform=r12a"
+if ! grep -qs "$fixture_vintage" /tmp/graft_sf1/_SUCCESS; then
   run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 fi
 # p72's DuckDB oracle (pairwise ground truth over CC labels) legitimately
@@ -51,14 +57,19 @@ echo "gates: weekly default seed = $seed_default" \
 if [ "${1:-}" != "--skip-fuzz" ]; then
   run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
   run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
-  # streaming differential fuzzer (verdict r10 #4): randomized stateful
-  # micro-batch topologies (window/session/dedup-chain/restart × watermark
-  # × key) vs batch-replay twins — the s-family's grammar coverage. Two
-  # seeds × two scales per gate run (seed and seed+1, crossed over scales
-  # so a week covers all four cells across the two standing invocations).
+  # streaming differential fuzzer (verdict r10 #4; r12 added stream-stream
+  # joins and transformWithState processors per verdict r11 #1):
+  # randomized stateful micro-batch topologies (window/session/dedup-chain/
+  # join/custom-processor/restart × watermark × key) vs batch-replay twins
+  # — the s-family's grammar coverage. The first 4 plans of every run are
+  # pinned to the two r12 families (join inner/outer, transformWithState,
+  # transformWithState+restart), so 10 plans/run keeps ≥6 draws for the
+  # original families. Two seeds × two scales per gate run (seed and
+  # seed+1, crossed over scales so a week covers all four cells across the
+  # two standing invocations).
   sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
-  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 8 $sfz_seed"
-  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 8 $((sfz_seed + 1))"
+  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 10 $sfz_seed"
+  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 10 $((sfz_seed + 1))"
 fi
 
 # GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
@@ -67,12 +78,29 @@ fi
 # closure can't reach at that scale. ~15 min Spark + ~12 min DuckDB (the
 # p72 contamination replay dominates); off by default, on for round close.
 if [ "${GRAFT_CC_SAMPLE:-0}" = 1 ]; then
-  if [ ! -f /tmp/graft_sf100docs/_SUCCESS ]; then
+  if ! grep -qs "$fixture_vintage" /tmp/graft_sf100docs/_SUCCESS; then
     run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf100docs 100 --docs-only
   fi
   # the sample seed rotates with the same weekly default as the fuzz seed
   run env GRAFT_CC_OUT=/tmp/cc_sample_out python3 tools/check_cc_sample.py \
     /tmp/graft_sf100docs --seed="${GRAFT_CC_SEED:-$seed_default}"
+fi
+
+# GRAFT_TRIGGER_REGIME=1 adds the many-trigger regime gate (verdict r11
+# #2): the state-heaviest mechanisms replayed over the 10x events fixture
+# in ~64 time-sliced micro-batches with per-trigger metrics captured, then
+# a trend check that FAILS if per-trigger wall or RocksDB iterator bytes
+# grow with trigger index — the O(state)-per-trigger class (r11's s18
+# timer sweep) measured, not inspected. ~5-10 min; on for round close.
+if [ "${GRAFT_TRIGGER_REGIME:-0}" = 1 ]; then
+  if ! grep -qs "$fixture_vintage" /tmp/graft_sf1/_SUCCESS; then
+    run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
+  fi
+  tr_jsonl="${GRAFT_TRIGGER_REGIME_OUT:-/tmp/trigger_regime.jsonl}"
+  rm -f "$tr_jsonl"
+  run env SPARK_GRAFT_STREAM_METRICS="$tr_jsonl" \
+    sbt -batch "runMain graft.StreamTriggerRegime /tmp/graft_sf1 64"
+  run python3 tools/stream_metrics_report.py "$tr_jsonl" --check
 fi
 
 if [ "$fail" = 0 ]; then echo "ALL GATES GREEN"; else echo "GATES RED"; fi
