@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.plans.{InlineLogScan, PruneAvroDecode, StandardGroupingSets}
+import graft.plans.{InlineLogScan, PruneAvroDecode, SessionWindowEndFilterGuard,
+  StandardGroupingSets}
 
 /** Session extensions installing the engine's custom planner pieces.
   * Register with `.withExtensions(new GraftExtensions)` or
@@ -15,5 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-CBO (right after V2ScanRelationPushDown): replace GraftLogScan's
     // V1-bridge execution with the inner logical plan — native codegen/AQE
     ext.injectPreCBORule(s => InlineLogScan(s))
+    // fail loudly on the session_window end-filter pushdown hazard (the
+    // shape Catalyst silently mis-optimizes; see SessionWindowGuard)
+    ext.injectCheckRule(s => new SessionWindowEndFilterGuard(s))
   }
 }
