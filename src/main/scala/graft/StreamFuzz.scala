@@ -1,22 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 
 import scala.collection.mutable
 import scala.util.Random
 
-/** Differential STREAMING fuzzer (verdict r10 #4): generate randomized
-  * stateful micro-batch topologies — window type × watermark delay × key ×
-  * dedup × restart point — run each as a real Structured Streaming query
-  * over the range-staged events chunks (one time-slice per micro-batch, so
-  * watermarks advance and state evicts INCREMENTALLY), and compare the
-  * union of appended emissions bit-exactly against a batch-replay twin of
-  * the same plan. This does for the s-family's mechanism space what
-  * tools/fuzz_oracle.py's 19 grammar families do for batch SQL: the 35
-  * hand-written topologies pin specific shapes; the fuzzer samples the
-  * combinatorial neighborhood around them every week.
+/** Differential STREAMING fuzzer (verdict r10 #4, extended r12 per verdict
+  * r11 #1): generate randomized stateful micro-batch topologies — window
+  * type × watermark delay × key × dedup × restart point, PLUS stream-stream
+  * joins (inner/left-outer with both-side watermarks, the
+  * `symmetricHashJoin` mechanism: s04/s14/s27/s32 shapes) and custom
+  * `transformWithState` processors (randomized per-key tumbling windows on
+  * MapState with creation-armed event-time timers, the s17/s18 shapes — the
+  * mechanism class where r11's O(state)-per-trigger bug lived and which the
+  * original grammar could never generate) — run each as a real Structured
+  * Streaming query over the range-staged events chunks (one time-slice per
+  * micro-batch, so watermarks advance and state evicts INCREMENTALLY), and
+  * compare the union of appended emissions bit-exactly against a
+  * batch-replay twin of the same plan. This does for the s-family's
+  * mechanism space what tools/fuzz_oracle.py's 19 grammar families do for
+  * batch SQL: the 35 hand-written topologies pin specific shapes; the
+  * fuzzer samples the combinatorial neighborhood around them every week.
+  * The first four plans of every run are pinned to the two NEW families
+  * (E-inner, E-outer, F, F-restart) so every gate invocation exercises
+  * both mechanism classes regardless of how the seed lands; later plans
+  * draw uniformly over all six families.
   *
   * Determinism rules (same discipline as the batch fuzzer):
   *  - exact aggregates only (counts + BIGINT sums/min/max of key columns;
@@ -33,7 +46,21 @@ import scala.util.Random
   *    in µs). A window whose end lands EXACTLY on the watermark is
   *    boundary-ambiguous across Spark versions' <=/<, so a plan passes if
   *    it matches either closure of the threshold — the two twins differ
-  *    only on measure-zero exact-equality windows.
+  *    only on measure-zero exact-equality windows. The same two-closure
+  *    rule covers transformWithState timer expiry (timer vs watermark).
+  *  - stream-stream INNER joins are exact with NO threshold: chunks arrive
+  *    in event-time order, so a buffered row is never evicted before a row
+  *    it must match arrives (when a batch at min-ts T is processed, the
+  *    watermark is maxTs(previous chunks) − delay < T, and any needed
+  *    partner has partner_ts + span ≥ T > watermark — the s04 argument).
+  *  - stream-stream OUTER joins pin the DETERMINISTIC region only (the s14
+  *    discipline): null-padded rows are guaranteed flushed for left rows
+  *    at or below wm_final − span, ambiguous in the band above it (both
+  *    behaviors observed across Spark versions/scales at the terminal
+  *    batch), so BOTH the stream's emissions and the twin are filtered to
+  *    matched-or-below-cutoff before comparing; wm_final uses the MIN over
+  *    the two sides' own max event times (each side's watermark tracks
+  *    only its own rows — the s14 lesson).
   *
   * Usage: runMain graft.StreamFuzz [sfDir] [nPlans] [seed]
   * Prints one PASS/FAIL line per plan and a final summary; exit 1 on any
@@ -52,15 +79,97 @@ object StreamFuzz {
   private def rowSet(rows: Seq[Row]): Seq[String] =
     rows.map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString("|")).sorted
 
+  /** How a plan's append-mode emissions relate to its batch twin. */
+  private sealed trait Emit
+  /** complete mode: last snapshot equals the batch result, no threshold. */
+  private case object EComplete extends Emit
+  /** append windows/sessions: grouping struct's `end` vs final watermark,
+    * both closures (families A/B/D). */
+  private case object EWindowStruct extends Emit
+  /** transformWithState tumbling windows: row's `w_start` (epoch ms, col 1)
+    * + windowMs vs final watermark ms, both closures (family F). */
+  private final case class EWindowMs(windowMs: Long) extends Emit
+  /** stream-stream inner join: exact, no threshold (family E). */
+  private case object EExact extends Emit
+  /** stream-stream left-outer join: matched rows exact; null rows compared
+    * only at or below wm_final − span, with wm_final from the min over the
+    * two sides' (typeA, typeB) own max event times (family E). */
+  private final case class EOuterBand(spanMs: Long, typeA: String,
+                                      typeB: String) extends Emit
+
   /** One generated plan: how to build the streaming frame from the staged
-    * event stream, the batch twin over the full events table, and the
-    * append-mode emission threshold column (window/session end).
+    * event stream and the batch twin over the full events table; `emit`
+    * says how the two are compared (see the Emit cases).
     */
   private case class Plan(desc: String, delayMin: Int,
                           stream: DataFrame => DataFrame,
                           twin: DataFrame => DataFrame,
-                          endCol: String, chunks: Int, restartAt: Int,
-                          complete: Boolean = false)
+                          chunks: Int, restartAt: Int,
+                          emit: Emit,
+                          provider: Option[String] = None)
+
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Input row for [[FzWindowProcessor]]. */
+  final case class FzEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+  /** Per-window aggregate buffer in [[FzWindowProcessor]]'s map state. */
+  final case class FzAgg(n: Long, se: Long, mn: Long, mx: Long)
+
+  /** One closed window emitted by [[FzWindowProcessor]] (w_start epoch ms). */
+  final case class FzWin(k: Long, w_start: Long, n: Long, se: Long,
+                         mn: Long, mx: Long)
+
+  /** Randomized-parameter clone of the s18 mechanism
+    * (EventStreams.WindowedMapStateProcessor): per-key tumbling windows in
+    * `MapState[windowStart → agg]`, one event-time timer armed per window
+    * at window CREATION (exactly once — a row that would re-create an
+    * expired window is watermark-late and dropped upstream), expiry emits
+    * the window and removes its entry. Per-row POINT ops only: no
+    * `listTimers()` / `keys()` sweep — the exact per-trigger O(state)
+    * anti-pattern r11's gate caught is what this family exists to catch
+    * if it is ever reintroduced. Aggregates are order-insensitive BIGINTs
+    * (count / sum / min / max of event_id), so micro-batch merge order
+    * cannot move the result.
+    */
+  final class FzWindowProcessor(windowMs: Long)
+      extends StatefulProcessor[Long, FzEvent, FzWin] {
+    @transient private var wins: MapState[Long, FzAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getMapState[Long, FzAgg](
+        "wins", Encoders.scalaLong, Encoders.product[FzAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
+                                 timerValues: TimerValues): Iterator[FzWin] = {
+      rows.foreach { e =>
+        val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+        if (wins.containsKey(w)) {
+          val c = wins.getValue(w)
+          wins.updateValue(w, FzAgg(c.n + 1, c.se + e.event_id,
+            math.min(c.mn, e.event_id), math.max(c.mx, e.event_id)))
+        } else {
+          wins.updateValue(w, FzAgg(1L, e.event_id, e.event_id, e.event_id))
+          getHandle.registerTimer(w + windowMs)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FzWin] = {
+      val w = expiredTimerInfo.getExpiryTimeInMs - windowMs
+      if (!wins.containsKey(w)) Iterator.empty
+      else {
+        val a = wins.getValue(w)
+        wins.removeKey(w)
+        Iterator.single(FzWin(key, w, a.n, a.se, a.mn, a.mx))
+      }
+    }
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def gen(rng: Random, i: Int): Plan = {
     val chunks = 3 + rng.nextInt(4) // 3..6 micro-batches
@@ -72,7 +181,9 @@ object StreamFuzz {
       case 1 => Seq((col("user_id") % m).as("ub"))
       case _ => Seq(col("event_type"), (col("user_id") % m).as("ub"))
     }
-    val fam = rng.nextInt(10)
+    // first four plans pinned to the two NEW mechanism classes so every
+    // gate run samples them; beyond that, uniform over all families
+    val fam = if (i < 4) Seq(10, 11, 12, 13)(i) else rng.nextInt(14)
     if (fam < 4) {
       // A: tumbling/hopping windowed aggregation, append mode
       val w = Seq(30, 60, 90, 240)(rng.nextInt(4))
@@ -92,7 +203,7 @@ object StreamFuzz {
            s"delay=${delay}m chunks=$chunks restart=$restart",
         delay,
         df => agg(df.withWatermark("ts", s"$delay minutes")),
-        agg, "window.end", chunks, restart)
+        agg, chunks, restart, EWindowStruct)
     } else if (fam < 6) {
       // B: session windows (gap-merge), append mode
       val gap = Seq(20, 45, 90)(rng.nextInt(3))
@@ -104,7 +215,7 @@ object StreamFuzz {
            s"chunks=$chunks restart=$restart",
         delay,
         df => agg(df.withWatermark("ts", s"$delay minutes")),
-        agg, "session_window.end", chunks, restart)
+        agg, chunks, restart, EWindowStruct)
     } else if (fam < 8) {
       // C: streaming dedup → aggregation chain (two stateful operators),
       // complete mode: every aggregate is a function of the dedup key set
@@ -123,8 +234,8 @@ object StreamFuzz {
         df => agg(pre(df).withWatermark("ts", s"$delay minutes")
           .dropDuplicates(dedupKeys)),
         df => agg(pre(df).dropDuplicates(dedupKeys)),
-        "", chunks, 0, complete = true)
-    } else {
+        chunks, 0, EComplete)
+    } else if (fam < 10) {
       // D: tumbling agg with a mid-stream checkpoint restart (always)
       val w = Seq(60, 120, 240)(rng.nextInt(3))
       def agg(df: DataFrame) = df
@@ -135,7 +246,82 @@ object StreamFuzz {
            s"chunks=$chunks restart=$restart",
         delay,
         df => agg(df.withWatermark("ts", s"$delay minutes")),
-        agg, "window.end", chunks, restart)
+        agg, chunks, restart, EWindowStruct)
+    } else if (fam < 12) {
+      // E: stream-stream join (fam 10 → inner, fam 11 → left outer) with
+      // an event-time range condition — the symmetricHashJoin mechanism.
+      // Side B events within `span` BEFORE each side-A event, equality on
+      // user_id (or a coarser bucket, which multiplies match fan-out and
+      // therefore buffered-state pressure). Output (a_us, a_eid, b_eid):
+      // event_ids make every pair row unique, a_us drives the outer band
+      // sift. Watermark is applied ONCE before the event-type split; the
+      // optimizer pushes each filter below the watermark node so each
+      // side tracks only its own rows (the s14 lesson — wm_final below
+      // uses the min over sides accordingly).
+      val outer = fam == 11
+      val ai = rng.nextInt(eventTypes.size)
+      val bi = (ai + 1 + rng.nextInt(eventTypes.size - 1)) % eventTypes.size
+      val (ta, tb) = (eventTypes(ai), eventTypes(bi))
+      val spanMin = Seq(30, 60, 120)(rng.nextInt(3))
+      val bucket = rng.nextInt(3) match { case 0 => 0; case 1 => 7; case _ => 23 }
+      val restart = if (rng.nextInt(3) == 0) 1 + rng.nextInt(chunks - 1) else 0
+      def joined(df0: DataFrame, wm: Boolean): DataFrame = {
+        val df = if (wm) df0.withWatermark("ts", s"$delay minutes") else df0
+        val keyed = df.withColumn("jk",
+          if (bucket == 0) col("user_id") else col("user_id") % bucket)
+        val a = keyed.filter(col("event_type") === ta)
+          .select(col("jk"), col("event_id").as("a_eid"), col("ts").as("a_ts"))
+        val b = keyed.filter(col("event_type") === tb)
+          .select(col("jk").as("b_jk"), col("event_id").as("b_eid"),
+            col("ts").as("b_ts"))
+        a.join(b, col("jk") === col("b_jk")
+            && col("b_ts") >= col("a_ts") - expr(s"INTERVAL $spanMin MINUTES")
+            && col("b_ts") <= col("a_ts"),
+          if (outer) "left_outer" else "inner")
+          .select(unix_micros(col("a_ts")).as("a_us"), col("a_eid"),
+            col("b_eid"))
+      }
+      Plan(s"p$i ${if (outer) "outer" else "inner"}-join $ta⋈$tb " +
+           s"span=${spanMin}m bucket=$bucket delay=${delay}m chunks=$chunks " +
+           s"restart=$restart",
+        delay,
+        df => joined(df, wm = true),
+        df => joined(df, wm = false),
+        chunks, restart,
+        if (outer) EOuterBand(spanMin * 60000L, ta, tb) else EExact)
+    } else {
+      // F: transformWithState MapState tumbling windows with
+      // creation-armed event-time timers (fam 13 forces a mid-stream
+      // checkpoint restart — timers and map entries must ride the
+      // checkpoint). RocksDB provider: the only provider the state-v2
+      // API supports, same pin as s17-s19/s23.
+      val wMin = Seq(60, 120, 360, 720)(rng.nextInt(4))
+      val windowMs = wMin * 60000L
+      val bucket = if (rng.nextBoolean()) 0 else m
+      val restart =
+        if (fam == 13 || rng.nextInt(3) == 0) 1 + rng.nextInt(chunks - 1) else 0
+      def streamF(df: DataFrame): DataFrame = {
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.withWatermark("ts", s"$delay minutes")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .as[FzEvent]
+          .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
+          .transformWithState(new FzWindowProcessor(windowMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+      }
+      def twinF(df: DataFrame): DataFrame = {
+        val k = if (bucket == 0) col("user_id") else col("user_id") % bucket
+        df.groupBy(k.as("k"),
+            expr(s"(unix_millis(ts) div $windowMs) * $windowMs").as("w_start"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("se"),
+            min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      }
+      Plan(s"p$i tws-mapstate w=${wMin}m bucket=$bucket delay=${delay}m " +
+           s"chunks=$chunks restart=$restart",
+        delay, streamF, twinF, chunks, restart, EWindowMs(windowMs),
+        provider = Some(rocksProvider))
     }
   }
 
@@ -150,8 +336,9 @@ object StreamFuzz {
   private def runStream(s: SparkSession, dir: String, plan: Plan): Seq[Row] = {
     val stage = QueriesStreaming.stagedDir(s, dir, plan.chunks)
     val schema = s.read.parquet(stage.toString).schema
+    val complete = plan.emit == EComplete
     val collected = mutable.LinkedHashMap.empty[Long, Array[Row]]
-    def run(src: String, cp: String, complete: Boolean): Unit = {
+    def run(src: String, cp: String): Unit = {
       // watermarks require TIMESTAMP, the fixture ships TIMESTAMP_NTZ —
       // value-preserving cast under the engine's fixed UTC session TZ
       val ev = Tables.normalizeTs(
@@ -173,9 +360,13 @@ object StreamFuzz {
       try require(q.awaitTermination(600000L), s"stream did not finish: ${plan.desc}")
       finally q.stop()
     }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = s.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    plan.provider.foreach(p => s.conf.set(provKey, p))
     val cp = java.nio.file.Files.createTempDirectory("graft_fuzz_cp_")
     try {
-      if (plan.restartAt == 0) run(stage.toString, cp.toString, plan.complete)
+      if (plan.restartAt == 0) run(stage.toString, cp.toString)
       else {
         val live = java.nio.file.Files.createTempDirectory("graft_fuzz_live_")
         try {
@@ -193,20 +384,26 @@ object StreamFuzz {
               }
           }
           copyUpTo(plan.restartAt)
-          run(live.toString, cp.toString, plan.complete)
+          run(live.toString, cp.toString)
           copyUpTo(files.size)
-          run(live.toString, cp.toString, plan.complete)
+          run(live.toString, cp.toString)
         } finally graft.util.Fs.deleteRecursively(live)
       }
       collected.synchronized(collected.values.flatten.toSeq)
-    } finally graft.util.Fs.deleteRecursively(cp)
+    } finally {
+      graft.util.Fs.deleteRecursively(cp)
+      if (plan.provider.isDefined) s.conf.set(provKey, provPrev)
+    }
   }
 
-  /** Batch twin(s). Append plans get TWO twins — the <= and < closures of
-    * the final-watermark threshold (see scaladoc) — complete plans one.
+  /** Batch twin(s) plus the sift applied to the STREAM's emissions before
+    * comparing (identity except for the outer-join deterministic-region
+    * filter). Append plans get TWO twins — the <= and < closures of the
+    * final-watermark threshold (see the object scaladoc) — complete/exact
+    * plans one.
     *
-    * The threshold filter runs DRIVER-SIDE over the collected aggregate,
-    * NOT as `.filter` on the frame: a predicate referencing only grouping
+    * Threshold filters run DRIVER-SIDE over the collected aggregate, NOT
+    * as `.filter` on the frame: a predicate referencing only grouping
     * columns is pushed below the Aggregate by Catalyst, and for
     * `session_window` the pre-aggregation column is the per-event
     * PROTO-session `[ts, ts+gap)` — gap-merging happens inside the
@@ -215,29 +412,53 @@ object StreamFuzz {
     * (caught by this fuzzer's first session plan, seed 303: three
     * one-event "sessions" the stream had correctly merged away). Tumbling
     * `window()` is immune — its pre-agg value IS the final window — which
-    * is why only the session family tripped. The registry's own
-    * session_window uses are streaming-side with no post-agg end filter,
-    * so the hazard is confined to batch session_window + grouping-column
-    * filters; noted here as the place the engine would need a
-    * no-pushdown barrier if such a batch entry were ever added.
+    * is why only the session family tripped. That hazard is now pinned by
+    * SessionWindowGuardSpec and guarded at analysis time by
+    * plans.SessionWindowEndFilterGuard (r12).
     */
-  private def runTwin(s: SparkSession, dir: String, plan: Plan): Seq[Seq[String]] = {
+  private def runTwin(s: SparkSession, dir: String, plan: Plan)
+      : (Seq[Seq[String]], Seq[Row] => Seq[Row]) = {
     val events = Tables.load(s, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
     val full = plan.twin(events)
-    if (plan.complete) Seq(rowSet(full.collect().toIndexedSeq))
-    else {
-      val maxUs = events.agg(max(unix_micros(col("ts")))).first().getLong(0)
-      val thresholdUs = (maxUs / 1000L - plan.delayMin * 60000L) * 1000L
-      // grouping puts the window/session struct first; end µs from the
-      // struct's `end` field (epoch seconds × 1e6 + µs-of-second)
-      def endUs(r: Row): Long = {
-        val ts = r.getStruct(0).getAs[java.sql.Timestamp]("end")
-        java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-      }
-      val all = full.collect().toIndexedSeq
-      Seq(rowSet(all.filter(r => endUs(r) <= thresholdUs)),
-        rowSet(all.filter(r => endUs(r) < thresholdUs)))
+    val keep = identity[Seq[Row]] _
+    def globalMaxUs: Long =
+      events.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    plan.emit match {
+      case EComplete | EExact =>
+        (Seq(rowSet(full.collect().toIndexedSeq)), keep)
+      case EWindowStruct =>
+        val thresholdUs = (globalMaxUs / 1000L - plan.delayMin * 60000L) * 1000L
+        // grouping puts the window/session struct first; end µs from the
+        // struct's `end` field (epoch seconds × 1e6 + µs-of-second)
+        def endUs(r: Row): Long = {
+          val ts = r.getStruct(0).getAs[java.sql.Timestamp]("end")
+          java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+        }
+        val all = full.collect().toIndexedSeq
+        (Seq(rowSet(all.filter(r => endUs(r) <= thresholdUs)),
+          rowSet(all.filter(r => endUs(r) < thresholdUs))), keep)
+      case EWindowMs(w) =>
+        // timers fire when the watermark passes the window end; w_start is
+        // column 1 (epoch ms) in both the processor output and the twin
+        val thresholdMs = globalMaxUs / 1000L - plan.delayMin * 60000L
+        val all = full.collect().toIndexedSeq
+        (Seq(rowSet(all.filter(r => r.getLong(1) + w <= thresholdMs)),
+          rowSet(all.filter(r => r.getLong(1) + w < thresholdMs))), keep)
+      case EOuterBand(spanMs, ta, tb) =>
+        // wm_final from the MIN over the two sides' own max event times
+        // (each side's watermark tracks only its own rows); null rows are
+        // deterministic only at or below wm_final − span, so BOTH the
+        // twin and the stream emissions are cut there (matched rows kept
+        // unconditionally — those are exact)
+        val sideMaxUs = events.filter(col("event_type").isin(ta, tb))
+          .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("mx"))
+          .agg(min(col("mx"))).first().getLong(0)
+        val cutoffUs =
+          (sideMaxUs / 1000L - plan.delayMin * 60000L - spanMs) * 1000L
+        def keepRow(r: Row): Boolean = !r.isNullAt(2) || r.getLong(0) <= cutoffUs
+        val all = full.collect().toIndexedSeq
+        (Seq(rowSet(all.filter(keepRow))), rows => rows.filter(keepRow))
     }
   }
 
@@ -261,8 +482,8 @@ object StreamFuzz {
     var failed = 0
     (0 until n).foreach { i =>
       val plan = gen(rng, i)
-      val got = rowSet(runStream(spark, dir, plan))
-      val want = runTwin(spark, dir, plan)
+      val (want, sift) = runTwin(spark, dir, plan)
+      val got = rowSet(sift(runStream(spark, dir, plan)))
       if (want.exists(_ == got)) println(s"[streamfuzz] PASS ${plan.desc} (${got.size} rows)")
       else {
         failed += 1

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Many-trigger regime gate (verdict r11 #2). Every standing streaming
+  * measurement runs 3–6 AvailableNow chunks, so a per-trigger O(state)
+  * defect — r11's s18 timer sweep, the q91 class in streaming form —
+  * shows up there only through state-metrics INSPECTION, never as a
+  * wall-clock signal: the regime where it compounds is MANY small
+  * triggers over LARGE state, which no standing gate ran. This main
+  * replays the state-heaviest registry mechanisms over the 10× events
+  * fixture chunked into ~64 time-sliced micro-batches (vs the usual
+  * 3–6), with the StreamMetricsListener capturing every trigger, and
+  * `tools/stream_metrics_report.py --check` then FAILS if per-trigger
+  * wall (or RocksDB iterator bytes) grows with trigger index — per-batch
+  * work must be O(batch rows), flat while total state grows 64×.
+  *
+  * Topology shapes mirror the six verdict-named entries (not invoked
+  * through the registry — those bake 1–6-chunk staging and memory sinks;
+  * here the SAME mechanisms run against a noop sink so the measurement is
+  * state machinery, not driver collection):
+  *   tr_s11_session_append   sessionWindowStateStoreSave, append + wm
+  *   tr_s02_sessions_complete  same store, complete mode (its per-trigger
+  *                           SINK output is O(total sessions) BY
+  *                           SEMANTICS — the checker exempts "complete"
+  *                           names from the wall trend and keeps only its
+  *                           state metrics on record)
+  *   tr_s14_outer_join       symmetricHashJoin, left-outer + both-side wm
+  *   tr_s18_mapstate         transformWithState MapState windows, RocksDB
+  *   tr_s20_dedup            dropDuplicatesWithinWatermark, huge horizon
+  *                           (state only ever grows — the adversarial
+  *                           backdrop for flat per-trigger cost)
+  *   tr_s30_resume           dropDuplicates through a checkpoint with a
+  *                           mid-run restart (trigger ~32) — flatness
+  *                           must survive state-store reload
+  *
+  * Usage: SPARK_GRAFT_STREAM_METRICS=/tmp/trigger_regime.jsonl \
+  *        sbt "runMain graft.StreamTriggerRegime [sfDir] [chunks]"
+  * then:  python3 tools/stream_metrics_report.py /tmp/trigger_regime.jsonl --check
+  * Defaults: /tmp/graft_sf1 64. Wired into run_gates.sh behind
+  * GRAFT_TRIGGER_REGIME=1 (round-close scale, like GRAFT_CC_SAMPLE).
+  */
+object StreamTriggerRegime {
+
+  private def withConf[T](s: SparkSession, kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/graft_sf1"
+    val chunks = if (args.length > 1) args(1).toInt else 64
+    require(sys.env.contains("SPARK_GRAFT_STREAM_METRICS"),
+      "SPARK_GRAFT_STREAM_METRICS must name the capture file - the whole " +
+        "point of this gate is the per-trigger record")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.streaming.StreamMetricsListener.attachIfConfigured(spark)
+
+    val stage = QueriesStreaming.stagedDir(spark, dir, chunks)
+    val schema = spark.read.parquet(stage.toString).schema
+    def events(src: String = stage.toString): DataFrame =
+      Tables.normalizeTs(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+
+    val timeoutMs =
+      sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS").map(_.toLong).getOrElse(1800000L)
+
+    /** Run `out` to completion against a noop sink (metrics only). */
+    def drive(name: String, out: DataFrame, mode: String,
+              cp: Option[String] = None): Unit = {
+      val t0 = System.nanoTime()
+      val w = out.writeStream.format("noop").queryName(name).outputMode(mode)
+      val q = cp.fold(w)(p => w.option("checkpointLocation", p)).start()
+      try require(q.awaitTermination(timeoutMs), s"$name did not finish")
+      finally q.stop()
+      System.err.println(f"[trigger-regime] $name done in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    // s11 shape: gap sessions, append mode, 1 h watermark
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+      drive("tr_s11_session_append",
+        events()
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        "append")
+    }
+
+    // s02 shape: same store, complete mode (sink output O(total sessions)
+    // per trigger by semantics; "complete" in the name exempts its wall
+    // trend in the checker)
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+      drive("tr_s02_sessions_complete",
+        events()
+          .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        "complete")
+    }
+
+    // s14 shape: left-outer stream-stream join, errors within the hour
+    // before each click, both sides watermarked off the same source
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val ev = events().withWatermark("ts", "1 hour")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("err_ts"))
+      drive("tr_s14_outer_join",
+        c.join(e,
+          col("user_id") === col("e_user")
+            && col("err_ts") >= col("click_ts") - expr("INTERVAL 3600 SECONDS")
+            && col("err_ts") <= col("click_ts"),
+          "left_outer"),
+        "append")
+    }
+
+    // s18 shape: transformWithState MapState windows + creation-armed
+    // timers on RocksDB — the mechanism whose pre-r11 form this gate
+    // exists to catch
+    withConf(spark,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      import spark.implicits._
+      val ev = events()
+        .select(col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      drive("tr_s18_mapstate",
+        graft.streaming.EventStreams
+          .mapStateWindows(ev, windowMs = 6L * 3600 * 1000, watermark = "1 hour")
+          .toDF(),
+        "append")
+    }
+
+    // s20 shape: watermark-bounded dedup with a horizon nothing evicts
+    // inside — state grows monotonically all run; updates must stay
+    // point-ops
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+      drive("tr_s20_dedup",
+        events()
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .drop("ts"),
+        "append")
+    }
+
+    // s30 shape: dedup through a checkpoint, STOPPED mid-history and
+    // resumed — per-trigger flatness must survive the state-store reload
+    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+      import java.nio.file.{Files, Paths}
+      val root = Files.createTempDirectory("graft_trigreg_")
+      try {
+        val live = root.resolve("live")
+        Files.createDirectories(live)
+        val files = graft.util.Fs.listDir(stage)(
+          _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+        def arm(n: Int): Unit = files.take(n).zipWithIndex.foreach {
+          case (f, i) =>
+            val dst = live.resolve(Paths.get(f).getFileName)
+            if (!Files.exists(dst)) {
+              Files.copy(Paths.get(f), dst)
+              Files.setLastModifiedTime(dst, java.nio.file.attribute
+                .FileTime.fromMillis(1000000000000L + i * 60000L))
+            }
+        }
+        def phase(): Unit = drive("tr_s30_resume",
+          events(live.toString)
+            .select(col("user_id"), col("event_type"))
+            .dropDuplicates("user_id", "event_type"),
+          "update", cp = Some(root.resolve("ckpt").toString))
+        arm(files.size / 2); phase()
+        arm(files.size); phase()
+      } finally graft.util.Fs.deleteRecursively(root)
+    }
+
+    spark.stop()
+    println(s"[trigger-regime] all topologies complete: dir=$dir chunks=$chunks " +
+      s"metrics=${sys.env("SPARK_GRAFT_STREAM_METRICS")}")
+  }
+}

@@ -6,10 +6,27 @@ the MAX state rows / state bytes any trigger held (the number that decides
 whether "watermark-bounded by design" is actually bounded at the measured
 scale; q91's quadratic window was invisible to every row-level gate).
 
-Usage: python3 tools/stream_metrics_report.py <metrics.jsonl> [--md]
+--check (verdict r11 #2, the many-trigger regime gate): instead of the
+summary, TREND per-trigger cost across the run and fail on the
+O(state)-per-trigger class — per-trigger work must be O(batch rows), so
+with equal-sized time-sliced chunks the trigger wall (and the RocksDB
+iterator read volume) must stay FLAT while total state grows with every
+trigger. For each query: take data triggers (numInputRows > 0) in batchId
+order, drop the first two (codegen/provider warmup), compare the mean of
+the last third against the mean of the first third. Fail when the last
+third is BOTH >2x and >500 ms above the first (wall), or >2x and >5 MB
+above (iterator bytes) — a linear per-trigger ramp over ~60 triggers
+shows up as ~5x, far outside this gate; constant-cost noise stays inside
+it. Queries whose name contains "complete" are exempt from the WALL trend
+(a complete-mode sink re-emits O(total state) per trigger by SEMANTICS)
+but still checked on iterator bytes. Queries with <12 data triggers are
+skipped (no trend to fit) and reported as such.
+
+Usage: python3 tools/stream_metrics_report.py <metrics.jsonl> [--md|--check]
 Queries are attributed by the `sNN` prefix of their queryName (all
 registry streams are named since r11, incl. foreachBatch sinks); unnamed
-queries (ad-hoc) are grouped under '(unnamed)'.
+queries (ad-hoc) are grouped under '(unnamed)'. --check groups by FULL
+queryName (the trigger-regime main names runs tr_*).
 """
 import json
 import sys
@@ -17,6 +34,57 @@ from collections import defaultdict
 
 path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/s100_metrics.jsonl"
 md = "--md" in sys.argv
+check = "--check" in sys.argv
+
+
+def iter_bytes(p):
+    return sum(int(op.get("customMetrics", {})
+                   .get("rocksdbTotalBytesReadByIterator", 0))
+               for op in p.get("stateOperators", []))
+
+
+if check:
+    per = defaultdict(list)  # name -> [(batchId, trig_ms, iter_bytes)]
+    for line in open(path):
+        p = json.loads(line)
+        if p.get("numInputRows", 0) <= 0:
+            continue
+        per[p.get("name") or "(unnamed)"].append(
+            (p.get("batchId", 0),
+             p.get("durationMs", {}).get("triggerExecution", 0),
+             iter_bytes(p)))
+    failures = []
+    for name in sorted(per):
+        rows = sorted(per[name])[2:]  # drop 2 warmup triggers
+        if len(rows) < 10:
+            print(f"{name}: only {len(rows)+2} data triggers - trend skipped")
+            continue
+        third = len(rows) // 3
+
+        def trend(vals, unit, cap, floor, exempt=False):
+            first = sum(vals[:third]) / third
+            last = sum(vals[-third:]) / third
+            ratio = last / first if first > 0 else float("inf") if last else 1.0
+            bad = (not exempt) and last > cap * first and last - first > floor
+            print(f"{name}: {unit} first-third={first:,.0f} "
+                  f"last-third={last:,.0f} ratio={ratio:.2f}"
+                  f"{' [exempt]' if exempt else ''}{' FAIL' if bad else ''}")
+            if bad:
+                failures.append(
+                    f"{name}: per-trigger {unit} grew {ratio:.1f}x across the "
+                    f"run ({first:,.0f} -> {last:,.0f}) - O(state) per trigger")
+
+        trend([r[1] for r in rows], "wall_ms", 2.0, 500,
+              exempt="complete" in name)
+        if any(r[2] for r in rows):
+            trend([r[2] for r in rows], "iter_bytes", 2.0, 5_000_000)
+    if failures:
+        print("TRIGGER-REGIME CHECK FAILED:")
+        for f in failures:
+            print("  " + f)
+        sys.exit(1)
+    print("trigger-regime check: all per-trigger trends flat")
+    sys.exit(0)
 
 per = defaultdict(lambda: {"triggers": 0, "rows": 0, "trig_ms": 0,
                            "max_trig_ms": 0, "max_state_rows": 0,
