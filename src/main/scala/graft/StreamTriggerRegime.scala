@@ -86,6 +86,7 @@ object StreamTriggerRegime {
               cp: Option[String] = None): Unit = {
       val t0 = System.nanoTime()
       val w = out.writeStream.format("noop").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow())
       val q = cp.fold(w)(p => w.option("checkpointLocation", p)).start()
       try require(q.awaitTermination(timeoutMs), s"$name did not finish")
       finally q.stop()

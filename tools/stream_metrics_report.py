@@ -39,7 +39,7 @@ check = "--check" in sys.argv
 
 def iter_bytes(p):
     return sum(int(op.get("customMetrics", {})
-                   .get("rocksdbTotalBytesReadByIterator", 0))
+                   .get("rocksdbTotalBytesReadThroughIterator", 0))
                for op in p.get("stateOperators", []))
 
 
