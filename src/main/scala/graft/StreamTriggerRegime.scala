@@ -81,9 +81,15 @@ object StreamTriggerRegime {
     val timeoutMs =
       sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS").map(_.toLong).getOrElse(1800000L)
 
+    // SPARK_GRAFT_TR_ONLY=s11,s18 — diagnostic subset (comma-separated
+    // name substrings); the standing gate always runs all six
+    val only = sys.env.get("SPARK_GRAFT_TR_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.contains))
+
     /** Run `out` to completion against a noop sink (metrics only). */
     def drive(name: String, out: DataFrame, mode: String,
-              cp: Option[String] = None): Unit = {
+              cp: Option[String] = None): Unit = if (selected(name)) {
       val t0 = System.nanoTime()
       val w = out.writeStream.format("noop").queryName(name).outputMode(mode)
         .trigger(Trigger.AvailableNow())
