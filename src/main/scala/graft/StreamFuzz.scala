@@ -93,9 +93,11 @@ object StreamFuzz {
   private case object EExact extends Emit
   /** stream-stream left-outer join: matched rows exact; null rows compared
     * only at or below wm_final − span, with wm_final from the min over the
-    * two sides' (typeA, typeB) own max event times (family E). */
+    * two sides' (typeA, typeB) own max event times AFTER the event_id
+    * thinning filter — the stream's watermark tracks only surviving rows
+    * (family E). */
   private final case class EOuterBand(spanMs: Long, typeA: String,
-                                      typeB: String) extends Emit
+                                      typeB: String, thin: Long) extends Emit
 
   /** One generated plan: how to build the streaming frame from the staged
     * event stream and the batch twin over the full events table; `emit`
@@ -264,9 +266,17 @@ object StreamFuzz {
       val (ta, tb) = (eventTypes(ai), eventTypes(bi))
       val spanMin = Seq(30, 60, 120)(rng.nextInt(3))
       val bucket = rng.nextInt(3) match { case 0 => 0; case 1 => 7; case _ => 23 }
+      // deterministic side thinning (event_id % thin == 0, both sides,
+      // stream AND twin): a bucketed time-range join's output grows as
+      // fixture²/bucket — at the 10× gate an unthinned plan collected
+      // 1.2M pair rows per run and the next plan blew the completion
+      // budget. Thinning by 3-5 per side cuts output ~an order of
+      // magnitude while exercising the identical join machinery.
+      val thin = Seq(3L, 4L, 5L)(rng.nextInt(3))
       val restart = if (rng.nextInt(3) == 0) 1 + rng.nextInt(chunks - 1) else 0
       def joined(df0: DataFrame, wm: Boolean): DataFrame = {
-        val df = if (wm) df0.withWatermark("ts", s"$delay minutes") else df0
+        val df1 = df0.filter(col("event_id") % thin === 0)
+        val df = if (wm) df1.withWatermark("ts", s"$delay minutes") else df1
         val keyed = df.withColumn("jk",
           if (bucket == 0) col("user_id") else col("user_id") % bucket)
         val a = keyed.filter(col("event_type") === ta)
@@ -282,13 +292,13 @@ object StreamFuzz {
             col("b_eid"))
       }
       Plan(s"p$i ${if (outer) "outer" else "inner"}-join $ta⋈$tb " +
-           s"span=${spanMin}m bucket=$bucket delay=${delay}m chunks=$chunks " +
-           s"restart=$restart",
+           s"span=${spanMin}m bucket=$bucket thin=$thin delay=${delay}m " +
+           s"chunks=$chunks restart=$restart",
         delay,
         df => joined(df, wm = true),
         df => joined(df, wm = false),
         chunks, restart,
-        if (outer) EOuterBand(spanMin * 60000L, ta, tb) else EExact)
+        if (outer) EOuterBand(spanMin * 60000L, ta, tb, thin) else EExact)
     } else {
       // F: transformWithState MapState tumbling windows with
       // creation-armed event-time timers (fam 13 forces a mid-stream
@@ -357,7 +367,8 @@ object StreamFuzz {
           }
         }
         .trigger(Trigger.AvailableNow()).start()
-      try require(q.awaitTermination(600000L), s"stream did not finish: ${plan.desc}")
+      try require(q.awaitTermination(sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .map(_.toLong).getOrElse(600000L)), s"stream did not finish: ${plan.desc}")
       finally q.stop()
     }
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -445,13 +456,14 @@ object StreamFuzz {
         val all = full.collect().toIndexedSeq
         (Seq(rowSet(all.filter(r => r.getLong(1) + w <= thresholdMs)),
           rowSet(all.filter(r => r.getLong(1) + w < thresholdMs))), keep)
-      case EOuterBand(spanMs, ta, tb) =>
+      case EOuterBand(spanMs, ta, tb, thin) =>
         // wm_final from the MIN over the two sides' own max event times
-        // (each side's watermark tracks only its own rows); null rows are
-        // deterministic only at or below wm_final − span, so BOTH the
-        // twin and the stream emissions are cut there (matched rows kept
-        // unconditionally — those are exact)
-        val sideMaxUs = events.filter(col("event_type").isin(ta, tb))
+        // (each side's watermark tracks only its own — THINNED — rows);
+        // null rows are deterministic only at or below wm_final − span,
+        // so BOTH the twin and the stream emissions are cut there
+        // (matched rows kept unconditionally — those are exact)
+        val sideMaxUs = events
+          .filter(col("event_type").isin(ta, tb) && col("event_id") % thin === 0)
           .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("mx"))
           .agg(min(col("mx"))).first().getLong(0)
         val cutoffUs =
