@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.ExprId
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, SessionWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 
 /** Analysis-time guard for the session_window end-filter pushdown hazard
   * (caught by the streaming differential fuzzer's first session plan,
@@ -30,12 +30,16 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
   * `spark.graft.sessionWindowEndFilterGuard=false` (the regression spec
   * does, to pin the underlying Catalyst behavior itself).
   *
-  * Detection is conservative by exprId: an intervening Project that
-  * re-aliases the struct breaks the match — acceptable for a guard whose
-  * job is catching the NATURAL way to write the query, not adversarial
-  * variants. Filters on non-window grouping keys (e.g. `user_id`) are
-  * untouched: pushing those below the aggregate is semantics-preserving
-  * (sessions are built per grouping key).
+  * Detection matches the analyzer's OWN marker, not the column name:
+  * `SessionWindowing` stamps the session attribute's metadata with
+  * `SessionWindow.marker` ("spark.sessionWindow"), and `Alias` propagates
+  * child metadata — so a user column that merely HAPPENS to be named
+  * session_window never trips the guard (r12 ADVICE false positive), a
+  * re-aliased session struct (`.as("sw")`) still does, and the
+  * Filter→Aggregate exprId link is followed through intervening Projects'
+  * alias chains. Filters on non-window grouping keys (e.g. `user_id`)
+  * are untouched: pushing those below the aggregate is
+  * semantics-preserving (sessions are built per grouping key).
   */
 final class SessionWindowEndFilterGuard(spark: SparkSession)
     extends (LogicalPlan => Unit) {
@@ -46,7 +50,7 @@ final class SessionWindowEndFilterGuard(spark: SparkSession)
     plan.foreach {
       case Filter(cond, child) =>
         val sessIds: Set[ExprId] =
-          cond.references.filter(_.name == "session_window").map(_.exprId).toSet
+          cond.references.filter(isSessionAttr).map(_.exprId).toSet
         if (sessIds.nonEmpty && aggGroupsOnSession(child, sessIds))
           throw new SessionWindowEndFilterException(
             "filter on session_window start/end above a session-window " +
@@ -60,20 +64,32 @@ final class SessionWindowEndFilterGuard(spark: SparkSession)
     }
   }
 
+  /** The analyzer's SessionWindowing rule stamps the session attribute
+    * with this metadata marker; Alias propagates it, so the test survives
+    * renames and never matches an ordinary column.
+    */
+  private def isSessionAttr(a: Attribute): Boolean =
+    a.metadata.contains(SessionWindow.marker)
+
   /** Does the subtree hold a session-window Aggregate that PRODUCES one of
     * `ids`? The filter above references the aggregate's OUTPUT attribute,
-    * which may be a fresh exprId aliasing the grouping attribute
-    * (`session_window#x AS session_window#y`), so the match is: some
-    * aggregate output whose attribute is in `ids`, on an Aggregate whose
-    * grouping references a `session_window` attribute.
+    * possibly renamed by intervening Projects — alias chains are followed
+    * by remapping each tracked id to the ids its Alias child references.
     */
-  private def aggGroupsOnSession(p: LogicalPlan, ids: Set[ExprId]): Boolean =
-    p.collectFirst {
-      case a: Aggregate
-        if a.aggregateExpressions.exists(ne => ids.contains(ne.toAttribute.exprId)) &&
-           a.groupingExpressions.exists(
-             _.references.exists(_.name == "session_window")) => true
-    }.isDefined
+  private def aggGroupsOnSession(p: LogicalPlan, ids: Set[ExprId]): Boolean = p match {
+    case a: Aggregate =>
+      a.aggregateExpressions.exists(ne => ids.contains(ne.toAttribute.exprId)) &&
+        a.groupingExpressions.exists(_.references.exists(isSessionAttr))
+    case proj: Project =>
+      val mapped: Set[ExprId] = proj.projectList.flatMap {
+        case al: Alias if ids.contains(al.exprId) =>
+          al.child.references.map(_.exprId).toSeq
+        case ne if ids.contains(ne.toAttribute.exprId) => Seq(ne.toAttribute.exprId)
+        case _ => Nil
+      }.toSet
+      mapped.nonEmpty && proj.children.exists(aggGroupsOnSession(_, mapped))
+    case other => other.children.exists(aggGroupsOnSession(_, ids))
+  }
 }
 
 /** Thrown by [[SessionWindowEndFilterGuard]] — a dedicated type so specs

@@ -87,6 +87,35 @@ class SessionWindowGuardSpec extends SparkTestBase {
     assert(kept.isEmpty)
   }
 
+  test("no false positive on a user column merely NAMED session_window") {
+    // the guard matches the analyzer's SessionWindow.marker metadata, not
+    // the attribute name (r12 ADVICE): a plain column named session_window,
+    // grouped and filtered post-agg, is semantically safe and must pass
+    val renamed = eventsDf.withColumn("session_window", col("user_id"))
+      .groupBy(col("session_window"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("session_window") === 1L)
+      .collect()
+    assert(renamed.length == 1 && renamed.head.getAs[Long]("n") == 2L,
+      s"got ${renamed.mkString("; ")}")
+  }
+
+  test("guard follows a re-aliasing Project (the documented evasion)") {
+    // metadata rides Alias, and aggGroupsOnSession remaps exprIds through
+    // Projects — renaming the struct no longer slips past the guard
+    val e = intercept[Exception] {
+      sessions(eventsDf)
+        .select(col("session_window").as("sw"), col("n"))
+        .filter(col("sw.end") <= lit(cutoff))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("")) +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(e).contains("proto-session"),
+      s"expected the guard's message, got: ${rootMsg(e).take(300)}")
+  }
+
   test("guard ignores legitimate shapes") {
     // non-window grouping-key filter post-agg: pushdown is
     // semantics-preserving (sessions are per key), must not trip

@@ -153,11 +153,18 @@ def mix64(z):
     return (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
 
 
-# bumped whenever any replica transform changes (affine cipher, sign
-# derivation): run_gates.sh matches this against the _SUCCESS marker and
-# rebuilds stale fixtures — presence of _SUCCESS alone says nothing about
-# the generator vintage that produced it (ADVICE r11).
-TRANSFORM_VERSION = "r12a"
+# Per-MODE transform vintage (r12 ADVICE): bumped only when a transform
+# the MODE actually applies changes. run_gates.sh matches the mode's token
+# against the _SUCCESS marker and rebuilds stale fixtures — presence of
+# _SUCCESS alone says nothing about the generator vintage that produced
+# it (ADVICE r11). The r12a bump changed only the embeddings sign
+# derivation, which --docs-only and --events-only copy UNCHANGED — their
+# bytes have been identical since the affine-cipher/key-offset vintage
+# (r11a), so an embeddings-side bump must not force a 100x docs rebuild
+# whose output would be byte-identical.
+TRANSFORM_VERSIONS = {"full": "r12a", "docs": "r11a", "events": "r11a"}
+TRANSFORM_VERSION = TRANSFORM_VERSIONS[
+    "docs" if docs_only else ("events" if events_only else "full")]
 
 if full:
     # per-replica diagonal +-1 orthogonal transform (deterministic sign
@@ -230,7 +237,8 @@ if full:
 # Done-marker, written LAST: a build that crashes partway (documents is
 # written before embeddings) must not look complete to run_gates.sh's
 # freshness check — presence of one parquet says nothing about the rest.
+mode = "docs" if docs_only else ("events" if events_only else "full")
 with open(f"{dst}/_SUCCESS", "w") as f:
-    f.write(f"src={src} n={n} docs_only={docs_only} "
+    f.write(f"src={src} n={n} mode={mode} "
             f"transform={TRANSFORM_VERSION}\n")
 print("done:", dst)
