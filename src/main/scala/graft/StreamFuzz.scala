@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger,
+  ValueState}
 
 import scala.collection.mutable
 import scala.util.Random
@@ -26,10 +27,15 @@ import scala.util.Random
   * mechanism space what tools/fuzz_oracle.py's 19 grammar families do for
   * batch SQL: the 35 hand-written topologies pin specific shapes; the
   * fuzzer samples the combinatorial neighborhood around them every week.
-  * The first four plans of every run are pinned to the two NEW families
-  * (E-inner, E-outer, F, F-restart) so every gate invocation exercises
-  * both mechanism classes regardless of how the seed lands; later plans
-  * draw uniformly over all six families.
+  * The first five plans of every run are pinned to the r12/r13 mechanism
+  * families (E-inner, E-outer, F, F-restart, G ListState-top-k) so every
+  * gate invocation exercises all the custom-state classes regardless of
+  * how the seed lands; later plans draw uniformly over all seven families.
+  * Family G (r13, verdict r12 #1) randomizes the s23 shape — ListState
+  * bounded top-k + ValueState counter, TimeMode.None, Update mode — and
+  * compares the per-key LAST monotone snapshot against a batch rank twin
+  * (no watermark threshold at all; event_ids are unique BIGINTs so the
+  * order is total).
   *
   * Determinism rules (same discipline as the batch fuzzer):
   *  - exact aggregates only (counts + BIGINT sums/min/max of key columns;
@@ -98,6 +104,11 @@ object StreamFuzz {
     * (family E). */
   private final case class EOuterBand(spanMs: Long, typeA: String,
                                       typeB: String, thin: Long) extends Emit
+  /** update-mode monotone snapshots (ListState top-k, family G): each
+    * emission carries a per-key strictly-increasing n_seen (col 1), so the
+    * LAST snapshot per key (col 0) equals the batch answer regardless of
+    * chunking — the sift keeps only that row per key, no threshold. */
+  private case object ELastSnapshot extends Emit
 
   /** One generated plan: how to build the streaming frame from the staged
     * event stream and the batch twin over the full events table; `emit`
@@ -171,6 +182,53 @@ object StreamFuzz {
     }
   }
 
+  /** Per-(key, batch) snapshot emitted by [[FzTopKProcessor]]: the key's
+    * current top-k event_ids (slots beyond k stay null) plus the
+    * cumulative row count — n_seen increases strictly between a key's
+    * emissions, so its max-n_seen row is the final state under ANY
+    * chunking (the s23 monotone-snapshot argument).
+    */
+  final case class FzTopK(k: Long, n_seen: Long,
+      v1: java.lang.Long, v2: java.lang.Long, v3: java.lang.Long,
+      v4: java.lang.Long)
+
+  /** Randomized-k clone of the s23 mechanism (EventStreams.TopKProcessor):
+    * per-key bounded top-k of event_id on the state-v2 LIST state plus a
+    * ValueState cumulative counter, TimeMode.None / Update mode, no
+    * watermark (the aggregate is monotone — inserting a row never
+    * invalidates a previous snapshot's correctness for its prefix). State
+    * per key is EXACTLY k entries: read, merge a batch's rows, rewrite —
+    * O(k + batch rows per key), the bounded-collection discipline the
+    * trigger-regime gate measures and this family fuzzes against a batch
+    * rank twin. event_ids are globally unique BIGINTs, so the order is
+    * total and ties cannot exist (the determinism rule: never a double).
+    */
+  final class FzTopKProcessor(k: Int)
+      extends StatefulProcessor[Long, FzEvent, FzTopK] {
+    @transient private var best: ListState[Long] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      best = getHandle.getListState[Long](
+        "best", Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
+                                 timerValues: TimerValues): Iterator[FzTopK] = {
+      val incoming = rows.map(_.event_id).toArray
+      if (incoming.isEmpty) return Iterator.empty
+      val merged = (best.get().toArray ++ incoming).sortBy(-_).take(k)
+      best.put(merged)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      def at(i: Int): java.lang.Long =
+        if (i < merged.length) java.lang.Long.valueOf(merged(i)) else null
+      Iterator.single(FzTopK(key, n, at(0), at(1), at(2), at(3)))
+    }
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def gen(rng: Random, i: Int): Plan = {
@@ -183,9 +241,11 @@ object StreamFuzz {
       case 1 => Seq((col("user_id") % m).as("ub"))
       case _ => Seq(col("event_type"), (col("user_id") % m).as("ub"))
     }
-    // first four plans pinned to the two NEW mechanism classes so every
-    // gate run samples them; beyond that, uniform over all families
-    val fam = if (i < 4) Seq(10, 11, 12, 13)(i) else rng.nextInt(14)
+    // first five plans pinned to the r12/r13 mechanism classes (join
+    // inner/outer, transformWithState MapState, MapState+restart,
+    // ListState top-k) so every gate run samples them; beyond that,
+    // uniform over all seven families
+    val fam = if (i < 5) Seq(10, 11, 12, 13, 14)(i) else rng.nextInt(16)
     if (fam < 4) {
       // A: tumbling/hopping windowed aggregation, append mode
       val w = Seq(30, 60, 90, 240)(rng.nextInt(4))
@@ -299,7 +359,7 @@ object StreamFuzz {
         df => joined(df, wm = false),
         chunks, restart,
         if (outer) EOuterBand(spanMin * 60000L, ta, tb, thin) else EExact)
-    } else {
+    } else if (fam < 14) {
       // F: transformWithState MapState tumbling windows with
       // creation-armed event-time timers (fam 13 forces a mid-stream
       // checkpoint restart — timers and map entries must ride the
@@ -332,6 +392,43 @@ object StreamFuzz {
            s"chunks=$chunks restart=$restart",
         delay, streamF, twinF, chunks, restart, EWindowMs(windowMs),
         provider = Some(rocksProvider))
+    } else {
+      // G: transformWithState ListState bounded top-k + ValueState counter
+      // (the s23 mechanism class, verdict r12 #1), TimeMode.None / Update
+      // mode — no watermark, no timers; the monotone-snapshot comparison
+      // (ELastSnapshot) needs no threshold at all. fam 15 forces a
+      // mid-stream restart: the list contents and the counter must ride
+      // the checkpoint and keep refining afterwards.
+      val kTop = 2 + rng.nextInt(3) // top-2..top-4 (4 output slots)
+      val bucket = if (rng.nextBoolean()) 0 else m
+      val restart =
+        if (fam == 15 || rng.nextInt(3) == 0) 1 + rng.nextInt(chunks - 1) else 0
+      def streamG(df: DataFrame): DataFrame = {
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.select(col("user_id"), col("event_id"), col("ts"))
+          .as[FzEvent]
+          .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
+          .transformWithState(new FzTopKProcessor(kTop),
+            TimeMode.None(), OutputMode.Update())
+          .toDF()
+      }
+      def twinG(df: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val kcol = if (bucket == 0) col("user_id") else col("user_id") % bucket
+        val ranked = df.select(kcol.as("k"), col("event_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("event_id").desc)))
+        val slots = (1 to 4).map { j =>
+          (if (j <= kTop) max(when(col("rk") === j, col("event_id")))
+           else lit(null).cast("long")).as(s"v$j")
+        }
+        ranked.groupBy(col("k")).agg(count(lit(1)).as("n_seen"), slots: _*)
+      }
+      Plan(s"p$i tws-liststate-topk k=$kTop bucket=$bucket " +
+           s"chunks=$chunks restart=$restart",
+        delay, streamG, twinG, chunks, restart, ELastSnapshot,
+        provider = Some(rocksProvider))
     }
   }
 
@@ -347,6 +444,11 @@ object StreamFuzz {
     val stage = QueriesStreaming.stagedDir(s, dir, plan.chunks)
     val schema = s.read.parquet(stage.toString).schema
     val complete = plan.emit == EComplete
+    val mode = plan.emit match {
+      case EComplete => "complete"
+      case ELastSnapshot => "update" // monotone snapshots refine per batch
+      case _ => "append"
+    }
     val collected = mutable.LinkedHashMap.empty[Long, Array[Row]]
     def run(src: String, cp: String): Unit = {
       // watermarks require TIMESTAMP, the fixture ships TIMESTAMP_NTZ —
@@ -357,7 +459,7 @@ object StreamFuzz {
         .withColumn("ts", col("ts").cast("timestamp"))
       val out = plan.stream(ev)
       val q = out.writeStream
-        .outputMode(if (complete) "complete" else "append")
+        .outputMode(mode)
         .option("checkpointLocation", cp)
         .foreachBatch { (df: DataFrame, id: Long) =>
           val rows = df.collect()
@@ -371,9 +473,12 @@ object StreamFuzz {
         .map(_.toLong).getOrElse(600000L)), s"stream did not finish: ${plan.desc}")
       finally q.stop()
     }
+    // capture-and-restore with unset (not a hardcoded default literal):
+    // if the key was never set, pinning today's default would drift
+    // silently if Spark's default provider ever changes (r12 ADVICE; the
+    // same discipline as StreamTriggerRegime.withConf)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val provPrev = s.conf.get(provKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val provPrev = s.conf.getOption(provKey)
     plan.provider.foreach(p => s.conf.set(provKey, p))
     val cp = java.nio.file.Files.createTempDirectory("graft_fuzz_cp_")
     try {
@@ -403,7 +508,10 @@ object StreamFuzz {
       collected.synchronized(collected.values.flatten.toSeq)
     } finally {
       graft.util.Fs.deleteRecursively(cp)
-      if (plan.provider.isDefined) s.conf.set(provKey, provPrev)
+      if (plan.provider.isDefined) provPrev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
     }
   }
 
@@ -426,9 +534,17 @@ object StreamFuzz {
     * is why only the session family tripped. That hazard is now pinned by
     * SessionWindowGuardSpec and guarded at analysis time by
     * plans.SessionWindowEndFilterGuard (r12).
+    *
+    * Returns None when the plan's comparison is undefined on this fixture:
+    * an outer-join side left EMPTY by the event_id thinning would make
+    * wm_final track only the surviving side (or NPE with both empty),
+    * overstating the cutoff vs the stream's genuinely stalled watermark —
+    * a spurious FAIL, not a defect (r12 ADVICE). The caller SKIPs such
+    * plans; on the real sf0.01/10× fixtures every type has rows at every
+    * thinning, so skips only ever fire on degenerate inputs.
     */
   private def runTwin(s: SparkSession, dir: String, plan: Plan)
-      : (Seq[Seq[String]], Seq[Row] => Seq[Row]) = {
+      : Option[(Seq[Seq[String]], Seq[Row] => Seq[Row])] = {
     val events = Tables.load(s, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
     val full = plan.twin(events)
@@ -437,7 +553,14 @@ object StreamFuzz {
       events.agg(max(unix_micros(col("ts")))).first().getLong(0)
     plan.emit match {
       case EComplete | EExact =>
-        (Seq(rowSet(full.collect().toIndexedSeq)), keep)
+        Some((Seq(rowSet(full.collect().toIndexedSeq)), keep))
+      case ELastSnapshot =>
+        // per key (col 0), keep the stream's max-n_seen (col 1) snapshot —
+        // n_seen is strictly increasing per key, so that row IS the final
+        // state; the twin is the exact batch answer, no threshold
+        val lastPerKey: Seq[Row] => Seq[Row] = rows =>
+          rows.groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(1))).toSeq
+        Some((Seq(rowSet(full.collect().toIndexedSeq)), lastPerKey))
       case EWindowStruct =>
         val thresholdUs = (globalMaxUs / 1000L - plan.delayMin * 60000L) * 1000L
         // grouping puts the window/session struct first; end µs from the
@@ -447,30 +570,36 @@ object StreamFuzz {
           java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
         }
         val all = full.collect().toIndexedSeq
-        (Seq(rowSet(all.filter(r => endUs(r) <= thresholdUs)),
-          rowSet(all.filter(r => endUs(r) < thresholdUs))), keep)
+        Some((Seq(rowSet(all.filter(r => endUs(r) <= thresholdUs)),
+          rowSet(all.filter(r => endUs(r) < thresholdUs))), keep))
       case EWindowMs(w) =>
         // timers fire when the watermark passes the window end; w_start is
         // column 1 (epoch ms) in both the processor output and the twin
         val thresholdMs = globalMaxUs / 1000L - plan.delayMin * 60000L
         val all = full.collect().toIndexedSeq
-        (Seq(rowSet(all.filter(r => r.getLong(1) + w <= thresholdMs)),
-          rowSet(all.filter(r => r.getLong(1) + w < thresholdMs))), keep)
+        Some((Seq(rowSet(all.filter(r => r.getLong(1) + w <= thresholdMs)),
+          rowSet(all.filter(r => r.getLong(1) + w < thresholdMs))), keep))
       case EOuterBand(spanMs, ta, tb, thin) =>
         // wm_final from the MIN over the two sides' own max event times
         // (each side's watermark tracks only its own — THINNED — rows);
         // null rows are deterministic only at or below wm_final − span,
         // so BOTH the twin and the stream emissions are cut there
-        // (matched rows kept unconditionally — those are exact)
-        val sideMaxUs = events
+        // (matched rows kept unconditionally — those are exact). BOTH
+        // sides must survive the thinning or the band is undefined —
+        // exactly two per-side max rows, else skip (r12 ADVICE).
+        val sideMax = events
           .filter(col("event_type").isin(ta, tb) && col("event_id") % thin === 0)
           .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("mx"))
-          .agg(min(col("mx"))).first().getLong(0)
-        val cutoffUs =
-          (sideMaxUs / 1000L - plan.delayMin * 60000L - spanMs) * 1000L
-        def keepRow(r: Row): Boolean = !r.isNullAt(2) || r.getLong(0) <= cutoffUs
-        val all = full.collect().toIndexedSeq
-        (Seq(rowSet(all.filter(keepRow))), rows => rows.filter(keepRow))
+          .collect()
+        if (sideMax.length != 2) None
+        else {
+          val sideMaxUs = sideMax.map(_.getLong(1)).min
+          val cutoffUs =
+            (sideMaxUs / 1000L - plan.delayMin * 60000L - spanMs) * 1000L
+          def keepRow(r: Row): Boolean = !r.isNullAt(2) || r.getLong(0) <= cutoffUs
+          val all = full.collect().toIndexedSeq
+          Some((Seq(rowSet(all.filter(keepRow))), rows => rows.filter(keepRow)))
+        }
     }
   }
 
@@ -494,16 +623,23 @@ object StreamFuzz {
     var failed = 0
     (0 until n).foreach { i =>
       val plan = gen(rng, i)
-      val (want, sift) = runTwin(spark, dir, plan)
-      val got = rowSet(sift(runStream(spark, dir, plan)))
-      if (want.exists(_ == got)) println(s"[streamfuzz] PASS ${plan.desc} (${got.size} rows)")
-      else {
-        failed += 1
-        val w = want.head
-        println(s"[streamfuzz] FAIL ${plan.desc}: stream=${got.size} rows, " +
-          s"twin=${w.size} rows")
-        (got.toSet -- w.toSet).take(3).foreach(r => println(s"  stream-only: $r"))
-        (w.toSet -- got.toSet).take(3).foreach(r => println(s"  twin-only:   $r"))
+      runTwin(spark, dir, plan) match {
+        case None =>
+          // outer-band comparison undefined on this fixture (a join side
+          // empty after thinning) — a fixture-shape skip, not a failure
+          println(s"[streamfuzz] SKIP ${plan.desc}: join side empty after " +
+            "thinning, outer band undefined")
+        case Some((want, sift)) =>
+          val got = rowSet(sift(runStream(spark, dir, plan)))
+          if (want.exists(_ == got)) println(s"[streamfuzz] PASS ${plan.desc} (${got.size} rows)")
+          else {
+            failed += 1
+            val w = want.head
+            println(s"[streamfuzz] FAIL ${plan.desc}: stream=${got.size} rows, " +
+              s"twin=${w.size} rows")
+            (got.toSet -- w.toSet).take(3).foreach(r => println(s"  stream-only: $r"))
+            (w.toSet -- got.toSet).take(3).foreach(r => println(s"  twin-only:   $r"))
+          }
       }
     }
     println(s"[streamfuzz] ${n - failed}/$n plans pass (seed $seed, $dir)")

@@ -27,12 +27,18 @@ run python3 tools/red_team_decsum.py
 # freshness = the done-marker make_scale_fixture.py writes LAST, not the
 # presence of one parquet (a build that crashed between documents and
 # embeddings would otherwise pass the check and fail the gate confusingly).
-# The marker also records the generator's TRANSFORM_VERSION: a fixture
-# built by an older generator (e.g. pre-r12 aliased embeddings, or the
-# DuckDB-version-dependent sign bits) silently fails the vintage match
-# and rebuilds instead of running the gates against stale bytes
-# (ADVICE r11). Keep the literal in sync with make_scale_fixture.py.
+# The marker also records the generator's TRANSFORM_VERSION — PER MODE
+# since r13 (r12 ADVICE): a fixture built by an older generator of a
+# transform its mode actually applies silently fails the vintage match and
+# rebuilds instead of running the gates against stale bytes (ADVICE r11),
+# while a bump that cannot reach the mode's bytes (r12a touched only the
+# embeddings sign derivation, which --docs-only copies unchanged) does NOT
+# force a multi-hour rebuild of byte-identical output. Keep the literals
+# in sync with make_scale_fixture.py TRANSFORM_VERSIONS. The docs pattern
+# also accepts the legacy full-format r12a marker: markers written by the
+# r12 generator predate per-mode tokens and their docs bytes are identical.
 fixture_vintage="transform=r12a"
+docs_vintage="transform=(r11a|r12a)"
 if ! grep -qs "$fixture_vintage" /tmp/graft_sf1/_SUCCESS; then
   run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
 fi
@@ -58,15 +64,16 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   run python3 tools/fuzz_oracle.py /root/testdata/sf0.01 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
   run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
   # streaming differential fuzzer (verdict r10 #4; r12 added stream-stream
-  # joins and transformWithState processors per verdict r11 #1):
-  # randomized stateful micro-batch topologies (window/session/dedup-chain/
-  # join/custom-processor/restart × watermark × key) vs batch-replay twins
-  # — the s-family's grammar coverage. The first 4 plans of every run are
-  # pinned to the two r12 families (join inner/outer, transformWithState,
-  # transformWithState+restart), so 10 plans/run keeps ≥6 draws for the
-  # original families. Two seeds × two scales per gate run (seed and
-  # seed+1, crossed over scales so a week covers all four cells across the
-  # two standing invocations).
+  # joins and transformWithState processors per verdict r11 #1; r13 added
+  # ListState top-k per verdict r12 #1): randomized stateful micro-batch
+  # topologies (window/session/dedup-chain/join/custom-processor/
+  # liststate-topk/restart × watermark × key) vs batch-replay twins — the
+  # s-family's grammar coverage. The first 5 plans of every run are pinned
+  # to the r12/r13 families (join inner/outer, transformWithState,
+  # transformWithState+restart, ListState top-k), so 10 plans/run keeps ≥5
+  # draws for the original families. Two seeds × two scales per gate run
+  # (seed and seed+1, crossed over scales so a week covers all four cells
+  # across the two standing invocations).
   sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
   run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 10 $sfz_seed"
   run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 10 $((sfz_seed + 1))"
@@ -78,7 +85,7 @@ fi
 # closure can't reach at that scale. ~15 min Spark + ~12 min DuckDB (the
 # p72 contamination replay dominates); off by default, on for round close.
 if [ "${GRAFT_CC_SAMPLE:-0}" = 1 ]; then
-  if ! grep -qs "$fixture_vintage" /tmp/graft_sf100docs/_SUCCESS; then
+  if ! grep -qsE "$docs_vintage" /tmp/graft_sf100docs/_SUCCESS; then
     run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf100docs 100 --docs-only
   fi
   # the sample seed rotates with the same weekly default as the fuzz seed
@@ -87,7 +94,9 @@ if [ "${GRAFT_CC_SAMPLE:-0}" = 1 ]; then
 fi
 
 # GRAFT_TRIGGER_REGIME=1 adds the many-trigger regime gate (verdict r11
-# #2): the state-heaviest mechanisms replayed over the 10x events fixture
+# #2; r13 widened it to all nine stateful mechanisms the registry ships,
+# adding ValueState sessions / initial-state bootstrap / ListState top-k
+# per verdict r12 #1): replayed over the 10x events fixture
 # in ~64 time-sliced micro-batches with per-trigger metrics captured, then
 # a trend check that FAILS if per-trigger wall or RocksDB iterator bytes
 # grow with trigger index — the O(state)-per-trigger class (r11's s18

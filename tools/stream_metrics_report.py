@@ -6,8 +6,9 @@ the MAX state rows / state bytes any trigger held (the number that decides
 whether "watermark-bounded by design" is actually bounded at the measured
 scale; q91's quadratic window was invisible to every row-level gate).
 
---check (verdict r11 #2, the many-trigger regime gate): instead of the
-summary, TREND per-trigger cost across the run and fail on the
+--check (verdict r11 #2, the many-trigger regime gate; r13 widened the
+gate main to all nine stateful mechanisms the registry ships): instead of
+the summary, TREND per-trigger cost across the run and fail on the
 O(state)-per-trigger class — per-trigger work must be O(batch rows), so
 with equal-sized time-sliced chunks the trigger wall (and the RocksDB
 iterator read volume) must stay FLAT while total state grows with every
