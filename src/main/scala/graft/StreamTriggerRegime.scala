@@ -217,7 +217,11 @@ object StreamTriggerRegime {
     // a store that starts WARM (every seeded key holds a buffer + armed
     // timer from trigger 0). Streaming the full fixture instead would
     // front-load near-empty triggers and skew the trend baseline.
-    withConf(spark,
+    // The whole block (not just the drive) is gated on selection: the
+    // double staging + seed aggregation are the expensive part at the
+    // large events fixtures, and a TR_ONLY diagnostic subset must not
+    // pay them for a deselected topology.
+    if (selected("tr_s19_initial_state")) withConf(spark,
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
@@ -290,7 +294,9 @@ object StreamTriggerRegime {
 
     // s30 shape: dedup through a checkpoint, STOPPED mid-history and
     // resumed — per-trigger flatness must survive the state-store reload
-    withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
+    // (block gated on selection — the live-dir staging copies the whole
+    // staged fixture, which a TR_ONLY subset must not pay)
+    if (selected("tr_s30_resume")) withConf(spark, "spark.sql.shuffle.partitions" -> "8") {
       import java.nio.file.{Files, Paths}
       val root = Files.createTempDirectory("graft_trigreg_")
       try {
