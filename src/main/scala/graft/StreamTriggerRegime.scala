@@ -108,9 +108,22 @@ object StreamTriggerRegime {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.contains))
 
-    /** Run `out` to completion against a noop sink (metrics only). */
+    /** Run `out` to completion against a noop sink (metrics only). The
+      * query's OUTPUT MODE is recorded in a `.modes` sidecar next to the
+      * metrics capture, one JSON line per drive, written from this (main)
+      * thread only: the checker's complete-mode wall exemption keys on
+      * this record instead of a name substring, so a renamed topology
+      * can neither silently re-arm the check nor silently gain the
+      * exemption (verdict r12 "what's wrong" #3).
+      */
     def drive(name: String, out: DataFrame, mode: String,
               cp: Option[String] = None): Unit = if (selected(name)) {
+      locally {
+        val w = new java.io.BufferedWriter(new java.io.FileWriter(
+          sys.env("SPARK_GRAFT_STREAM_METRICS") + ".modes", true))
+        try { w.write(s"""{"name":"$name","outputMode":"$mode"}"""); w.newLine() }
+        finally w.close()
+      }
       val t0 = System.nanoTime()
       val w = out.writeStream.format("noop").queryName(name).outputMode(mode)
         .trigger(Trigger.AvailableNow())

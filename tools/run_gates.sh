@@ -106,7 +106,7 @@ if [ "${GRAFT_TRIGGER_REGIME:-0}" = 1 ]; then
     run python3 tools/make_scale_fixture.py /root/testdata/sf0.1 /tmp/graft_sf1 10
   fi
   tr_jsonl="${GRAFT_TRIGGER_REGIME_OUT:-/tmp/trigger_regime.jsonl}"
-  rm -f "$tr_jsonl"
+  rm -f "$tr_jsonl" "$tr_jsonl.modes"
   run env SPARK_GRAFT_STREAM_METRICS="$tr_jsonl" \
     sbt -batch "runMain graft.StreamTriggerRegime /tmp/graft_sf1 64"
   run python3 tools/stream_metrics_report.py "$tr_jsonl" --check
