@@ -27,15 +27,19 @@ import scala.util.Random
   * mechanism space what tools/fuzz_oracle.py's 19 grammar families do for
   * batch SQL: the 35 hand-written topologies pin specific shapes; the
   * fuzzer samples the combinatorial neighborhood around them every week.
-  * The first five plans of every run are pinned to the r12/r13 mechanism
-  * families (E-inner, E-outer, F, F-restart, G ListState-top-k) so every
-  * gate invocation exercises all the custom-state classes regardless of
-  * how the seed lands; later plans draw uniformly over all seven families.
-  * Family G (r13, verdict r12 #1) randomizes the s23 shape — ListState
-  * bounded top-k + ValueState counter, TimeMode.None, Update mode — and
-  * compares the per-key LAST monotone snapshot against a batch rank twin
-  * (no watermark threshold at all; event_ids are unique BIGINTs so the
-  * order is total).
+  * The first six plans of every run are pinned to the r12/r13 mechanism
+  * families (E-inner, E-outer, F, F-restart, G ListState-top-k,
+  * H ValueState-sessions) so every gate invocation exercises all the
+  * custom-state classes regardless of how the seed lands; later plans
+  * draw uniformly over all eight families. Family G (r13, verdict r12
+  * #1) randomizes the s23 shape — ListState bounded top-k + ValueState
+  * counter, TimeMode.None, Update mode — and compares the per-key LAST
+  * monotone snapshot against a batch rank twin (no watermark threshold
+  * at all; event_ids are unique BIGINTs so the order is total). Family H
+  * (r13) randomizes the s17 shape — ValueState gap-session buffers with
+  * one re-armed event-time timer per key — against the batch lag/cumsum
+  * sessionization twin, thresholding each key's LAST session by the
+  * timer-vs-final-watermark rule (both closures).
   *
   * Determinism rules (same discipline as the batch fuzzer):
   *  - exact aggregates only (counts + BIGINT sums/min/max of key columns;
@@ -109,6 +113,13 @@ object StreamFuzz {
     * LAST snapshot per key (col 0) equals the batch answer regardless of
     * chunking — the sift keeps only that row per key, no threshold. */
   private case object ELastSnapshot extends Emit
+  /** state-v2 ValueState gap-sessions (family H): non-last sessions per
+    * key are emitted by the merge itself (a successor event supersedes
+    * them), so they are exact; the key's LAST session is emitted only if
+    * its eviction timer (lastMs + gap) fired against the final watermark —
+    * both closures accepted, the same timer-boundary rule as EWindowMs.
+    * Twin rows are thresholded driver-side per key (col 2 = end ms). */
+  private final case class ESessionV2(gapMs: Long) extends Emit
 
   /** One generated plan: how to build the streaming frame from the staged
     * event stream and the batch twin over the full events table; `emit`
@@ -229,6 +240,70 @@ object StreamFuzz {
     }
   }
 
+  /** Per-key open-session buffer in [[FzSessionProcessor]]'s value state. */
+  final case class FzSess(startMs: Long, lastMs: Long, n: Long, se: Long)
+
+  /** One closed session emitted by [[FzSessionProcessor]] (epoch ms). */
+  final case class FzSessOut(k: Long, s: Long, e: Long, n: Long, se: Long)
+
+  /** Randomized-gap clone of the s17 mechanism
+    * (EventStreams.SessionProcessor): per-key gap-merged sessions in a
+    * single ValueState buffer with ONE re-armed event-time timer per key;
+    * sessions superseded within a batch emit from the merge, the open one
+    * emits from handleExpiredTimer when the watermark passes lastMs + gap.
+    * Aggregates are order-insensitive BIGINTs (count / sum of event_id —
+    * the determinism rule: never a double). Per-key batch work is
+    * O(batch rows + 1 carried buffer); `listTimers()` is scoped to the
+    * grouping key and holds at most one armed timer.
+    */
+  final class FzSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, FzEvent, FzSessOut] {
+    @transient private var open: ValueState[FzSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[FzSess](
+        "open", Encoders.product[FzSess], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
+                                 timerValues: TimerValues): Iterator[FzSessOut] = {
+      val built = mutable.ArrayBuffer.empty[FzSess]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        built.lastOption match {
+          case Some(b) if t - b.lastMs <= gapMs =>
+            built(built.length - 1) =
+              FzSess(b.startMs, math.max(b.lastMs, t), b.n + 1, b.se + e.event_id)
+          case _ => built += FzSess(t, t, 1, e.event_id)
+        }
+      }
+      val carried = if (open.exists()) Seq(open.get()) else Seq.empty
+      val merged = mutable.ArrayBuffer.empty[FzSess]
+      (carried ++ built).sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+        merged.lastOption match {
+          case Some(b) if s.startMs <= b.lastMs + gapMs =>
+            merged(merged.length - 1) = FzSess(
+              math.min(b.startMs, s.startMs), math.max(b.lastMs, s.lastMs),
+              b.n + s.n, b.se + s.se)
+          case _ => merged += s
+        }
+      }
+      open.update(merged.last)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(merged.last.lastMs + gapMs)
+      merged.init.iterator.map(s => FzSessOut(key, s.startMs, s.lastMs, s.n, s.se))
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FzSessOut] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(FzSessOut(key, s.startMs, s.lastMs, s.n, s.se))
+      }
+    }
+  }
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def gen(rng: Random, i: Int): Plan = {
@@ -241,11 +316,11 @@ object StreamFuzz {
       case 1 => Seq((col("user_id") % m).as("ub"))
       case _ => Seq(col("event_type"), (col("user_id") % m).as("ub"))
     }
-    // first five plans pinned to the r12/r13 mechanism classes (join
+    // first six plans pinned to the r12/r13 mechanism classes (join
     // inner/outer, transformWithState MapState, MapState+restart,
-    // ListState top-k) so every gate run samples them; beyond that,
-    // uniform over all seven families
-    val fam = if (i < 5) Seq(10, 11, 12, 13, 14)(i) else rng.nextInt(16)
+    // ListState top-k, ValueState sessions) so every gate run samples
+    // them; beyond that, uniform over all eight families
+    val fam = if (i < 6) Seq(10, 11, 12, 13, 14, 16)(i) else rng.nextInt(18)
     if (fam < 4) {
       // A: tumbling/hopping windowed aggregation, append mode
       val w = Seq(30, 60, 90, 240)(rng.nextInt(4))
@@ -392,7 +467,7 @@ object StreamFuzz {
            s"chunks=$chunks restart=$restart",
         delay, streamF, twinF, chunks, restart, EWindowMs(windowMs),
         provider = Some(rocksProvider))
-    } else {
+    } else if (fam < 16) {
       // G: transformWithState ListState bounded top-k + ValueState counter
       // (the s23 mechanism class, verdict r12 #1), TimeMode.None / Update
       // mode — no watermark, no timers; the monotone-snapshot comparison
@@ -428,6 +503,47 @@ object StreamFuzz {
       Plan(s"p$i tws-liststate-topk k=$kTop bucket=$bucket " +
            s"chunks=$chunks restart=$restart",
         delay, streamG, twinG, chunks, restart, ELastSnapshot,
+        provider = Some(rocksProvider))
+    } else {
+      // H: state-v2 ValueState gap-sessions with a re-armed event-time
+      // timer per key (the s17 mechanism class; fam 17 forces a
+      // mid-stream restart — the open buffer and the armed timer must
+      // ride the checkpoint). Twin = the batch lag/cumsum
+      // sessionization; each key's LAST session is thresholded by the
+      // timer-vs-final-watermark rule in ESessionV2.
+      val gapMin = Seq(20, 45, 90, 240)(rng.nextInt(4))
+      val gapMs = gapMin * 60000L
+      val bucket = if (rng.nextBoolean()) 0 else m
+      val restart =
+        if (fam == 17 || rng.nextInt(3) == 0) 1 + rng.nextInt(chunks - 1) else 0
+      def streamH(df: DataFrame): DataFrame = {
+        val sp = df.sparkSession
+        import sp.implicits._
+        df.withWatermark("ts", s"$delay minutes")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .as[FzEvent]
+          .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
+          .transformWithState(new FzSessionProcessor(gapMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+      }
+      def twinH(df: DataFrame): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val kcol = if (bucket == 0) col("user_id") else col("user_id") % bucket
+        val w = Window.partitionBy(col("k")).orderBy(col("ms"))
+        df.select(kcol.as("k"), unix_millis(col("ts")).as("ms"), col("event_id"))
+          .withColumn("new_s", when(lag(col("ms"), 1).over(w).isNull
+            || col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("k"), col("sid"))
+          .agg(min(col("ms")).as("s"), max(col("ms")).as("e"),
+            count(lit(1)).as("n"), sum(col("event_id")).as("se"))
+          .select(col("k"), col("s"), col("e"), col("n"), col("se"))
+      }
+      Plan(s"p$i tws-valuestate-sessions gap=${gapMin}m bucket=$bucket " +
+           s"delay=${delay}m chunks=$chunks restart=$restart",
+        delay, streamH, twinH, chunks, restart, ESessionV2(gapMs),
         provider = Some(rocksProvider))
     }
   }
@@ -561,6 +677,20 @@ object StreamFuzz {
         val lastPerKey: Seq[Row] => Seq[Row] = rows =>
           rows.groupBy(_.getLong(0)).values.map(_.maxBy(_.getLong(1))).toSeq
         Some((Seq(rowSet(full.collect().toIndexedSeq)), lastPerKey))
+      case ESessionV2(g) =>
+        // every non-last session per key is emitted by the merge itself
+        // (range-staged chunks arrive in event-time order, so any session
+        // with a successor event is superseded and flushed); the key's
+        // LAST session (max end ms, col 2) emits only if its timer
+        // lastMs + gap cleared the final watermark — both closures
+        val thresholdMs = globalMaxUs / 1000L - plan.delayMin * 60000L
+        val all = full.collect().toIndexedSeq
+        val lastEnd: Map[Long, Long] = all.groupBy(_.getLong(0))
+          .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+        def keepW(cmp: (Long, Long) => Boolean)(r: Row): Boolean =
+          r.getLong(2) < lastEnd(r.getLong(0)) || cmp(r.getLong(2) + g, thresholdMs)
+        Some((Seq(rowSet(all.filter(keepW(_ <= _))),
+          rowSet(all.filter(keepW(_ < _)))), keep))
       case EWindowStruct =>
         val thresholdUs = (globalMaxUs / 1000L - plan.delayMin * 60000L) * 1000L
         // grouping puts the window/session struct first; end µs from the
