@@ -68,15 +68,15 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   # ListState top-k per verdict r12 #1): randomized stateful micro-batch
   # topologies (window/session/dedup-chain/join/custom-processor/
   # liststate-topk/restart × watermark × key) vs batch-replay twins — the
-  # s-family's grammar coverage. The first 5 plans of every run are pinned
+  # s-family's grammar coverage. The first 6 plans of every run are pinned
   # to the r12/r13 families (join inner/outer, transformWithState,
-  # transformWithState+restart, ListState top-k), so 10 plans/run keeps ≥5
-  # draws for the original families. Two seeds × two scales per gate run
-  # (seed and seed+1, crossed over scales so a week covers all four cells
-  # across the two standing invocations).
+  # transformWithState+restart, ListState top-k, ValueState sessions), so
+  # 12 plans/run keeps ≥6 draws for the original families. Two seeds × two
+  # scales per gate run (seed and seed+1, crossed over scales so a week
+  # covers all four cells across the two standing invocations).
   sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
-  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 10 $sfz_seed"
-  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 10 $((sfz_seed + 1))"
+  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 12 $sfz_seed"
+  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 12 $((sfz_seed + 1))"
 fi
 
 # GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
