@@ -623,6 +623,11 @@ object StreamFuzz {
       }
       collected.synchronized(collected.values.flatten.toSeq)
     } finally {
+      // stop state-store maintenance and close providers BEFORE deleting
+      // the checkpoint dir — same post-stop compaction race as the
+      // trigger-regime gate (verdict r13 #3)
+      org.apache.spark.sql.execution.streaming.state
+        .GraftStateStoreHygiene.quiesce()
       graft.util.Fs.deleteRecursively(cp)
       if (plan.provider.isDefined) provPrev match {
         case Some(v) => s.conf.set(provKey, v)

@@ -18,4 +18,17 @@ package org.apache.spark.sql.execution.streaming.state
 object GraftStateStoreHygiene {
   /** Close and forget every loaded state store provider in this JVM. */
   def unloadAll(): Unit = StateStore.unloadAll()
+
+  /** Full quiesce: stop the shared maintenance task, then close and
+    * forget every loaded provider. Gate mains call this after a query
+    * stops and BEFORE deleting its temp checkpoint dir: a RocksDB
+    * background compaction/snapshot-upload still in flight when the dir
+    * vanishes logs a post-stop IO error that is benign there but could
+    * mask a REAL state-store IO failure behind the now-expected pattern
+    * (SCALING.md r13 "benign teardown artifact"; verdict r13 #3).
+    * Provider close joins RocksDB's native background work, and Spark
+    * restarts the maintenance task lazily on the next store load, so
+    * this is safe — and cheap — between queries in a single-JVM gate.
+    */
+  def quiesce(): Unit = StateStore.stop()
 }

@@ -79,6 +79,23 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 12 $((sfz_seed + 1))"
 fi
 
+# Scaling-slope contrast rule (verdict r12 #4, automated r13, WIRED into
+# the standing path r14 per verdict r13 #6): whenever a 1x/Nx bench pair
+# for the p02/p21 subset exists at the canonical paths (the spot-
+# measurement recipe writes them there; override via GRAFT_SLOPE_1X /
+# GRAFT_SLOPE_NX / GRAFT_SLOPE_N), the capped-control reopen rule runs as
+# a GATE: exit 2 (rule FIRED - kernel-origin growth) and exit 3 (control
+# missing from the pair - the measurement forgot its control) both fail.
+# No pair staged -> stage skipped (most gate runs measure no new slopes).
+slope_1x="${GRAFT_SLOPE_1X:-/tmp/slope_1x.json}"
+slope_nx="${GRAFT_SLOPE_NX:-/tmp/slope_Nx.json}"
+if [ -f "$slope_1x" ] && [ -f "$slope_nx" ]; then
+  run python3 tools/slope_report.py "$slope_1x" "$slope_nx" \
+    "${GRAFT_SLOPE_N:-10}" --contrast
+else
+  echo "slope contrast: no staged bench pair ($slope_1x / $slope_nx) - skipped"
+fi
+
 # GRAFT_CC_SAMPLE=1 adds the 100x connected-components sampled oracle
 # (check_cc_sample.py): sampled exact labels + label-substituted derived
 # oracles at the docs-only 100x fixture — the one family the full DuckDB

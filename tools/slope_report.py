@@ -46,7 +46,17 @@ def main():
     contrast_pair = None
     if "--contrast" in argv:
         i = argv.index("--contrast")
+        # The optional UNCAPPED:CAPPED value must be exactly two ':'-joined
+        # entry names. Positional args here are bench-JSON paths or the
+        # scale factor N — neither contains ':' — so a following arg WITH a
+        # colon is unambiguously the pair; validate its shape explicitly
+        # instead of inferring well-formedness from the substring (a
+        # malformed 'a:b:c' used to traceback past the designed exit codes).
         nxt = argv[i + 1] if i + 1 < len(argv) and ":" in argv[i + 1] else None
+        if nxt is not None and len(nxt.split(":")) != 2:
+            raise SystemExit(
+                f"--contrast value must be UNCAPPED:CAPPED (one colon), got "
+                f"{nxt!r} - e.g. {DEFAULT_PAIR}")
         contrast_pair = nxt or DEFAULT_PAIR
         argv = [a for j, a in enumerate(argv)
                 if j != i and not (nxt and j == i + 1)]

@@ -25,8 +25,10 @@ the trigger-regime main writes (one {"name","outputMode"} line per
 drive) when present — a renamed topology can neither silently re-arm the
 check nor silently gain the exemption (r12 verdict) — and falls back to
 the legacy "complete" name substring when the sidecar is absent (older
-captures). Queries with <12 data triggers are skipped (no trend to fit)
-and reported as such.
+captures); a PRESENT sidecar missing a driven query name means capture
+and sidecar are from different runs, which warns loudly before the same
+fallback (r13 ADVICE). Queries with <12 data triggers are skipped (no
+trend to fit) and reported as such.
 
 Usage: python3 tools/stream_metrics_report.py <metrics.jsonl> [--md|--check]
 Queries are attributed by the `sNN` prefix of their queryName (all
@@ -62,6 +64,15 @@ if check:
     def is_complete(name):
         if name in modes:
             return modes[name] == "complete"
+        if modes:
+            # a PRESENT sidecar is supposed to cover every driven query
+            # (the main truncates it at start and appends one line per
+            # drive) — a missing name means the capture and sidecar are
+            # from different runs; say so instead of silently reverting to
+            # the legacy substring rule (r13 ADVICE)
+            print(f"WARNING: {name} absent from {path}.modes - sidecar and "
+                  "capture look mismatched; falling back to the legacy "
+                  "'complete'-substring rule for this query")
         return "complete" in name  # legacy captures without a sidecar
 
     per = defaultdict(list)  # name -> [(batchId, trig_ms, iter_bytes)]
