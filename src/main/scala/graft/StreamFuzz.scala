@@ -2,10 +2,12 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, KeyValueGroupedDataset, Row,
+  SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger,
+  OutputMode, StatefulProcessor, StatefulProcessorHandle,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, Trigger,
   ValueState}
 
 import scala.collection.mutable
@@ -27,19 +29,29 @@ import scala.util.Random
   * mechanism space what tools/fuzz_oracle.py's 19 grammar families do for
   * batch SQL: the 35 hand-written topologies pin specific shapes; the
   * fuzzer samples the combinatorial neighborhood around them every week.
-  * The first six plans of every run are pinned to the r12/r13 mechanism
-  * families (E-inner, E-outer, F, F-restart, G ListState-top-k,
-  * H ValueState-sessions) so every gate invocation exercises all the
-  * custom-state classes regardless of how the seed lands; later plans
-  * draw uniformly over all eight families. Family G (r13, verdict r12
-  * #1) randomizes the s23 shape — ListState bounded top-k + ValueState
-  * counter, TimeMode.None, Update mode — and compares the per-key LAST
-  * monotone snapshot against a batch rank twin (no watermark threshold
-  * at all; event_ids are unique BIGINTs so the order is total). Family H
-  * (r13) randomizes the s17 shape — ValueState gap-session buffers with
-  * one re-armed event-time timer per key — against the batch lag/cumsum
-  * sessionization twin, thresholding each key's LAST session by the
-  * timer-vs-final-watermark rule (both closures).
+  * The first seven plans of every run are pinned to the r12/r13/r14
+  * mechanism families (E-inner, E-outer, F, F-restart, G ListState-top-k,
+  * H ValueState-sessions, I seeded-bootstrap) so every gate invocation
+  * exercises all the custom-state classes regardless of how the seed
+  * lands; later plans draw uniformly over all nine families. Family G
+  * (r13, verdict r12 #1) randomizes the s23 shape — ListState bounded
+  * top-k + ValueState counter, TimeMode.None, Update mode — and compares
+  * the per-key LAST monotone snapshot against a batch rank twin (no
+  * watermark threshold at all; event_ids are unique BIGINTs so the order
+  * is total). Family H (r13) randomizes the s17 shape — ValueState
+  * gap-session buffers with one re-armed event-time timer per key —
+  * against the batch lag/cumsum sessionization twin, thresholding each
+  * key's LAST session by the timer-vs-final-watermark rule (both
+  * closures). Family I (r14, verdict r13 #1) randomizes the s19 shape —
+  * `StatefulProcessorWithInitialState` bootstrap: a random cut splits the
+  * staged chunks, the pre-cut half is batch-sessionized into seeds (open
+  * sessions become initial state, closed ones join the comparison
+  * driver-side), an optional churn drops a user subset's post-cut events
+  * from stream AND twin so the seed-timer eviction path has occupancy,
+  * and the post-cut stream must reproduce the FULL-history twin. Three
+  * deliberate seam mutations (SPARK_GRAFT_FUZZ_MUTATE = seed_halfgap /
+  * seed_double_emit / seed_no_timer) are wired for kill-evidence runs;
+  * family I fails under each (SCALING.md r14).
   *
   * Determinism rules (same discipline as the batch fuzzer):
   *  - exact aggregates only (counts + BIGINT sums/min/max of key columns;
@@ -113,24 +125,56 @@ object StreamFuzz {
     * LAST snapshot per key (col 0) equals the batch answer regardless of
     * chunking — the sift keeps only that row per key, no threshold. */
   private case object ELastSnapshot extends Emit
-  /** state-v2 ValueState gap-sessions (family H): non-last sessions per
-    * key are emitted by the merge itself (a successor event supersedes
-    * them), so they are exact; the key's LAST session is emitted only if
-    * its eviction timer (lastMs + gap) fired against the final watermark —
-    * both closures accepted, the same timer-boundary rule as EWindowMs.
-    * Twin rows are thresholded driver-side per key (col 2 = end ms). */
+  /** state-v2 ValueState gap-sessions (families H and I): non-last
+    * sessions per key are emitted by the merge itself (a successor event
+    * supersedes them), so they are exact; the key's LAST session is
+    * emitted only if its eviction timer (lastMs + gap) fired against the
+    * final watermark — both closures accepted, the same timer-boundary
+    * rule as EWindowMs. Twin rows are thresholded driver-side per key
+    * (col 2 = end ms). For family I, runStream unions the batch-closed
+    * pre-cut seed sessions into the stream's emissions before the
+    * comparison (they are exact by construction — Boot's scaladoc). */
   private final case class ESessionV2(gapMs: Long) extends Emit
+
+  /** Family I bootstrap spec: stage `Plan.chunks` time-slices, split the
+    * (name-sorted = time-sorted) file list at `cutIdx`, compute per-key
+    * gap-sessions over the pre-cut half with the batch lag/cumsum plan,
+    * seed the stream's initial state with the sessions still OPEN at the
+    * cut (`ems + gap >= cut` — only the LAST session per key can qualify,
+    * since every earlier one has a pre-cut successor event more than a
+    * gap away), collect the CLOSED ones driver-side (exact by
+    * construction: no post-cut event can be within a gap of a session
+    * that closed before `cut - gap`), and stream ONLY the post-cut files.
+    * `stream` builds the seeded topology once runStream has computed the
+    * seeds; for boot plans `Plan.stream` is unused.
+    *
+    * `thinMod > 0` adds CHURN: post-cut events of users with
+    * `user_id % thinMod == 0` are dropped from the stream input AND from
+    * the twin (consistently, so the comparison is still exact). Without
+    * churn these fixtures give every key post-cut input, whose first
+    * merge deletes and re-arms the seed's timer — the timer-EVICTION
+    * path of seeded state (a key bootstrapped open that never returns)
+    * would have zero occupancy and a forgotten/mis-armed seed timer
+    * would be invisible. Churned users' seeds can only ever emit through
+    * their seed-armed timer, which is exactly the path mutation M3
+    * removes.
+    */
+  private final case class Boot(cutIdx: Int, gapMs: Long, bucket: Int,
+      thinMod: Int,
+      stream: (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame)
 
   /** One generated plan: how to build the streaming frame from the staged
     * event stream and the batch twin over the full events table; `emit`
-    * says how the two are compared (see the Emit cases).
+    * says how the two are compared (see the Emit cases). `boot` marks a
+    * family-I initial-state plan (see [[Boot]]).
     */
   private case class Plan(desc: String, delayMin: Int,
                           stream: DataFrame => DataFrame,
                           twin: DataFrame => DataFrame,
                           chunks: Int, restartAt: Int,
                           emit: Emit,
-                          provider: Option[String] = None)
+                          provider: Option[String] = None,
+                          boot: Option[Boot] = None)
 
   private val rocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -256,16 +300,14 @@ object StreamFuzz {
     * O(batch rows + 1 carried buffer); `listTimers()` is scoped to the
     * grouping key and holds at most one armed timer.
     */
-  final class FzSessionProcessor(gapMs: Long)
-      extends StatefulProcessor[Long, FzEvent, FzSessOut] {
-    @transient private var open: ValueState[FzSess] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[FzSess](
-        "open", Encoders.product[FzSess], TTLConfig.NONE)
-
-    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
-                                 timerValues: TimerValues): Iterator[FzSessOut] = {
+  /** Per-batch merge + timer expiry shared by [[FzSessionProcessor]] and
+    * [[FzSessionProcessorSeeded]] — identical semantics, only the seeding
+    * lifecycle differs between the two classes (the same split as
+    * EventStreams.SessionProcessor vs SessionProcessorSeeded).
+    */
+  private object FzSessOps {
+    def mergeBatch(key: Long, open: ValueState[FzSess], rows: Iterator[FzEvent],
+                   gapMs: Long, handle: StatefulProcessorHandle): Iterator[FzSessOut] = {
       val built = mutable.ArrayBuffer.empty[FzSess]
       rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
@@ -288,23 +330,100 @@ object StreamFuzz {
         }
       }
       open.update(merged.last)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(merged.last.lastMs + gapMs)
+      handle.listTimers().foreach(handle.deleteTimer)
+      handle.registerTimer(merged.last.lastMs + gapMs)
       merged.init.iterator.map(s => FzSessOut(key, s.startMs, s.lastMs, s.n, s.se))
     }
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FzSessOut] = {
+    def expire(key: Long, open: ValueState[FzSess]): Iterator[FzSessOut] =
       if (!open.exists()) Iterator.empty
       else {
         val s = open.get()
         open.clear()
         Iterator.single(FzSessOut(key, s.startMs, s.lastMs, s.n, s.se))
       }
+  }
+
+  final class FzSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, FzEvent, FzSessOut] {
+    @transient private var open: ValueState[FzSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[FzSess](
+        "open", Encoders.product[FzSess], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
+                                 timerValues: TimerValues): Iterator[FzSessOut] =
+      FzSessOps.mergeBatch(key, open, rows, gapMs, getHandle)
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FzSessOut] =
+      FzSessOps.expire(key, open)
+  }
+
+  /** [[FzSessionProcessor]] warm-started through
+    * `StatefulProcessorWithInitialState` — family I's mechanism, the s19
+    * class (EventStreams.SessionProcessorSeeded): before any input,
+    * `handleInitialState` seeds each key's open-session buffer from the
+    * batch-computed pre-cut sessions and arms its eviction timer; the
+    * post-cut stream then merges into the warm buffer. `noTimer` is the
+    * deliberate family-I mutation M3 (SPARK_GRAFT_FUZZ_MUTATE=
+    * seed_no_timer): the seed's eviction timer is never armed, orphaning
+    * the open buffer of every key the stream never touches again — the
+    * observable member of the seed-timer-lifecycle bug class. (The
+    * stale-HORIZON variant — arming off `startMs` instead of `lastMs` —
+    * is provably unobservable in chunked AvailableNow replay: the first
+    * post-cut chunk spans days while gaps span minutes-to-hours, so by
+    * the first watermark step EVERY seed timer, skewed or not, is
+    * already past due and fires in the same batch, and the emission
+    * carries state content, not timer time; a key with post-cut input
+    * instead deletes and re-arms its timer on first merge. Sub-chunk
+    * timer skew therefore cannot move this comparison — which is itself
+    * a useful fact about what the gate can and cannot see.)
+    */
+  final class FzSessionProcessorSeeded(gapMs: Long, noTimer: Boolean)
+      extends StatefulProcessorWithInitialState[Long, FzEvent, FzSessOut, FzSess] {
+    @transient private var open: ValueState[FzSess] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[FzSess](
+        "open", Encoders.product[FzSess], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: FzSess,
+                                    timerValues: TimerValues): Unit = {
+      open.update(initial)
+      if (!noTimer) getHandle.registerTimer(initial.lastMs + gapMs)
     }
+
+    override def handleInputRows(key: Long, rows: Iterator[FzEvent],
+                                 timerValues: TimerValues): Iterator[FzSessOut] =
+      FzSessOps.mergeBatch(key, open, rows, gapMs, getHandle)
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[FzSessOut] =
+      FzSessOps.expire(key, open)
   }
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Batch gap-sessionization twin shared by families H and I: the lag/
+    * cumsum plan over the (full or pre-cut) events frame, keyed like the
+    * stream — columns (k, s, e, n, se), all BIGINT (the determinism rule).
+    */
+  private def sessTwin(gapMs: Long, bucket: Int)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcol = if (bucket == 0) col("user_id") else col("user_id") % bucket
+    val w = Window.partitionBy(col("k")).orderBy(col("ms"))
+    df.select(kcol.as("k"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("new_s", when(lag(col("ms"), 1).over(w).isNull
+        || col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("sid"))
+      .agg(min(col("ms")).as("s"), max(col("ms")).as("e"),
+        count(lit(1)).as("n"), sum(col("event_id")).as("se"))
+      .select(col("k"), col("s"), col("e"), col("n"), col("se"))
+  }
 
   private def gen(rng: Random, i: Int): Plan = {
     val chunks = 3 + rng.nextInt(4) // 3..6 micro-batches
@@ -316,11 +435,11 @@ object StreamFuzz {
       case 1 => Seq((col("user_id") % m).as("ub"))
       case _ => Seq(col("event_type"), (col("user_id") % m).as("ub"))
     }
-    // first six plans pinned to the r12/r13 mechanism classes (join
+    // first seven plans pinned to the r12/r13/r14 mechanism classes (join
     // inner/outer, transformWithState MapState, MapState+restart,
-    // ListState top-k, ValueState sessions) so every gate run samples
-    // them; beyond that, uniform over all eight families
-    val fam = if (i < 6) Seq(10, 11, 12, 13, 14, 16)(i) else rng.nextInt(18)
+    // ListState top-k, ValueState sessions, seeded bootstrap) so every
+    // gate run samples them; beyond that, uniform over all nine families
+    val fam = if (i < 7) Seq(10, 11, 12, 13, 14, 16, 18)(i) else rng.nextInt(20)
     if (fam < 4) {
       // A: tumbling/hopping windowed aggregation, append mode
       val w = Seq(30, 60, 90, 240)(rng.nextInt(4))
@@ -504,7 +623,7 @@ object StreamFuzz {
            s"chunks=$chunks restart=$restart",
         delay, streamG, twinG, chunks, restart, ELastSnapshot,
         provider = Some(rocksProvider))
-    } else {
+    } else if (fam < 18) {
       // H: state-v2 ValueState gap-sessions with a re-armed event-time
       // timer per key (the s17 mechanism class; fam 17 forces a
       // mid-stream restart — the open buffer and the armed timer must
@@ -527,25 +646,86 @@ object StreamFuzz {
             TimeMode.EventTime(), OutputMode.Append())
           .toDF()
       }
-      def twinH(df: DataFrame): DataFrame = {
-        import org.apache.spark.sql.expressions.Window
-        val kcol = if (bucket == 0) col("user_id") else col("user_id") % bucket
-        val w = Window.partitionBy(col("k")).orderBy(col("ms"))
-        df.select(kcol.as("k"), unix_millis(col("ts")).as("ms"), col("event_id"))
-          .withColumn("new_s", when(lag(col("ms"), 1).over(w).isNull
-            || col("ms") - lag(col("ms"), 1).over(w) > gapMs, 1).otherwise(0))
-          .withColumn("sid", sum(col("new_s"))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("k"), col("sid"))
-          .agg(min(col("ms")).as("s"), max(col("ms")).as("e"),
-            count(lit(1)).as("n"), sum(col("event_id")).as("se"))
-          .select(col("k"), col("s"), col("e"), col("n"), col("se"))
-      }
       Plan(s"p$i tws-valuestate-sessions gap=${gapMin}m bucket=$bucket " +
            s"delay=${delay}m chunks=$chunks restart=$restart",
-        delay, streamH, twinH, chunks, restart, ESessionV2(gapMs),
-        provider = Some(rocksProvider))
+        delay, streamH, sessTwin(gapMs, bucket), chunks, restart,
+        ESessionV2(gapMs), provider = Some(rocksProvider))
+    } else {
+      // I: initial-state bootstrap (the s19 mechanism class, verdict r13
+      // #1) — the seed/cut seam no other family reaches. Stage 2x the
+      // chunks, split at a RANDOM cut, compute per-key open sessions at
+      // the cut with the batch lag/cumsum plan, seed
+      // FzSessionProcessorSeeded with them, stream only the post-cut
+      // files, and compare (closed-seed rows ∪ stream emissions) against
+      // the FULL-history batch twin under the same ESessionV2
+      // thresholding as family H. The bugs that live exactly here: a
+      // session wrongly CLOSED at the cut fragments away from its
+      // post-cut continuation (the open-session filter's boundary — note
+      // the literal >=/> off-by-one is measure-zero on µs timestamps, so
+      // the wired mutation M1 shrinks the horizon by HALF A GAP, the
+      // same bug class with non-zero occupancy); a seed emitted both as
+      // a closed row and again from the stream (M2 double-emit); the
+      // seed's eviction timer never armed (M3, in the processor —
+      // occupancy comes from the churn variant, see Boot.thinMod). All
+      // three are wired behind SPARK_GRAFT_FUZZ_MUTATE (seed_halfgap /
+      // seed_double_emit / seed_no_timer) and family I must FAIL under
+      // each — the recorded kill runs are this gate's evidence that it
+      // can see the seam at all (verdict r13 #1 "shown to fail"). fam 19
+      // forces a mid-stream restart: seeded state applies at batch 0
+      // only, so the restart must neither re-seed nor lose the warm
+      // buffers and their timers.
+      val gapMin = Seq(20, 45, 90, 240)(rng.nextInt(4))
+      val gapMs = gapMin * 60000L
+      val bucket = if (rng.nextBoolean()) 0 else m
+      val thinMod = Seq(0, 3, 5)(rng.nextInt(3)) // 0 = no churn
+      val total = chunks * 2 // pre-cut staging + post-cut data triggers
+      val cutIdx = math.max(1, math.min(total - 2,
+        math.round(Seq(0.3, 0.5, 0.7)(rng.nextInt(3)) * total).toInt))
+      val postN = total - cutIdx
+      val restart =
+        if (fam == 19 || rng.nextInt(3) == 0) 1 + rng.nextInt(postN - 1) else 0
+      val streamI: (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame =
+        (df0, seeds) => {
+          val sp = df0.sparkSession
+          import sp.implicits._
+          val noTimer =
+            sys.env.get("SPARK_GRAFT_FUZZ_MUTATE").contains("seed_no_timer")
+          // churn BEFORE the watermark so the tracker sees only surviving
+          // rows (the s14/E-family lesson); every post-file row has
+          // ts >= cut, so a plain user predicate is the churn filter here
+          val df = if (thinMod == 0) df0
+                   else df0.filter(col("user_id") % thinMod =!= 0)
+          df.withWatermark("ts", s"$delay minutes")
+            .select(col("user_id"), col("event_id"), col("ts"))
+            .as[FzEvent]
+            .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
+            .transformWithState(new FzSessionProcessorSeeded(gapMs, noTimer),
+              TimeMode.EventTime(), OutputMode.Append(), seeds)
+            .toDF()
+        }
+      Plan(s"p$i tws-seeded-bootstrap gap=${gapMin}m bucket=$bucket " +
+           s"churn=$thinMod cut=$cutIdx/$total delay=${delay}m restart=$restart",
+        delay, identity, sessTwin(gapMs, bucket), total, restart,
+        ESessionV2(gapMs), provider = Some(rocksProvider),
+        boot = Some(Boot(cutIdx, gapMs, bucket, thinMod, streamI)))
     }
+  }
+
+  /** Pre/post split of a boot plan's staged chunk files, plus the exact
+    * cut time (min event ms of the post half — range staging puts every
+    * row of a ts value in one chunk, so the boundary is exact). Shared by
+    * runStream (seed computation) and runTwin (churn filter): both sides
+    * must agree on the cut to the microsecond.
+    */
+  private def bootSplit(s: SparkSession, dir: String, plan: Plan, bt: Boot)
+      : (Seq[String], Seq[String], Long) = {
+    val stage = QueriesStreaming.stagedDir(s, dir, plan.chunks)
+    val files = graft.util.Fs.listDir(stage)(
+      _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+    val (pre, post) = files.splitAt(bt.cutIdx)
+    val cutMs = Tables.normalizeTs(s.read.parquet(post: _*), "ts")
+      .agg(min(unix_millis(col("ts").cast("timestamp")))).first().getLong(0)
+    (pre, post, cutMs)
   }
 
   /** Run the plan's streaming side to completion and return the union of
@@ -566,14 +746,15 @@ object StreamFuzz {
       case _ => "append"
     }
     val collected = mutable.LinkedHashMap.empty[Long, Array[Row]]
-    def run(src: String, cp: String): Unit = {
+    def run(src: String, cp: String,
+            mk: DataFrame => DataFrame = plan.stream): Unit = {
       // watermarks require TIMESTAMP, the fixture ships TIMESTAMP_NTZ —
       // value-preserving cast under the engine's fixed UTC session TZ
       val ev = Tables.normalizeTs(
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
           .parquet(src), "ts")
         .withColumn("ts", col("ts").cast("timestamp"))
-      val out = plan.stream(ev)
+      val out = mk(ev)
       val q = out.writeStream
         .outputMode(mode)
         .option("checkpointLocation", cp)
@@ -598,30 +779,79 @@ object StreamFuzz {
     plan.provider.foreach(p => s.conf.set(provKey, p))
     val cp = java.nio.file.Files.createTempDirectory("graft_fuzz_cp_")
     try {
-      if (plan.restartAt == 0) run(stage.toString, cp.toString)
-      else {
-        val live = java.nio.file.Files.createTempDirectory("graft_fuzz_live_")
-        try {
-          val files = graft.util.Fs.listDir(stage)(
-            _.filter(_.toString.endsWith(".parquet")).map(_.toString))
-          def copyUpTo(n: Int): Unit = files.take(n).zipWithIndex.foreach {
-            case (f, i) =>
-              val src = java.nio.file.Paths.get(f)
-              val dst = live.resolve(src.getFileName)
-              if (!java.nio.file.Files.exists(dst)) {
-                java.nio.file.Files.copy(src, dst)
-                java.nio.file.Files.setLastModifiedTime(dst,
-                  java.nio.file.attribute.FileTime.fromMillis(
-                    1000000000000L + i * 60000L))
-              }
+      val files = graft.util.Fs.listDir(stage)(
+        _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+      // copy `srcFiles` progressively into `live` with staggered mtimes
+      // (FileStreamSource orders by modification time — stagedDir's note)
+      def copyUpTo(live: java.nio.file.Path, srcFiles: Seq[String])(n: Int): Unit =
+        srcFiles.take(n).zipWithIndex.foreach { case (f, i) =>
+          val src = java.nio.file.Paths.get(f)
+          val dst = live.resolve(src.getFileName)
+          if (!java.nio.file.Files.exists(dst)) {
+            java.nio.file.Files.copy(src, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + i * 60000L))
           }
-          copyUpTo(plan.restartAt)
-          run(live.toString, cp.toString)
-          copyUpTo(files.size)
-          run(live.toString, cp.toString)
-        } finally graft.util.Fs.deleteRecursively(live)
+        }
+      val extra: Seq[Row] = plan.boot match {
+        case None =>
+          if (plan.restartAt == 0) run(stage.toString, cp.toString)
+          else {
+            val live = java.nio.file.Files.createTempDirectory("graft_fuzz_live_")
+            try {
+              val arm = copyUpTo(live, files) _
+              arm(plan.restartAt)
+              run(live.toString, cp.toString)
+              arm(files.size)
+              run(live.toString, cp.toString)
+            } finally graft.util.Fs.deleteRecursively(live)
+          }
+          Nil
+        case Some(bt) =>
+          // family I: batch-compute the pre-cut sessions, seed the open
+          // ones, stream the post-cut files only; the CLOSED pre-cut
+          // sessions join the stream's emissions driver-side (exact by
+          // construction — see Boot's scaladoc). SPARK_GRAFT_FUZZ_MUTATE
+          // wires the deliberate seam mutations: M1 seed_halfgap shrinks
+          // the openness horizon to gap/2 (a truly-open spanning session
+          // is wrongly closed and fragments away from its post-cut
+          // continuation), M2 seed_double_emit emits every seeded-open
+          // session ALSO as a closed row, M3 seed_stale_timer is handled
+          // in the processor. The knob must only ever be set for kill
+          // runs, never in the standing gate.
+          import s.implicits._
+          val (pre, post, cutMs) = bootSplit(s, dir, plan, bt)
+          val preDf = Tables.normalizeTs(s.read.parquet(pre: _*), "ts")
+            .withColumn("ts", col("ts").cast("timestamp"))
+          val mutate = sys.env.getOrElse("SPARK_GRAFT_FUZZ_MUTATE", "")
+          val horizonMs = if (mutate == "seed_halfgap") bt.gapMs / 2 else bt.gapMs
+          val sess = sessTwin(bt.gapMs, bt.bucket)(preDf)
+          val openCond = col("e") + horizonMs >= cutMs
+          val closedRows =
+            (if (mutate == "seed_double_emit") sess else sess.filter(!openCond))
+              .collect().toIndexedSeq
+          val seeds = sess.filter(openCond)
+            .as[(Long, Long, Long, Long, Long)]
+            .map { case (k, st, en, n, se) => (k, FzSess(st, en, n, se)) }
+            .groupByKey(_._1).mapValues(_._2)
+          val live = java.nio.file.Files.createTempDirectory("graft_fuzz_boot_")
+          try {
+            val arm = copyUpTo(live, post) _
+            val mk: DataFrame => DataFrame = ev => bt.stream(ev, seeds)
+            if (plan.restartAt == 0) {
+              arm(post.size)
+              run(live.toString, cp.toString, mk)
+            } else {
+              arm(plan.restartAt)
+              run(live.toString, cp.toString, mk)
+              arm(post.size)
+              run(live.toString, cp.toString, mk)
+            }
+          } finally graft.util.Fs.deleteRecursively(live)
+          closedRows
       }
-      collected.synchronized(collected.values.flatten.toSeq)
+      extra ++ collected.synchronized(collected.values.flatten.toSeq)
     } finally {
       // stop state-store maintenance and close providers BEFORE deleting
       // the checkpoint dir — same post-stop compaction race as the
@@ -666,8 +896,18 @@ object StreamFuzz {
     */
   private def runTwin(s: SparkSession, dir: String, plan: Plan)
       : Option[(Seq[Seq[String]], Seq[Row] => Seq[Row])] = {
-    val events = Tables.load(s, dir, "events")
+    val events0 = Tables.load(s, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
+    // a churned boot plan drops the same post-cut rows from the twin (and
+    // from the final-watermark base below) that the stream never ingests —
+    // both sides see the identical event set, so the comparison stays exact
+    val events = plan.boot.filter(_.thinMod > 0) match {
+      case Some(bt) =>
+        val (_, _, cutMs) = bootSplit(s, dir, plan, bt)
+        events0.filter(!(unix_millis(col("ts")) >= cutMs
+          && col("user_id") % bt.thinMod === 0))
+      case None => events0
+    }
     val full = plan.twin(events)
     val keep = identity[Seq[Row]] _
     def globalMaxUs: Long =

@@ -65,13 +65,15 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   run python3 tools/fuzz_oracle.py /tmp/graft_sf1 60 "${GRAFT_FUZZ_SEED:-$seed_default}"
   # streaming differential fuzzer (verdict r10 #4; r12 added stream-stream
   # joins and transformWithState processors per verdict r11 #1; r13 added
-  # ListState top-k per verdict r12 #1): randomized stateful micro-batch
-  # topologies (window/session/dedup-chain/join/custom-processor/
-  # liststate-topk/restart × watermark × key) vs batch-replay twins — the
-  # s-family's grammar coverage. The first 6 plans of every run are pinned
-  # to the r12/r13 families (join inner/outer, transformWithState,
-  # transformWithState+restart, ListState top-k, ValueState sessions), so
-  # 12 plans/run keeps ≥6 draws for the original families. Two seeds × two
+  # ListState top-k and ValueState sessions per verdict r12 #1; r14 added
+  # the seeded initial-state bootstrap per verdict r13 #1): randomized
+  # stateful micro-batch topologies (window/session/dedup-chain/join/
+  # custom-processor/liststate-topk/seeded-bootstrap/restart × watermark ×
+  # key × churn) vs batch-replay twins — the s-family's grammar coverage.
+  # The first 7 plans of every run are pinned to the r12/r13/r14 families
+  # (join inner/outer, transformWithState, transformWithState+restart,
+  # ListState top-k, ValueState sessions, seeded bootstrap), so 12
+  # plans/run keeps ≥5 draws for the original families. Two seeds × two
   # scales per gate run (seed and seed+1, crossed over scales so a week
   # covers all four cells across the two standing invocations).
   sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
