@@ -27,9 +27,33 @@ final class StreamMetricsListener(path: String) extends StreamingQueryListener {
   override def onQueryIdle(e: QueryIdleEvent): Unit = ()
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
 
+  /** Cumulative JVM GC millis + current heap, spliced into the progress
+    * object as `graftGcMs` / `graftHeapUsedMb` (r14, verdict r13 #2): the
+    * r13 1000x s19 wall trend had every COUNTABLE series flat (rows,
+    * gets/puts, timers, iterator bytes all ~1.03x) while every TIME series
+    * grew ~1.3x — per-unit-work slowdown, which Spark's progress JSON
+    * cannot attribute because it carries no JVM-health series. Sampling
+    * GC time per trigger makes "heap pressure accumulates over the run"
+    * measurable instead of asserted (single-JVM local mode: driver and
+    * executors share this MXBean view).
+    */
+  private def jvmHealth: String = {
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / 1000000L
+    s""","graftGcMs":$gcMs,"graftHeapUsedMb":$heap}"""
+  }
+
   override def onQueryProgress(e: QueryProgressEvent): Unit = lock.synchronized {
     val w = new java.io.BufferedWriter(new java.io.FileWriter(path, true))
-    try { w.write(e.progress.json); w.newLine() } finally w.close()
+    // progress.json is one well-formed JSON object — splice the health
+    // fields before its closing brace so existing top-level readers keep
+    // working and new ones see graftGcMs/graftHeapUsedMb
+    val j = e.progress.json.trim
+    val line = if (j.endsWith("}")) j.dropRight(1) + jvmHealth else j
+    try { w.write(line); w.newLine() } finally w.close()
   }
 }
 

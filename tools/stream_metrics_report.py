@@ -30,7 +30,17 @@ and sidecar are from different runs, which warns loudly before the same
 fallback (r13 ADVICE). Queries with <12 data triggers are skipped (no
 trend to fit) and reported as such.
 
-Usage: python3 tools/stream_metrics_report.py <metrics.jsonl> [--md|--check]
+--attrib NAME (verdict r13 #2): per-trigger ATTRIBUTION table for one
+query — alongside wall and iterator bytes, the RocksDB custom metrics
+that separate state-sweep growth from store-maintenance growth
+(commit-time compaction/flush latency, background compaction volume,
+writer stalls). Prints first/last-third means per series plus the wall
+residual after subtracting commit-time compact+flush latency: if the
+wall trend tracks compaction latency while iterator bytes stay flat,
+the growth is RocksDB maintenance (amortized, bounded by store size),
+not O(state) scan work — measured, not asserted.
+
+Usage: python3 tools/stream_metrics_report.py <metrics.jsonl> [--md|--check|--attrib NAME]
 Queries are attributed by the `sNN` prefix of their queryName (all
 registry streams are named since r11, incl. foreachBatch sinks); unnamed
 queries (ad-hoc) are grouped under '(unnamed)'. --check groups by FULL
@@ -49,6 +59,69 @@ def iter_bytes(p):
     return sum(int(op.get("customMetrics", {})
                    .get("rocksdbTotalBytesReadThroughIterator", 0))
                for op in p.get("stateOperators", []))
+
+
+def custom_sum(p, key):
+    return sum(int(op.get("customMetrics", {}).get(key, 0))
+               for op in p.get("stateOperators", []))
+
+
+if "--attrib" in sys.argv:
+    name = sys.argv[sys.argv.index("--attrib") + 1]
+    # per-trigger series that separate scan work from store maintenance
+    SERIES = [
+        ("wall_ms", lambda p: p.get("durationMs", {}).get("triggerExecution", 0)),
+        ("iter_bytes", iter_bytes),
+        ("commit_compact_ms", lambda p: custom_sum(p, "rocksdbCommitCompactLatency")),
+        ("commit_flush_ms", lambda p: custom_sum(p, "rocksdbCommitFlushLatency")),
+        ("commit_ckpt_ms", lambda p: custom_sum(p, "rocksdbCommitCheckpointLatency")),
+        ("bg_compact_ms", lambda p: custom_sum(p, "rocksdbTotalCompactionLatencyMs")),
+        ("compact_write_mb", lambda p: custom_sum(p, "rocksdbTotalBytesWrittenByCompaction") / 1e6),
+        ("writer_stall_ms", lambda p: custom_sum(p, "rocksdbWriterStallLatencyMs")),
+        ("sst_size_mb", lambda p: custom_sum(p, "rocksdbSstFileSize") / 1e6),
+    ]
+    rows = []
+    prev_gc = [None]
+    for line in open(path):
+        p = json.loads(line)
+        if p.get("name") != name or p.get("numInputRows", 0) <= 0:
+            continue
+        vals = [f(p) for _, f in SERIES]
+        # graftGcMs is CUMULATIVE JVM GC time spliced in by
+        # StreamMetricsListener (r14) - diff it into a per-trigger series;
+        # absent in older captures -> series of zeros
+        gc = p.get("graftGcMs")
+        if gc is not None:
+            vals.append(gc - prev_gc[0] if prev_gc[0] is not None else 0)
+            prev_gc[0] = gc
+            vals.append(p.get("graftHeapUsedMb", 0))
+        else:
+            vals.extend([0, 0])
+        rows.append((p.get("batchId", 0), vals))
+    SERIES = SERIES + [("gc_delta_ms", None), ("heap_used_mb", None)]
+    rows = [v for _, v in sorted(rows)][2:]  # drop 2 warmup triggers
+    if len(rows) < 6:
+        raise SystemExit(f"{name}: only {len(rows)+2} data triggers - no trend")
+    third = len(rows) // 3
+    print(f"{name}: {len(rows)} data triggers (2 warmup dropped), "
+          f"thirds of {third}")
+    print(f"| series | first-third mean | last-third mean | ratio |")
+    print("|---|---|---|---|")
+    vals = {}
+    for i, (label, _) in enumerate(SERIES):
+        first = sum(r[i] for r in rows[:third]) / third
+        last = sum(r[i] for r in rows[-third:]) / third
+        ratio = last / first if first > 0 else float("nan")
+        vals[label] = (first, last)
+        print(f"| {label} | {first:,.1f} | {last:,.1f} | {ratio:.2f}x |")
+    # the attribution readout: wall minus commit-time compact+flush —
+    # if the residual trend is flat while raw wall grew, the growth IS
+    # the store-maintenance latency, not per-row scan work
+    rf = vals["wall_ms"][0] - vals["commit_compact_ms"][0] - vals["commit_flush_ms"][0]
+    rl = vals["wall_ms"][1] - vals["commit_compact_ms"][1] - vals["commit_flush_ms"][1]
+    print(f"wall residual after commit compact+flush: "
+          f"{rf:,.1f} -> {rl:,.1f} ms ({rl / rf if rf > 0 else float('nan'):.2f}x)")
+    sys.exit(0)
 
 
 if check:
