@@ -29,11 +29,12 @@ import scala.util.Random
   * mechanism space what tools/fuzz_oracle.py's 19 grammar families do for
   * batch SQL: the 35 hand-written topologies pin specific shapes; the
   * fuzzer samples the combinatorial neighborhood around them every week.
-  * The first seven plans of every run are pinned to the r12/r13/r14
+  * The first eight plans of every run are pinned to the r12/r13/r14/r15
   * mechanism families (E-inner, E-outer, F, F-restart, G ListState-top-k,
-  * H ValueState-sessions, I seeded-bootstrap) so every gate invocation
-  * exercises all the custom-state classes regardless of how the seed
-  * lands; later plans draw uniformly over all nine families. Family G
+  * H ValueState-sessions, I seeded-bootstrap, I-thin sub-gap-geometry
+  * bootstrap) so every gate invocation exercises all the custom-state
+  * classes regardless of how the seed lands; later plans draw uniformly
+  * over all the families. Family G
   * (r13, verdict r12 #1) randomizes the s23 shape — ListState bounded
   * top-k + ValueState counter, TimeMode.None, Update mode — and compares
   * the per-key LAST monotone snapshot against a batch rank twin (no
@@ -48,10 +49,19 @@ import scala.util.Random
   * sessions become initial state, closed ones join the comparison
   * driver-side), an optional churn drops a user subset's post-cut events
   * from stream AND twin so the seed-timer eviction path has occupancy,
-  * and the post-cut stream must reproduce the FULL-history twin. Three
+  * and the post-cut stream must reproduce the FULL-history twin. Four
   * deliberate seam mutations (SPARK_GRAFT_FUZZ_MUTATE = seed_halfgap /
-  * seed_double_emit / seed_no_timer) are wired for kill-evidence runs;
-  * family I fails under each (SCALING.md r14).
+  * seed_double_emit / seed_no_timer / seed_stale_timer) are wired for
+  * kill-evidence runs; family I fails under the first three at any
+  * geometry (SCALING.md r14), and the r15 I-THIN variant — post-cut
+  * chunks re-staged so the first gap-width band after the cut is sliced
+  * THINNER than the gap — makes the fourth (the stale timer HORIZON,
+  * armed off startMs instead of lastMs) observable too: with sub-gap
+  * chunks the watermark steps land BETWEEN startMs+gap and lastMs+gap,
+  * so a mis-armed seed timer fires before the seed's mergeable post-cut
+  * continuation arrives and fragments the session the twin merges
+  * (SCALING.md r15; FzSessionProcessorSeeded's scaladoc has the full
+  * observability argument).
   *
   * Determinism rules (same discipline as the batch fuzzer):
   *  - exact aggregates only (counts + BIGINT sums/min/max of key columns;
@@ -157,11 +167,27 @@ object StreamFuzz {
     * would have zero occupancy and a forgotten/mis-armed seed timer
     * would be invisible. Churned users' seeds can only ever emit through
     * their seed-armed timer, which is exactly the path mutation M3
-    * removes.
+    * removes. (When `bucket != 0` the grouping key is `user_id % bucket`
+    * while churn drops `user_id % thinMod == 0` — both sides see the
+    * identical event set either way, so correctness is unaffected, but if
+    * thinMod divides bucket the churned users concentrate in the key
+    * residues ≡ 0 mod thinMod and the OTHER buckets carry no
+    * eviction-path occupancy; the occupancy argument is per-key exact
+    * only for bucket = 0 or thinMod coprime to bucket.)
+    *
+    * `bandSlices > 0` selects the r15 I-THIN geometry (verdict r14 #1):
+    * bootSplit re-stages the post-cut files into a gap-wide band
+    * `[cut, cut + gapMs)` range-sliced into `bandSlices` chunks (each
+    * THINNER than the gap) followed by `tailSlices` coarse chunks for the
+    * rest — the geometry under which the stale-timer-horizon mutation M4
+    * becomes observable. Event-time order across chunks is preserved
+    * (band ranges all precede tail ranges), so every determinism argument
+    * of the legacy geometry carries over unchanged.
     */
   private final case class Boot(cutIdx: Int, gapMs: Long, bucket: Int,
       thinMod: Int,
-      stream: (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame)
+      stream: (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame,
+      bandSlices: Int = 0, tailSlices: Int = 0)
 
   /** One generated plan: how to build the streaming frame from the staged
     * event stream and the batch twin over the full events table; `emit`
@@ -369,19 +395,30 @@ object StreamFuzz {
     * post-cut stream then merges into the warm buffer. `noTimer` is the
     * deliberate family-I mutation M3 (SPARK_GRAFT_FUZZ_MUTATE=
     * seed_no_timer): the seed's eviction timer is never armed, orphaning
-    * the open buffer of every key the stream never touches again — the
-    * observable member of the seed-timer-lifecycle bug class. (The
-    * stale-HORIZON variant — arming off `startMs` instead of `lastMs` —
-    * is provably unobservable in chunked AvailableNow replay: the first
-    * post-cut chunk spans days while gaps span minutes-to-hours, so by
-    * the first watermark step EVERY seed timer, skewed or not, is
-    * already past due and fires in the same batch, and the emission
-    * carries state content, not timer time; a key with post-cut input
-    * instead deletes and re-arms its timer on first merge. Sub-chunk
-    * timer skew therefore cannot move this comparison — which is itself
-    * a useful fact about what the gate can and cannot see.)
+    * the open buffer of every key the stream never touches again.
+    * `staleTimer` is mutation M4 (seed_stale_timer, r15): the timer is
+    * armed off the STALE horizon `startMs + gapMs` instead of
+    * `lastMs + gapMs` — the other member of the seed-timer-lifecycle bug
+    * class. M4's observability depends on the chunk GEOMETRY: under the
+    * legacy staging the first post-cut chunk spans days while gaps span
+    * minutes-to-hours, so by the first watermark step EVERY seed timer,
+    * skewed or not, is already past due and fires in the same batch with
+    * identical state content, and a key with post-cut input deletes and
+    * re-arms its timer on first merge — the skew cannot move the
+    * comparison. Under the I-THIN geometry ([[Boot]].bandSlices) the
+    * post-cut band is sliced thinner than the gap, so for a seed whose
+    * session LENGTH exceeds chunk-width + delay there are watermark
+    * steps in (startMs+gap, lastMs+gap): the mis-armed timer fires
+    * there, evicts the still-open seed, and its mergeable continuation
+    * (an event at t ≤ lastMs+gap arriving in a later chunk) then starts
+    * a fresh session — fragmenting what the batch twin merges. The
+    * correct timer can NEVER fire before such a continuation: the
+    * continuation's batch runs with watermark < t − delay ≤ lastMs+gap
+    * (chunks arrive in event-time order), which is also why the base
+    * thin-geometry run stays bit-exact.
     */
-  final class FzSessionProcessorSeeded(gapMs: Long, noTimer: Boolean)
+  final class FzSessionProcessorSeeded(gapMs: Long, noTimer: Boolean,
+      staleTimer: Boolean = false)
       extends StatefulProcessorWithInitialState[Long, FzEvent, FzSessOut, FzSess] {
     @transient private var open: ValueState[FzSess] = _
 
@@ -392,7 +429,8 @@ object StreamFuzz {
     override def handleInitialState(key: Long, initial: FzSess,
                                     timerValues: TimerValues): Unit = {
       open.update(initial)
-      if (!noTimer) getHandle.registerTimer(initial.lastMs + gapMs)
+      val horizon = (if (staleTimer) initial.startMs else initial.lastMs) + gapMs
+      if (!noTimer) getHandle.registerTimer(horizon)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[FzEvent],
@@ -425,6 +463,35 @@ object StreamFuzz {
       .select(col("k"), col("s"), col("e"), col("n"), col("se"))
   }
 
+  /** Family I's seeded streaming side, shared by the legacy and I-thin
+    * geometries: churn filter → watermark → keyed
+    * `transformWithState(FzSessionProcessorSeeded, …, seeds)`. The
+    * mutation knob routes M3 (seed_no_timer) and M4 (seed_stale_timer)
+    * into the processor; M1/M2 live in runStream's seed computation.
+    */
+  private def seededStream(gapMs: Long, bucket: Int, thinMod: Int,
+      delayMin: Int)
+      : (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame =
+    (df0, seeds) => {
+      val sp = df0.sparkSession
+      import sp.implicits._
+      val mut = sys.env.getOrElse("SPARK_GRAFT_FUZZ_MUTATE", "")
+      // churn BEFORE the watermark so the tracker sees only surviving
+      // rows (the s14/E-family lesson); every post-file row has
+      // ts >= cut, so a plain user predicate is the churn filter here
+      val df = if (thinMod == 0) df0
+               else df0.filter(col("user_id") % thinMod =!= 0)
+      df.withWatermark("ts", s"$delayMin minutes")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[FzEvent]
+        .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
+        .transformWithState(
+          new FzSessionProcessorSeeded(gapMs, mut == "seed_no_timer",
+            mut == "seed_stale_timer"),
+          TimeMode.EventTime(), OutputMode.Append(), seeds)
+        .toDF()
+    }
+
   private def gen(rng: Random, i: Int): Plan = {
     val chunks = 3 + rng.nextInt(4) // 3..6 micro-batches
     val delay = Seq(10, 25, 45, 90)(rng.nextInt(4))
@@ -435,11 +502,13 @@ object StreamFuzz {
       case 1 => Seq((col("user_id") % m).as("ub"))
       case _ => Seq(col("event_type"), (col("user_id") % m).as("ub"))
     }
-    // first seven plans pinned to the r12/r13/r14 mechanism classes (join
-    // inner/outer, transformWithState MapState, MapState+restart,
-    // ListState top-k, ValueState sessions, seeded bootstrap) so every
-    // gate run samples them; beyond that, uniform over all nine families
-    val fam = if (i < 7) Seq(10, 11, 12, 13, 14, 16, 18)(i) else rng.nextInt(20)
+    // first eight plans pinned to the r12/r13/r14/r15 mechanism classes
+    // (join inner/outer, transformWithState MapState, MapState+restart,
+    // ListState top-k, ValueState sessions, seeded bootstrap, sub-gap
+    // thin-geometry bootstrap) so every gate run samples them; beyond
+    // that, uniform over all the families
+    val fam = if (i < 8) Seq(10, 11, 12, 13, 14, 16, 18, 20)(i)
+              else rng.nextInt(21)
     if (fam < 4) {
       // A: tumbling/hopping windowed aggregation, append mode
       val w = Seq(30, 60, 90, 240)(rng.nextInt(4))
@@ -650,7 +719,7 @@ object StreamFuzz {
            s"delay=${delay}m chunks=$chunks restart=$restart",
         delay, streamH, sessTwin(gapMs, bucket), chunks, restart,
         ESessionV2(gapMs), provider = Some(rocksProvider))
-    } else {
+    } else if (fam < 20) {
       // I: initial-state bootstrap (the s19 mechanism class, verdict r13
       // #1) — the seed/cut seam no other family reaches. Stage 2x the
       // chunks, split at a RANDOM cut, compute per-key open sessions at
@@ -666,49 +735,94 @@ object StreamFuzz {
       // same bug class with non-zero occupancy); a seed emitted both as
       // a closed row and again from the stream (M2 double-emit); the
       // seed's eviction timer never armed (M3, in the processor —
-      // occupancy comes from the churn variant, see Boot.thinMod). All
-      // three are wired behind SPARK_GRAFT_FUZZ_MUTATE (seed_halfgap /
-      // seed_double_emit / seed_no_timer) and family I must FAIL under
-      // each — the recorded kill runs are this gate's evidence that it
-      // can see the seam at all (verdict r13 #1 "shown to fail"). fam 19
-      // forces a mid-stream restart: seeded state applies at batch 0
-      // only, so the restart must neither re-seed nor lose the warm
-      // buffers and their timers.
+      // occupancy comes from the churn variant, see Boot.thinMod); the
+      // seed's timer armed off the STALE horizon (M4, in the processor —
+      // observable only under the fam-20 thin geometry). All four are
+      // wired behind SPARK_GRAFT_FUZZ_MUTATE (seed_halfgap /
+      // seed_double_emit / seed_no_timer / seed_stale_timer) and family
+      // I must FAIL under each at a geometry that can see it — the
+      // recorded kill runs are this gate's evidence that it can see the
+      // seam at all (verdict r13 #1 "shown to fail"). fam 19 forces a
+      // mid-stream restart: seeded state applies at batch 0 only, so the
+      // restart must neither re-seed nor lose the warm buffers and their
+      // timers.
       val gapMin = Seq(20, 45, 90, 240)(rng.nextInt(4))
       val gapMs = gapMin * 60000L
-      val bucket = if (rng.nextBoolean()) 0 else m
-      val thinMod = Seq(0, 3, 5)(rng.nextInt(3)) // 0 = no churn
+      // the PINNED family-I plan (i == 6) forces churn AND per-user keys:
+      // without churn, ~1/3 of gate runs drew a churn-free bootstrap in
+      // which every seed's timer is deleted and re-armed on first merge,
+      // leaving the seed-timer EVICTION path unexercised by the one plan
+      // that exists to guarantee coverage (verdict r14 "what's wrong"
+      // #1); and with bucket != 0 churn alone is NOT enough — a bucketed
+      // key mixes churned and unchurned users, and unless every user in
+      // a key is churned the key still gets post-cut input and re-arms
+      // (measured: bucket=50 churn=3 puts users k, k+50, k+100 in key k,
+      // whose residues mod 3 are all distinct, so NO key is fully
+      // churned and an M3 kill run sailed through the pinned plan).
+      // Uniform draws keep the churn-free and bucketed variants in
+      // rotation.
+      val bucket = if (i == 6) 0 else if (rng.nextBoolean()) 0 else m
+      val thinMod = if (i == 6) Seq(3, 5)(rng.nextInt(2))
+                    else Seq(0, 3, 5)(rng.nextInt(3)) // 0 = no churn
       val total = chunks * 2 // pre-cut staging + post-cut data triggers
       val cutIdx = math.max(1, math.min(total - 2,
         math.round(Seq(0.3, 0.5, 0.7)(rng.nextInt(3)) * total).toInt))
       val postN = total - cutIdx
       val restart =
         if (fam == 19 || rng.nextInt(3) == 0) 1 + rng.nextInt(postN - 1) else 0
-      val streamI: (DataFrame, KeyValueGroupedDataset[Long, FzSess]) => DataFrame =
-        (df0, seeds) => {
-          val sp = df0.sparkSession
-          import sp.implicits._
-          val noTimer =
-            sys.env.get("SPARK_GRAFT_FUZZ_MUTATE").contains("seed_no_timer")
-          // churn BEFORE the watermark so the tracker sees only surviving
-          // rows (the s14/E-family lesson); every post-file row has
-          // ts >= cut, so a plain user predicate is the churn filter here
-          val df = if (thinMod == 0) df0
-                   else df0.filter(col("user_id") % thinMod =!= 0)
-          df.withWatermark("ts", s"$delay minutes")
-            .select(col("user_id"), col("event_id"), col("ts"))
-            .as[FzEvent]
-            .groupByKey(e => if (bucket == 0) e.user_id else e.user_id % bucket)
-            .transformWithState(new FzSessionProcessorSeeded(gapMs, noTimer),
-              TimeMode.EventTime(), OutputMode.Append(), seeds)
-            .toDF()
-        }
       Plan(s"p$i tws-seeded-bootstrap gap=${gapMin}m bucket=$bucket " +
            s"churn=$thinMod cut=$cutIdx/$total delay=${delay}m restart=$restart",
         delay, identity, sessTwin(gapMs, bucket), total, restart,
         ESessionV2(gapMs), provider = Some(rocksProvider),
-        boot = Some(Boot(cutIdx, gapMs, bucket, thinMod, streamI)))
+        boot = Some(Boot(cutIdx, gapMs, bucket, thinMod,
+          seededStream(gapMs, bucket, thinMod, delay))))
+    } else {
+      // I-THIN (r15, verdict r14 #1): family I re-run at SUB-GAP
+      // post-cut chunk geometry — the one member of the seed-timer-
+      // lifecycle class the legacy geometry provably cannot see (M4, the
+      // stale timer horizon) becomes observable here, and the base run
+      // stays bit-exact (FzSessionProcessorSeeded's scaladoc has both
+      // arguments). Knobs are FIXED for occupancy, not drawn:
+      //  - gap=240m, the widest: gap-merged chains are long, so seeds
+      //    with session length > chunkWidth + delay (M4's fire
+      //    condition) are common, and the mergeable post-cut window
+      //    (cut, lastMs+gap] spans many thin chunks;
+      //  - delay=10m, the smallest, for the same fire condition;
+      //  - bucket=0, per-user keys: a bucketed key merges many users'
+      //    events into near-continuous chains whose next event lands in
+      //    the first post-cut chunks and re-arms the timer before any
+      //    mis-armed horizon can fire.
+      // bandSlices thin chunks cover [cut, cut+gap) — 15-20m each, under
+      // the 240m gap — then 3 coarse chunks carry the tail (no seed is
+      // mergeable beyond cut+gap, so the tail needs no thinness).
+      val gapMs = 240 * 60000L
+      val bandSlices = Seq(12, 16)(rng.nextInt(2))
+      val thinMod = Seq(0, 3, 5)(rng.nextInt(3))
+      val total = 6
+      val cutIdx = Seq(2, 3, 4)(rng.nextInt(3))
+      val restart = if (rng.nextInt(3) == 0) 1 + rng.nextInt(bandSlices) else 0
+      Plan(s"p$i tws-seeded-boot-thin gap=240m band=${bandSlices}x" +
+           s"${240 / bandSlices}m churn=$thinMod cut=$cutIdx/$total " +
+           s"delay=10m restart=$restart",
+        10, identity, sessTwin(gapMs, 0), total, restart,
+        ESessionV2(gapMs), provider = Some(rocksProvider),
+        boot = Some(Boot(cutIdx, gapMs, 0, thinMod,
+          seededStream(gapMs, 0, thinMod, 10),
+          bandSlices = bandSlices, tailSlices = 3)))
     }
+  }
+
+  /** I-thin re-staged post-cut file lists, keyed by the staging geometry
+    * (one restage per (fixture, geometry) per JVM, like
+    * QueriesStreaming.stagedDirs); dirs are deleted at JVM exit.
+    */
+  private val thinStaged = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int, Long), Seq[String]]()
+  private val thinDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  sys.addShutdownHook {
+    thinDirs.forEach(p => graft.util.Fs.deleteRecursively(p))
   }
 
   /** Pre/post split of a boot plan's staged chunk files, plus the exact
@@ -716,15 +830,51 @@ object StreamFuzz {
     * row of a ts value in one chunk, so the boundary is exact). Shared by
     * runStream (seed computation) and runTwin (churn filter): both sides
     * must agree on the cut to the microsecond.
+    *
+    * For I-thin plans (`bt.bandSlices > 0`) the post half is RE-STAGED:
+    * events in the gap-wide band `[cut, cut + gapMs)` are range-sliced
+    * into `bandSlices` sub-gap chunks and the rest into `tailSlices`
+    * coarse chunks, written with the ORIGINAL staged schema (the raw
+    * column types — the streaming reader's schema comes from the coarse
+    * staging, so the re-stage must not normalize columns). Band ranges
+    * all precede tail ranges and `Fs.listDir` sorts within each dir, so
+    * the concatenated list is still in event-time order and the cut time
+    * (min ts of the post half) is unchanged.
     */
   private def bootSplit(s: SparkSession, dir: String, plan: Plan, bt: Boot)
       : (Seq[String], Seq[String], Long) = {
     val stage = QueriesStreaming.stagedDir(s, dir, plan.chunks)
     val files = graft.util.Fs.listDir(stage)(
       _.filter(_.toString.endsWith(".parquet")).map(_.toString))
-    val (pre, post) = files.splitAt(bt.cutIdx)
-    val cutMs = Tables.normalizeTs(s.read.parquet(post: _*), "ts")
+    val (pre, post0) = files.splitAt(bt.cutIdx)
+    val cutMs = Tables.normalizeTs(s.read.parquet(post0: _*), "ts")
       .agg(min(unix_millis(col("ts").cast("timestamp")))).first().getLong(0)
+    val post =
+      if (bt.bandSlices == 0) post0
+      else thinStaged.computeIfAbsent(
+        (dir, plan.chunks, bt.cutIdx, bt.bandSlices, bt.gapMs), { _ =>
+          val d = java.nio.file.Files.createTempDirectory("graft_fuzz_thin_")
+          thinDirs.add(d)
+          val raw = s.read.parquet(post0: _*)
+          // raw ts is LONG nanos (the fixture's physical type under
+          // nanosAsLong) or a native timestamp — derive epoch-ms the same
+          // way normalizeTs + unix_millis would, WITHOUT changing the
+          // column (the written schema must match the coarse staging)
+          val tsMs = raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+            case _ => unix_millis(col("ts").cast("timestamp"))
+          }
+          val bandEndMs = cutMs + bt.gapMs
+          raw.filter(tsMs < bandEndMs)
+            .repartitionByRange(bt.bandSlices, col("ts"))
+            .write.parquet(d.resolve("band").toString)
+          raw.filter(tsMs >= bandEndMs)
+            .repartitionByRange(math.max(bt.tailSlices, 1), col("ts"))
+            .write.parquet(d.resolve("tail").toString)
+          def part(sub: String) = graft.util.Fs.listDir(d.resolve(sub))(
+            _.filter(_.toString.endsWith(".parquet")).map(_.toString))
+          part("band") ++ part("tail")
+        })
     (pre, post, cutMs)
   }
 
@@ -817,9 +967,12 @@ object StreamFuzz {
           // the openness horizon to gap/2 (a truly-open spanning session
           // is wrongly closed and fragments away from its post-cut
           // continuation), M2 seed_double_emit emits every seeded-open
-          // session ALSO as a closed row, M3 seed_stale_timer is handled
-          // in the processor. The knob must only ever be set for kill
-          // runs, never in the standing gate.
+          // session ALSO as a closed row; M3 seed_no_timer and M4
+          // seed_stale_timer are handled in the processor (seededStream
+          // routes them). The knob must only ever be set for kill runs,
+          // never in the standing gate; main() rejects unknown values up
+          // front (r14 ADVICE — a typo'd knob silently ran unmutated and
+          // read as "mutation not killed").
           import s.implicits._
           val (pre, post, cutMs) = bootSplit(s, dir, plan, bt)
           val preDf = Tables.normalizeTs(s.read.parquet(pre: _*), "ts")
@@ -982,6 +1135,17 @@ object StreamFuzz {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val n = if (args.length > 1) args(1).toInt else 10
     val seed = if (args.length > 2) args(2).toLong else 42L
+    // fail fast on a typo'd mutation knob (r14 ADVICE): an unrecognized
+    // value used to run family I UNMUTATED, and the kill-evidence run
+    // then read as "mutation not killed"
+    val knownMutations =
+      Set("seed_halfgap", "seed_double_emit", "seed_no_timer",
+        "seed_stale_timer")
+    sys.env.get("SPARK_GRAFT_FUZZ_MUTATE").foreach { mv =>
+      require(knownMutations(mv),
+        s"unknown SPARK_GRAFT_FUZZ_MUTATE '$mv' - known mutations: " +
+          knownMutations.toSeq.sorted.mkString(", "))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -80,11 +80,14 @@ object StreamTriggerRegime {
     require(sys.env.contains("SPARK_GRAFT_STREAM_METRICS"),
       "SPARK_GRAFT_STREAM_METRICS must name the capture file - the whole " +
         "point of this gate is the per-trigger record")
-    // the `.modes` sidecar must reflect exactly THIS run: truncate it once
-    // up front (r13 left truncation to run_gates.sh, so the scaladoc's
-    // manual sbt usage accumulated stale records across reruns, and a
-    // topology renamed between runs left its old mode line for the checker
-    // to consult — r13 ADVICE)
+    // the capture AND the `.modes` sidecar must reflect exactly THIS run:
+    // truncate both once up front (r13 truncated only the sidecar, so a
+    // manual sbt rerun appended a second run's triggers to an existing
+    // capture while the sidecar reflected only the last run — same-named
+    // queries from the stale run then silently mixed their batchIds into
+    // the per-query trend; r14 ADVICE)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(sys.env("SPARK_GRAFT_STREAM_METRICS")))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(sys.env("SPARK_GRAFT_STREAM_METRICS") + ".modes"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -66,19 +66,21 @@ if [ "${1:-}" != "--skip-fuzz" ]; then
   # streaming differential fuzzer (verdict r10 #4; r12 added stream-stream
   # joins and transformWithState processors per verdict r11 #1; r13 added
   # ListState top-k and ValueState sessions per verdict r12 #1; r14 added
-  # the seeded initial-state bootstrap per verdict r13 #1): randomized
+  # the seeded initial-state bootstrap per verdict r13 #1; r15 added the
+  # sub-gap thin-geometry bootstrap per verdict r14 #1): randomized
   # stateful micro-batch topologies (window/session/dedup-chain/join/
   # custom-processor/liststate-topk/seeded-bootstrap/restart × watermark ×
   # key × churn) vs batch-replay twins — the s-family's grammar coverage.
-  # The first 7 plans of every run are pinned to the r12/r13/r14 families
-  # (join inner/outer, transformWithState, transformWithState+restart,
-  # ListState top-k, ValueState sessions, seeded bootstrap), so 12
-  # plans/run keeps ≥5 draws for the original families. Two seeds × two
-  # scales per gate run (seed and seed+1, crossed over scales so a week
-  # covers all four cells across the two standing invocations).
+  # The first 8 plans of every run are pinned to the r12/r13/r14/r15
+  # families (join inner/outer, transformWithState,
+  # transformWithState+restart, ListState top-k, ValueState sessions,
+  # seeded bootstrap, sub-gap thin bootstrap), so 13 plans/run keeps ≥5
+  # draws for the original families. Two seeds × two scales per gate run
+  # (seed and seed+1, crossed over scales so a week covers all four cells
+  # across the two standing invocations).
   sfz_seed="${GRAFT_FUZZ_SEED:-$seed_default}"
-  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 12 $sfz_seed"
-  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 12 $((sfz_seed + 1))"
+  run sbt -batch "runMain graft.StreamFuzz /root/testdata/sf0.01 13 $sfz_seed"
+  run sbt -batch "runMain graft.StreamFuzz /tmp/graft_sf1 13 $((sfz_seed + 1))"
 fi
 
 # Scaling-slope contrast rule (verdict r12 #4, automated r13, WIRED into
@@ -94,6 +96,14 @@ slope_nx="${GRAFT_SLOPE_NX:-/tmp/slope_Nx.json}"
 if [ -f "$slope_1x" ] && [ -f "$slope_nx" ]; then
   run python3 tools/slope_report.py "$slope_1x" "$slope_nx" \
     "${GRAFT_SLOPE_N:-10}" --contrast
+  # CONSUME the pair once judged (r14 ADVICE): a stale pair left at the
+  # canonical paths would otherwise silently gate every later run against
+  # data unrelated to HEAD. The renamed files keep the record on disk;
+  # slope_report.py additionally cross-checks the declared N against the
+  # `sf` fields inside the two bench lines (exit 4 on a mis-scaled pair).
+  mv -- "$slope_1x" "$slope_1x.checked"
+  mv -- "$slope_nx" "$slope_nx.checked"
+  echo "slope contrast: pair consumed -> $slope_1x.checked / $slope_nx.checked"
 else
   echo "slope contrast: no staged bench pair ($slope_1x / $slope_nx) - skipped"
 fi

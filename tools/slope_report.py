@@ -65,6 +65,31 @@ def main():
     b = load(argv[1])
     n = float(argv[2]) if len(argv) > 2 else 10.0
 
+    # Cross-check the declared scale step N against the `sf` dirs recorded
+    # inside the two bench lines (r14 ADVICE: a pair staged at a different
+    # scale step without GRAFT_SLOPE_N set would compute the decade-
+    # equivalent slope with the wrong N). Bench stamps sf as the fixture
+    # dir; the trailing sf<number> token gives the scale. Unparseable dirs
+    # (custom fixture names) are warned about, not fatal — the consume-
+    # and-rename in run_gates.sh already prevents stale re-use.
+    import re
+
+    def sf_of(d):
+        m = re.findall(r"sf([0-9]+(?:\.[0-9]+)?)", str(d.get("sf", "")))
+        return float(m[-1]) if m else None
+
+    sfa, sfb = sf_of(a), sf_of(b)
+    if sfa and sfb:
+        implied = sfb / sfa
+        if abs(implied / n - 1.0) > 0.01:
+            print(f"slope inputs declare sf={sfa:g} -> sf={sfb:g} "
+                  f"(a {implied:g}x step) but N={n:g} was passed - "
+                  "mis-scaled pair, refusing to compute slopes (exit 4)")
+            return 4
+    elif sfa is None or sfb is None:
+        print(f"warning: cannot parse sf from bench inputs "
+              f"({a.get('sf')!r} / {b.get('sf')!r}) - N={n:g} unvalidated")
+
     rows = []
     for q, t1 in a["queries"].items():
         t2 = b["queries"].get(q)

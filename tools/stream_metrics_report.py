@@ -80,31 +80,40 @@ if "--attrib" in sys.argv:
         ("writer_stall_ms", lambda p: custom_sum(p, "rocksdbWriterStallLatencyMs")),
         ("sst_size_mb", lambda p: custom_sum(p, "rocksdbSstFileSize") / 1e6),
     ]
-    rows = []
-    prev_gc = [None]
+    raw = []
     for line in open(path):
         p = json.loads(line)
         if p.get("name") != name or p.get("numInputRows", 0) <= 0:
             continue
-        vals = [f(p) for _, f in SERIES]
-        # graftGcMs is CUMULATIVE JVM GC time spliced in by
-        # StreamMetricsListener (r14) - diff it into a per-trigger series;
-        # absent in older captures -> series of zeros
-        gc = p.get("graftGcMs")
+        raw.append((p.get("batchId", 0), [f(p) for _, f in SERIES],
+                    p.get("graftGcMs"), p.get("graftHeapUsedMb", 0)))
+    # graftGcMs is CUMULATIVE per-JVM GC time spliced in by
+    # StreamMetricsListener (r14) - diff it into a per-trigger series AFTER
+    # the batchId sort (r14 ADVICE: a file-order diff attributed out-of-
+    # order lines wrongly), clamped at 0 so a counter reset across an
+    # appended second JVM run cannot produce a negative delta; absent in
+    # older captures -> series of zeros
+    raw.sort(key=lambda r: r[0])
+    rows = []
+    prev_gc = None
+    for _, vals, gc, heap in raw:
         if gc is not None:
-            vals.append(gc - prev_gc[0] if prev_gc[0] is not None else 0)
-            prev_gc[0] = gc
-            vals.append(p.get("graftHeapUsedMb", 0))
+            vals = vals + [max(0, gc - prev_gc) if prev_gc is not None else 0,
+                           heap]
+            prev_gc = gc
         else:
-            vals.extend([0, 0])
-        rows.append((p.get("batchId", 0), vals))
+            vals = vals + [0, 0]
+        rows.append(vals)
     SERIES = SERIES + [("gc_delta_ms", None), ("heap_used_mb", None)]
-    rows = [v for _, v in sorted(rows)][2:]  # drop 2 warmup triggers
+    rows = rows[2:]  # drop 2 warmup triggers
     if len(rows) < 6:
         raise SystemExit(f"{name}: only {len(rows)+2} data triggers - no trend")
     third = len(rows) // 3
     print(f"{name}: {len(rows)} data triggers (2 warmup dropped), "
           f"thirds of {third}")
+    print("note: gc_delta_ms is the JVM-wide GC spent between this query's "
+          "consecutive triggers - GC from other queries' interleaved "
+          "triggers lands here too (per-JVM counter, not per-query)")
     print(f"| series | first-third mean | last-third mean | ratio |")
     print("|---|---|---|---|")
     vals = {}
