@@ -39,14 +39,40 @@ object Tables {
     }
   }
 
+  /** PLAN cache (optimization r15): `spark.read.parquet` pays a driver-side
+    * file listing + footer schema read on EVERY call, and the registry
+    * re-loads the same 10 read-only fixture tables hundreds of times per
+    * bench pass (~0.55 s per [[registerAll]] × 32 SQL entries measured via
+    * PlanDump). A DataFrame is an immutable logical plan — reusing it is
+    * plan reuse, not result reuse: every action still scans the parquet.
+    * Keyed per (session, dir, name); entries of stopped sessions are
+    * dropped on access so the map can't pin dead contexts. Fixtures are
+    * read-only by contract, so a cached listing can never go stale.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
-      .foldLeft(raw)(normalizeTs)
+    planCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    planCache.computeIfAbsent((spark, dir, name), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
+        .foldLeft(raw)(normalizeTs)
+    })
   }
 
+  /** Last dir registered per session — [[registerAll]] is called by every
+    * SQL registry entry, but re-registering identical views is pure driver
+    * overhead; skip unless the target dir actually changed.
+    */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
   /** Register every fixture table as a temp view for `spark.sql`. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    registered.keySet.removeIf(_.sparkContext.isStopped)
+    if (registered.put(spark, dir) != dir)
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
