@@ -36,22 +36,29 @@ object ProfileStreaming {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         System.err.println(s"[profile] terminated ${e.id}")
     })
-    // Exact-name lookup first; else prefix over SORTED keys, erroring on
-    // ambiguity — Map.find over hash order would pick an arbitrary match
-    // for a prefix like "s1" (s10/s11/s14/...).
-    val (name, fn) = SparkEntry.queries.get(entry).map(entry -> _).getOrElse {
-      val hits = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(entry))
-      hits match {
-        case Seq(one) => one -> SparkEntry.queries(one)
-        case Seq() => sys.error(s"no entry matching $entry")
-        case many => sys.error(s"ambiguous prefix $entry: ${many.mkString(", ")}")
+    // Comma-separated list of entries; each resolved by exact-name lookup
+    // first, else prefix over SORTED keys, erroring on ambiguity —
+    // Map.find over hash order would pick an arbitrary match for a prefix
+    // like "s1" (s10/s11/s14/...).
+    val resolved: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      entry.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+        SparkEntry.queries.get(e).map(e -> _).getOrElse {
+          val hits = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(e))
+          hits match {
+            case Seq(one) => one -> SparkEntry.queries(one)
+            case Seq() => sys.error(s"no entry matching $e")
+            case many => sys.error(s"ambiguous prefix $e: ${many.mkString(", ")}")
+          }
+        }
       }
-    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "2").toInt
-    (1 to passes).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      System.err.println(f"[profile] $name pass $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    resolved.foreach { case (name, fn) =>
+      System.err.println(s"[profile] ===== $name =====")
+      (1 to passes).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        System.err.println(f"[profile] $name pass $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -269,7 +269,7 @@ object QueriesPipeline {
     keeperCache.get(s, dir, () => graft.operators.Dedup
       .connectedComponents(minhashPairs(s, dir).select(col("id_a"), col("id_b"))))
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     // the pair set is shared verbatim by p03 (emits it), p17 (clusters it)
     // and p19; it is tiny (one row per near-dup pair), so persist from the
     // FIRST access — the first consumer executes the pipeline anyway and
@@ -348,11 +348,15 @@ object QueriesPipeline {
     * KEPT (left join): the audit must see band collisions that share no
     * shingle at all. One row per candidate pair → persist at first access.
     */
-  private def sharedScoredPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedScoredPairs(s: SparkSession, dir: String): DataFrame =
     scoredPairsCache.get(s, dir, () => {
       val sh = sharedShingleHashes(s, dir)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val cand = bandCandidates(sh)
+      // ONE aggregation pass over the index yields both the signatures
+      // (→ band candidates) and the per-doc sizes — the sizes frame is a
+      // projection of the sig aggregate, not a second full groupBy
+      val sigN = minhashSigN(sh)
+      val sizes = sigN.select(col("doc_id"), col("n"))
+      val cand = bandCandidatesOfSig(sigN)
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
@@ -369,8 +373,16 @@ object QueriesPipeline {
     * [[minhashPairs]], shared with p54's precision audit so the audited
     * candidate set is exactly the production one.
     */
-  private def bandCandidates(sh: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSig(sh))
+  private[graft] def bandCandidates(sh: DataFrame): DataFrame =
+    bandCandidatesOfSig(minhashSig(sh))
+
+  /** [[bandCandidates]] over an already-aggregated signature frame — lets
+    * [[sharedScoredPairs]] reuse its combined sig+size aggregate instead of
+    * aggregating the index a second time ([[minhashBands]]'s select drops
+    * any extra columns, so a [[minhashSigN]] frame works unchanged).
+    */
+  private[graft] def bandCandidatesOfSig(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
     bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("key"), col("doc_id").as("id_b")),
         Seq("band", "key"))
@@ -383,15 +395,27 @@ object QueriesPipeline {
     * ([[minhashPairs]]) and the incremental batch probe (p33) so the two
     * can never desynchronize.
     */
-  private def minhashSig(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSig(sh: DataFrame): DataFrame =
+    minhashSigN(sh).drop("n")
+
+  /** [[minhashSig]] plus the doc's shingle-set size `n` folded into the
+    * SAME aggregation pass (optimization r15, guide §2.4 "aggregate once"):
+    * [[sharedScoredPairs]] previously ran a second full groupBy over the
+    * index just for sizes — at 100 TB that is an entire extra pass over the
+    * materialized inverted index; the count rides the signature aggregate
+    * for free. Values are identical by construction (same groups, same
+    * rows), so every consumer's result is unchanged.
+    */
+  private[graft] def minhashSigN(sh: DataFrame): DataFrame = {
     import MinHashParams._
     val sigCols = (0 until K).map(i =>
-      min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i"))
+      min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i")) :+
+      count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** LSH band keys (doc_id, band, key) of a [[minhashSig]] frame. */
-  private def minhashBands(sig: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sig: DataFrame): DataFrame = {
     import MinHashParams._
     val bandKeys = (0 until Bands).map(bd =>
       concat_ws(",", (0 until Rows).map(r => col(s"s${bd * Rows + r}")): _*))

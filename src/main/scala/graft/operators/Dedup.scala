@@ -30,12 +30,22 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("id_a", "id_b")
-    // materialize the edge set ONCE: every propagation round joins against
+    // materialize the edge set ONCE — every propagation round joins against
     // it, and without this the (possibly expensive) pair-producing pipeline
-    // upstream would re-execute per round
+    // upstream would re-execute per round — and PRE-PARTITIONED on `dst`,
+    // the join key of every round (optimization r15, guide §2.4): the
+    // checkpointed LogicalRDD retains its hash partitioning, so no round
+    // re-shuffles the edge set; only the (smaller) label frame moves. This
+    // is the local realization of the documented 100 TB design ("edges
+    // bucketed by the join key"). The explicit partition count keeps AQE
+    // from coalescing the exchange (a coalesced width would no longer match
+    // downstream joins and reintroduce the per-round edge shuffle).
+    val session = pairs.sparkSession
+    val edgeParts = session.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = p
       .unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
+      .repartition(edgeParts, col("dst"))
       .localCheckpoint()
     // initial labels FUSE the first propagation round: keeper₀ =
     // min(id, min(neighbors)) in one aggregation over the symmetric edge
@@ -51,18 +61,26 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("dst"), col("keeper")), "dst")
         .select(col("src").as("id"), col("keeper"))
-      val next = labels.unionAll(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("keeper")).as("keeper"))
+      // the previous label rides the SAME aggregate as the new one (null
+      // from the neighbor side — min() skips nulls, and every id has
+      // exactly one labels row, so `old` is exactly the prior keeper):
+      // convergence is then a filter over the just-materialized blocks
+      // instead of a per-round join job (optimization r15 — one fewer
+      // shuffle join per round, locally and at scale)
+      val keeperType = labels.schema("keeper").dataType
+      val next = labels.select(col("id"), col("keeper"), col("keeper").as("old"))
+        .unionAll(viaNeighbor.select(col("id"), col("keeper"),
+          lit(null).cast(keeperType).as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("keeper")).as("keeper"), min(col("old")).as("old"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("keeper").as("old")), "id")
-        .filter(col("keeper") =!= col("old")).isEmpty
+      converged = next.filter(col("keeper") =!= col("old")).isEmpty
       // `next` is materialized (eager localCheckpoint) and the convergence
       // check above has consumed the previous round — its cached blocks are
       // dead from here on; drop them instead of letting rounds accumulate
       labelBlocks.foreach(_.unpersist(blocking = false))
       labelBlocks = checkpointBlocks(next)
-      labels = next
+      labels = next.select(col("id"), col("keeper"))
     }
     // the edge set is only needed during propagation, not by the result
     checkpointBlocks(edges).foreach(_.unpersist(blocking = false))
