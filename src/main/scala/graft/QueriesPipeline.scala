@@ -136,6 +136,36 @@ object QueriesPipeline {
   private[graft] def sharedShingleHashes(s: SparkSession, dir: String): DataFrame =
     shCache.get(s, dir, () => shingleHashes(Corpus.docs(s, dir)))
 
+  /** Per-doc shingle-set sizes `(doc_id, n)` over the SHARED index
+    * (optimization r15, guide §2.4 "aggregate once"): p02/p21/p23/p24/p41/
+    * p72 each ran the identical groupBy over the shared index — one
+    * aggregation pass per consumer. One tiny result (a row per doc), so
+    * persist from the first access; consumers rename `n` as needed.
+    */
+  private val sizesCache = new SharedPlanCache(persistAtHit = 1)
+  private[graft] def sharedShingleSizes(s: SparkSession, dir: String): DataFrame =
+    sizesCache.get(s, dir, () => sharedShingleHashes(s, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+
+  /** Uncapped shingle-intersection counts `(id_a, id_b, ni)` with
+    * id_a < id_b — the inverted-index self-join, the dedup family's single
+    * most expensive join (p02's comment: "at 100 TB the inverted-index
+    * join is the whole cost, so it must run exactly once"). Optimization
+    * r15 makes that literal ACROSS entries: p02 emits this table and p41's
+    * containment consumes it mirrored (intersection counts are symmetric
+    * in the pair, so the =!= orientation is the union of this table with
+    * its swap) — the self-join now executes once per family, not twice.
+    */
+  private val interCache = new SharedPlanCache(persistAtHit = 1)
+  private[graft] def sharedInterCounts(s: SparkSession, dir: String): DataFrame =
+    interCache.get(s, dir, () => {
+      val sh = sharedShingleHashes(s, dir)
+      sh.select(col("doc_id").as("id_a"), col("h"))
+        .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    })
+
   /** Norm-annotated corpus vectors, shared by the whole embedding family
     * (p05/p06/p07/p14/p20/p22): the exact-decimal self-dot behind `norm` is
     * the one genuinely expensive per-row kernel, and every member needs the
@@ -233,6 +263,7 @@ object QueriesPipeline {
     shCache.releaseAll(); vecCache.releaseAll()
     pairsCache.releaseAll(); keeperCache.releaseAll()
     scoredPairsCache.releaseAll()
+    sizesCache.releaseAll(); interCache.releaseAll()
   }
 
   /** DuckDB CTEs mirroring [[shingleHashes]] over the [[Corpus.docsSql]]
@@ -516,8 +547,12 @@ object QueriesPipeline {
        ELSE 0.0 END"""
   }
 
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** `sizes` is `(doc_id, n)` over the same `sh` — passed in so callers on
+    * the shared family index reuse [[sharedShingleSizes]] instead of
+    * re-aggregating it (r15).
+    */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame = {
     val inter = cand
       .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
@@ -814,13 +849,10 @@ object QueriesPipeline {
         // ONE self-join: the grouped pair-count IS the intersection size —
         // no candidate-distinct + re-join round trip (that tripled the
         // shuffle volume; at 100 TB the inverted-index join is the whole
-        // cost, so it must run exactly once).
-        val sh = sharedShingleHashes(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("id_a"), col("h"))
-          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+        // cost, so it must run exactly once — and since r15 it runs once
+        // for the whole family via [[sharedInterCounts]]/[sharedShingleSizes]]).
+        val sizes = sharedShingleSizes(s, dir)
+        val inter = sharedInterCounts(s, dir)
         inter
           .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
           .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
@@ -1582,7 +1614,7 @@ object QueriesPipeline {
           .join(idx.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b")).distinct()
-        jaccardOf(cand, sh, 0.6)
+        jaccardOf(cand, sh, sharedShingleSizes(s, dir), 0.6)
       },
       Some(s"""WITH $sqlShingleCtes,
              rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $JaccardDfCap),
@@ -1620,7 +1652,7 @@ object QueriesPipeline {
           .select(col("h")).distinct()
         val hits = sh.join(broadcast(bench), "h")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val sizes = sharedShingleSizes(s, dir)
         hits.join(sizes, "doc_id")
           .select(col("doc_id"), col("n_hits"), col("n"),
             (col("n_hits").cast("double") / col("n")).as("ratio"))
@@ -1651,8 +1683,8 @@ object QueriesPipeline {
           .select(col("doc_id"),
             greatest(size(toks) - 2, lit(0)).cast("long").as("total"))
           .filter(col("total") > 0)
-        val distincts = sharedShingleHashes(s, dir)
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
+        val distincts = sharedShingleSizes(s, dir)
+          .withColumnRenamed("n", "n_distinct")
         totals.join(distincts, "doc_id")
           .select(col("doc_id"), col("total"), col("n_distinct"),
             (lit(1.0) - col("n_distinct").cast("double") / col("total")).as("rep_ratio"))
@@ -2344,12 +2376,13 @@ object QueriesPipeline {
     // exactly as in p21. Integer counts, one IEEE division — bit-stable.
     NamedQuery("p41_dedup_containment",
       (s, dir) => {
-        val sh = sharedShingleHashes(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("id_a"), col("h"))
-          .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
-          .filter(col("id_a") =!= col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+        // the =!= orientation is the shared ordered intersection table
+        // plus its mirror — intersection counts are symmetric, so the
+        // expensive inverted-index self-join is not re-run here (r15)
+        val ordered = sharedInterCounts(s, dir)
+        val sizes = sharedShingleSizes(s, dir)
+        val inter = ordered.unionAll(ordered.select(
+          col("id_b").as("id_a"), col("id_a").as("id_b"), col("ni")))
         inter
           .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
           .filter(col("na") >= 5 &&
@@ -2949,7 +2982,12 @@ object QueriesPipeline {
     NamedQuery("p52_source_overlap",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val sh = shingleHashes(d.select(col("doc_id"), col("text")))
+        // base-document shingles are exactly the doc_id < NearIdOffset
+        // slice of the SHARED family index (planted copies live at +1e6 /
+        // +2e6, and shingling is per-row, so the union members never
+        // interact) — reuse it instead of re-tokenizing the corpus (r15)
+        val sh = sharedShingleHashes(s, dir)
+          .filter(col("doc_id") < Corpus.NearIdOffset)
           .join(d.select(col("doc_id"), col("source")), "doc_id")
           .select(col("source"), col("h")).distinct()
         val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -3968,7 +4006,7 @@ object QueriesPipeline {
         val f1 = sharedKeepers(s, dir).filter(!col("kept"))
           .select(col("doc_id"), lit(true).as("f1"))
         val sh = sharedShingleHashes(s, dir)
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val sz = sharedShingleSizes(s, dir)
         val toksz = GF.tokens(col("text"))
         val f3 = docs
           .select(col("doc_id"), greatest(size(toksz) - 2, lit(0)).cast("long").as("total"))
