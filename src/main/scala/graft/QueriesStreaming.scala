@@ -82,6 +82,21 @@ object QueriesStreaming {
   private def sink(tag: String, dir: String): String =
     tag + "_" + java.lang.Integer.toHexString(dir.hashCode)
 
+  /** Raw parquet schema per (session, path), memoized (optimization r15):
+    * every streaming entry re-read parquet footers just to seed
+    * `readStream.schema(...)` with the file's RAW schema — repeated
+    * driver-side work over read-only fixture/staging paths (~30–60 ms per
+    * read, ~10 sites × passes). Plan-level only; the streamed data is
+    * still read from the files on every run. Entries of stopped sessions
+    * are dropped on access.
+    */
+  private val rawSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]
+  private def rawSchema(s: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    rawSchemaCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    rawSchemaCache.computeIfAbsent((s, path), _ => s.read.parquet(path).schema)
+  }
+
   /** Streaming read of the events fixture with the same ns→µs TIMESTAMP_NTZ
     * normalization Tables.load applies to the batch read (the fixture's
     * `ts` has shipped as both TIMESTAMP(NANOS) and micros across fixture
@@ -93,7 +108,7 @@ object QueriesStreaming {
     // the file-stream source only accepts directories: stream the fixture
     // dir with a glob restricted to the events table
     Tables.normalizeTs(
-      s.readStream.schema(s.read.parquet(path).schema)
+      s.readStream.schema(rawSchema(s, path))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir),
       "ts")
@@ -163,7 +178,7 @@ object QueriesStreaming {
                                        (body: DataFrame => T): T = {
     val stage = stagedDir(s, dir, chunks)
     val ev = Tables.normalizeTs(
-      s.readStream.schema(s.read.parquet(stage.toString).schema)
+      s.readStream.schema(rawSchema(s, stage.toString))
         .option("maxFilesPerTrigger", filesPerTrigger.toString)
         .parquet(stage.toString),
       "ts")
@@ -1193,7 +1208,7 @@ object QueriesStreaming {
           val idx = QueriesPipeline.materializedCorpusIndex(s, dir)
           idx.sh.persist(); idx.bands.persist(); idx.sizes.persist()
           try {
-            val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+            val src = s.readStream.schema(rawSchema(s, stage.toString))
               .option("maxFilesPerTrigger", "1")
               .parquet(stage.toString)
             val probeBatch: (DataFrame, Long) => Unit = (batch, _) =>
@@ -1241,7 +1256,7 @@ object QueriesStreaming {
             .write.mode("overwrite").parquet(stage.toString)
           val blocklist = docs.filter(col("source") === "src0")
             .select(pfx.as("pfx")).distinct()
-          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+          val src = s.readStream.schema(rawSchema(s, stage.toString))
             .option("maxFilesPerTrigger", "1")
             .parquet(stage.toString)
             .withColumn("pfx", pfx)
@@ -1332,7 +1347,7 @@ object QueriesStreaming {
             .unionAll(bad)
             .repartitionByRange(3, col("event_id"))
             .write.mode("overwrite").parquet(stage.toString)
-          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+          val src = s.readStream.schema(rawSchema(s, stage.toString))
             // 2 files/trigger: the split is stateless per-row (chunking
             // cannot change the result, per the gate note above), so two
             // triggers prove the multi-batch double-write at 2/3 the
@@ -1632,7 +1647,7 @@ object QueriesStreaming {
           }
           def runPhase(): Unit = {
             val ev = s.readStream
-              .schema(s.read.parquet(stageAll.toString).schema)
+              .schema(rawSchema(s, stageAll.toString))
               .option("maxFilesPerTrigger", "1")
               .parquet(live.toString)
             val dedup = Tables.normalizeTs(ev, "ts")
@@ -1787,7 +1802,7 @@ object QueriesStreaming {
           def runPhase(): Unit = {
             val ev = Tables.normalizeTs(
               s.readStream
-                .schema(s.read.parquet(stageAll.toString).schema)
+                .schema(rawSchema(s, stageAll.toString))
                 // 2 files/trigger: each phase still commits its own
                 // batch(es) to the checkpoint — the restart contract under
                 // gate lives at the PHASE boundary, not in intra-phase
@@ -1878,7 +1893,7 @@ object QueriesStreaming {
           def runPhase(): Unit = {
             val ev = Tables.normalizeTs(
               s.readStream
-                .schema(s.read.parquet(stageAll.toString).schema)
+                .schema(rawSchema(s, stageAll.toString))
                 // 2 files/trigger — s33's reasoning: the restart contract
                 // under gate lives at the phase boundary, and the ledger
                 // skip/apply paths are exercised per batch either way
@@ -1943,7 +1958,7 @@ object QueriesStreaming {
             .select(col("doc_id"), col("n_chars"), col("text"))
             .repartitionByRange(4, col("doc_id"))
             .write.mode("overwrite").parquet(stage.toString)
-          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
+          val src = s.readStream.schema(rawSchema(s, stage.toString))
             // 2 files/trigger: the XOR fold is commutative/associative, so
             // batch boundaries cannot change the converged manifest (the
             // gate's own point) — two triggers prove the incremental fold
