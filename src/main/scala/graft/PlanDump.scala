@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Diagnostic main (optimization rounds): dump `.explain("formatted")` for
@@ -27,15 +26,9 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val exec = sys.env.getOrElse("SPARK_GRAFT_PLAN_EXEC", "1") == "1"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard local session (same settings the bench uses),
+    // so dumped plans ARE the benched plans
+    val spark = GraftEngine.localSession(cores = cpus.toInt, appName = "graft-plandump")
     Files.createDirectories(Paths.get(outDir))
     // same warmup as Bench so first-entry costs are not Janino/JIT noise
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())

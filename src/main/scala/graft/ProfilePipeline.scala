@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main (optimization rounds): time the LSH dedup family's
   * internal stages in isolation — attributes p02/p03's cost to index
@@ -12,15 +11,9 @@ object ProfilePipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's standard local session — profiled stage costs must be
+    // measured under the same config the bench runs
+    val spark = GraftEngine.localSession(cores = cpus.toInt, appName = "graft-profilepipeline")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "2").toInt
     def time(tag: String)(body: => Long): Unit = {

@@ -86,9 +86,12 @@ object QueriesStreaming {
     * every streaming entry re-read parquet footers just to seed
     * `readStream.schema(...)` with the file's RAW schema — repeated
     * driver-side work over read-only fixture/staging paths (~30–60 ms per
-    * read, ~10 sites × passes). Plan-level only; the streamed data is
-    * still read from the files on every run. Entries of stopped sessions
-    * are dropped on access.
+    * read). Plan-level only; the streamed data is still read from the
+    * files on every run. Used ONLY for stable paths (the fixture dir and
+    * the per-JVM shared staged dirs) — entries whose stage is a fresh
+    * createTempDirectory per invocation read directly (a memo entry for a
+    * single-use path is pure churn). Entries of stopped sessions are
+    * dropped on access.
     */
   private val rawSchemaCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.sql.types.StructType]
@@ -1208,7 +1211,7 @@ object QueriesStreaming {
           val idx = QueriesPipeline.materializedCorpusIndex(s, dir)
           idx.sh.persist(); idx.bands.persist(); idx.sizes.persist()
           try {
-            val src = s.readStream.schema(rawSchema(s, stage.toString))
+            val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(stage.toString)
             val probeBatch: (DataFrame, Long) => Unit = (batch, _) =>
@@ -1256,7 +1259,7 @@ object QueriesStreaming {
             .write.mode("overwrite").parquet(stage.toString)
           val blocklist = docs.filter(col("source") === "src0")
             .select(pfx.as("pfx")).distinct()
-          val src = s.readStream.schema(rawSchema(s, stage.toString))
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(stage.toString)
             .withColumn("pfx", pfx)
@@ -1347,7 +1350,7 @@ object QueriesStreaming {
             .unionAll(bad)
             .repartitionByRange(3, col("event_id"))
             .write.mode("overwrite").parquet(stage.toString)
-          val src = s.readStream.schema(rawSchema(s, stage.toString))
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
             // 2 files/trigger: the split is stateless per-row (chunking
             // cannot change the result, per the gate note above), so two
             // triggers prove the multi-batch double-write at 2/3 the
@@ -1647,7 +1650,7 @@ object QueriesStreaming {
           }
           def runPhase(): Unit = {
             val ev = s.readStream
-              .schema(rawSchema(s, stageAll.toString))
+              .schema(s.read.parquet(stageAll.toString).schema)
               .option("maxFilesPerTrigger", "1")
               .parquet(live.toString)
             val dedup = Tables.normalizeTs(ev, "ts")
@@ -1958,7 +1961,7 @@ object QueriesStreaming {
             .select(col("doc_id"), col("n_chars"), col("text"))
             .repartitionByRange(4, col("doc_id"))
             .write.mode("overwrite").parquet(stage.toString)
-          val src = s.readStream.schema(rawSchema(s, stage.toString))
+          val src = s.readStream.schema(s.read.parquet(stage.toString).schema)
             // 2 files/trigger: the XOR fold is commutative/associative, so
             // batch boundaries cannot change the converged manifest (the
             // gate's own point) — two triggers prove the incremental fold

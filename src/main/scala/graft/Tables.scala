@@ -49,17 +49,36 @@ object Tables {
     * dropped on access so the map can't pin dead contexts. Fixtures are
     * read-only by contract, so a cached listing can never go stale.
     */
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), ((Long, Long), DataFrame)]
+
+  /** Cheap staleness guard for the plan cache: one stat of the table path
+    * (size + mtime — a directory's mtime changes when part files are
+    * added/removed). Fixtures are read-only by contract, but the corpus
+    * index learned in advice r7 that "regenerated in place mid-JVM" must
+    * not silently serve stale bytes — the same rule applies here, at the
+    * cost of a single stat instead of the full listing+footer read.
+    */
+  private def pathStamp(path: String): (Long, Long) =
+    try {
+      val a = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      (a.size, a.lastModifiedTime.toMillis)
+    } catch { case _: Exception => (-1L, -1L) }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     planCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    planCache.computeIfAbsent((spark, dir, name), { _ =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
-        .foldLeft(raw)(normalizeTs)
-    })
+    val stamp = pathStamp(s"$dir/$name.parquet")
+    planCache.compute((spark, dir, name), { (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        stamp -> nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
+          .foldLeft(raw)(normalizeTs)
+      }
+    })._2
   }
 
   /** Last dir registered per session — [[registerAll]] is called by every
@@ -69,10 +88,17 @@ object Tables {
   private val registered =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
 
-  /** Register every fixture table as a temp view for `spark.sql`. */
+  /** Register every fixture table as a temp view for `spark.sql`. The
+    * success marker is recorded AFTER all ten views exist: Verify catches
+    * per-entry Throwables and continues, so a registration that failed
+    * partway (transient FS error) must be retried by the next entry, not
+    * skipped for the rest of the run.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registered.keySet.removeIf(_.sparkContext.isStopped)
-    if (registered.put(spark, dir) != dir)
+    if (!dir.equals(registered.get(spark))) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
   }
 }
