@@ -155,6 +155,15 @@ object QueriesPipeline {
     * containment consumes it mirrored (intersection counts are symmetric
     * in the pair, so the =!= orientation is the union of this table with
     * its swap) — the self-join now executes once per family, not twice.
+    *
+    * persistAtHit = 1 deliberately: with exactly two consumers, persisting
+    * from the second access would re-execute the join for the second
+    * consumer and lose the sharing entirely. The lone-run tradeoff (a
+    * BENCH_ONLY=p02 run persists a table nothing reuses) is the same one
+    * pairsCache/scoredPairsCache already accept; the table is one row per
+    * colliding pair (small next to the index that produces it), and at
+    * 100 TB this is the intermediate a production pipeline would
+    * materialize to storage for the family anyway.
     */
   private val interCache = new SharedPlanCache(persistAtHit = 1)
   private[graft] def sharedInterCounts(s: SparkSession, dir: String): DataFrame =
