@@ -37,6 +37,13 @@ object ProfilePipeline {
       time("minhash pairs (=p03)")(QueriesPipeline.minhashPairs(spark, sfDir).count())
       time("p03 full entry")(SparkEntry.queries("p03_dedup_minhash_lsh")(spark, sfDir).count())
       time("p02 full entry")(SparkEntry.queries("p02_dedup_ngram_jaccard")(spark, sfDir).count())
+      // p04 attribution (optimization r16): the typed-udaf signature
+      // aggregate vs the block self-join + distinct
+      time("p04 simhash sig (udaf)")(QueriesPipeline.simhashSigOnly(spark, sfDir).count())
+      time("p04 simhash sig (packed)")(QueriesPipeline.simhashSigPacked(
+        QueriesPipeline.sharedShingleHashes(spark, sfDir)).count())
+      time("p04 full entry")(SparkEntry.queries("p04_dedup_simhash")(spark, sfDir).count())
+      time("pairStats (p02 core)")(QueriesPipeline.sharedPairStats(spark, sfDir).count())
     }
     spark.stop()
   }

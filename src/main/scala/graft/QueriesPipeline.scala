@@ -147,32 +147,61 @@ object QueriesPipeline {
     sizesCache.get(s, dir, () => sharedShingleHashes(s, dir)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
 
-  /** Uncapped shingle-intersection counts `(id_a, id_b, ni)` with
-    * id_a < id_b — the inverted-index self-join, the dedup family's single
-    * most expensive join (p02's comment: "at 100 TB the inverted-index
-    * join is the whole cost, so it must run exactly once"). Optimization
-    * r15 makes that literal ACROSS entries: p02 emits this table and p41's
-    * containment consumes it mirrored (intersection counts are symmetric
-    * in the pair, so the =!= orientation is the union of this table with
-    * its swap) — the self-join now executes once per family, not twice.
+  /** Uncapped shingle-intersection SURVIVOR stats
+    * `(id_a, id_b, ni, na, nb)` with id_a < id_b — the inverted-index
+    * self-join, the dedup family's single most expensive join (p02's
+    * comment: "at 100 TB the inverted-index join is the whole cost, so it
+    * must run exactly once"). Optimization r15 made that literal ACROSS
+    * entries: p02 emits the table and p41's containment consumes it
+    * mirrored (intersection counts are symmetric in the pair, so the =!=
+    * orientation is the union of this table with its swap) — the self-join
+    * executes once per family, not twice.
+    *
+    * Optimization r16 (guide §2.3 "shuffle fewer bytes", §5 "caching
+    * competes with execution memory"): r15 persisted the RAW pair-count
+    * table — 2,015,320 rows at sf0.1 — and each consumer then re-joined it
+    * to sizes and filtered. The sizes joins now ride the shared build ONCE
+    * (both are AQE broadcast joins of the tiny per-doc size frame), and
+    * the persisted table keeps only rows that can satisfy SOME consumer —
+    * the union of p02's Jaccard cut and p41's containment cut in either
+    * orientation (each consumer re-applies its own exact predicate, and
+    * the union prefilter uses the identical expressions, so per-consumer
+    * results are unchanged; ~3 orders of magnitude fewer rows
+    * materialized). The full pair set still flows through the join+count
+    * (the honest verification cost at any scale) — what changes is what
+    * is KEPT, which at 100 TB is the difference between materializing a
+    * near-quadratic candidate table and materializing the survivors.
     *
     * persistAtHit = 1 deliberately: with exactly two consumers, persisting
     * from the second access would re-execute the join for the second
     * consumer and lose the sharing entirely. The lone-run tradeoff (a
     * BENCH_ONLY=p02 run persists a table nothing reuses) is the same one
-    * pairsCache/scoredPairsCache already accept; the table is one row per
-    * colliding pair (small next to the index that produces it), and at
-    * 100 TB this is the intermediate a production pipeline would
-    * materialize to storage for the family anyway.
+    * pairsCache/scoredPairsCache already accept — and post-r16 the
+    * persisted frame is a few thousand survivor rows, so the lone-run
+    * cost is negligible.
+    *
+    * COUPLING NOTE: the keep-predicate below is the disjunction of the
+    * consumer thresholds (p02: jac ≥ 0.6; p41: n ≥ 5 ∧ ni/n ≥ 0.9 in
+    * either orientation). A new consumer, or a threshold change in
+    * p02/p41, must update it or lose rows silently.
     */
   private val interCache = new SharedPlanCache(persistAtHit = 1)
-  private[graft] def sharedInterCounts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedPairStats(s: SparkSession, dir: String): DataFrame =
     interCache.get(s, dir, () => {
       val sh = sharedShingleHashes(s, dir)
-      sh.select(col("doc_id").as("id_a"), col("h"))
+      val sizes = sharedShingleSizes(s, dir)
+      val inter = sh.select(col("doc_id").as("id_a"), col("h"))
         .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      val jac = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
+      def cont(n: Column): Column =
+        n >= 5 && col("ni").cast("double") / n >= 0.9
+      inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        .filter(jac >= 0.6 || cont(col("na")) || cont(col("nb")))
+        .select(col("id_a"), col("id_b"), col("ni"), col("na"), col("nb"))
     })
 
   /** Norm-annotated corpus vectors, shared by the whole embedding family
@@ -393,10 +422,21 @@ object QueriesPipeline {
       val sh = sharedShingleHashes(s, dir)
       // ONE aggregation pass over the index yields both the signatures
       // (→ band candidates) and the per-doc sizes — the sizes frame is a
-      // projection of the sig aggregate, not a second full groupBy
-      val sigN = minhashSigN(sh)
+      // projection of the sig aggregate, not a second full groupBy.
+      //
+      // Both tiny intermediates are MATERIALIZED once (optimization r16,
+      // guide §2.4): `sigN` is referenced three times in the assembled
+      // plan (bands + the two size joins) and `cand` twice (the verify
+      // join + the zero-keeping left join) — exchange reuse shares only
+      // the shuffle; every operator ABOVE the reused exchange (the final
+      // aggregate, the band self-join, the distinct) re-executed per
+      // reference. localCheckpoint pins each to one execution — one row
+      // per doc / per candidate pair, so the blocks are trivially small;
+      // they are released with the cache entry at the family boundary
+      // (releaseCheckpoints walks the plan for LogicalRDDs).
+      val sigN = minhashSigN(sh).localCheckpoint()
       val sizes = sigN.select(col("doc_id"), col("n"))
-      val cand = bandCandidatesOfSig(sigN)
+      val cand = bandCandidatesOfSig(sigN).localCheckpoint()
       val inter = cand
         .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
@@ -452,6 +492,57 @@ object QueriesPipeline {
       min(GF.affineHash(col("h"), a(i), b(i))).as(s"s$i")) :+
       count(lit(1)).as("n")
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** p04's signature aggregate alone (diagnostic, ProfilePipeline r16):
+    * isolates the typed-udaf SimHashSig groupBy from the downstream block
+    * self-join so the two costs can be attributed separately.
+    */
+  private[graft] def simhashSigOnly(s: SparkSession, dir: String): DataFrame = {
+    import SimHashParams._
+    sharedShingleHashes(s, dir).groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashSig.simhash_sig(col("h"),
+        (0 until Bits).map(a).toArray, (0 until Bits).map(b).toArray,
+        P, Half).as("sig"))
+  }
+
+  /** SimHash signature `(doc_id, sig)` as LANE-PACKED codegen'd sums
+    * (optimization r16, guide §4 "eliminate non-codegen aggregates in the
+    * hot path"): the typed-udaf [[graft.functions.SimHashSig]] runs on the
+    * non-codegen ObjectHashAggregate path (scala call per row, sort-based
+    * fallback past 128 groups/task); this formulation is 16 plain `sum`
+    * buffers + `count` — the exact shape of [[minhashSigN]]'s 16 `min`
+    * buffers + count, which whole-stage-codegens into one tight update
+    * method (the 32-SEPARATE-column sum(when) formulation the SimHashSig
+    * scaladoc warns about is avoided: half the buffers, each a single long
+    * add).
+    *
+    * Math (bit-identical to the udaf): each row contributes vote +1/−1 per
+    * bit j; pack bits 2k (high lane) and 2k+1 (low lane) as
+    * `(hit₂ₖ << 32) | hit₂ₖ₊₁` with hit ∈ {0,1} and SUM. Lanes never
+    * interact: low-lane sums are < 2³² for any document with n < 2³¹
+    * distinct shingles (n also bounds the udaf's long counters; a single
+    * doc with 2³¹ shingles is past any real document size). Then
+    * cnt_j = hits, w_j = cnt_j − (n − cnt_j) = 2·cnt_j − n, and
+    * sig bit j = (w_j > 0) = (2·cnt_j > n) — same integer comparison, so
+    * ties (w_j = 0) break to 0 exactly as before.
+    */
+  private[graft] def simhashSigPacked(sh: DataFrame): DataFrame = {
+    import SimHashParams._
+    val half = Half
+    def hit(j: Int): Column =
+      when(GF.affineHash(col("h"), a(j), b(j)) > half, 1L).otherwise(0L)
+    val lanes = (0 until Bits / 2).map(k =>
+      sum(shiftleft(hit(2 * k), 32) + hit(2 * k + 1)).as(s"l$k"))
+    val aggCols = lanes :+ count(lit(1)).as("n")
+    val agg = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val sig = (0 until Bits / 2).map { k =>
+      val cntHi = shiftright(col(s"l$k"), 32)
+      val cntLo = col(s"l$k").bitwiseAND(lit(0xFFFFFFFFL))
+      when(cntHi * 2 > col("n"), lit(1L << (2 * k))).otherwise(lit(0L)) +
+        when(cntLo * 2 > col("n"), lit(1L << (2 * k + 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("sig"))
   }
 
   /** LSH band keys (doc_id, band, key) of a [[minhashSig]] frame. */
@@ -858,13 +949,11 @@ object QueriesPipeline {
         // ONE self-join: the grouped pair-count IS the intersection size —
         // no candidate-distinct + re-join round trip (that tripled the
         // shuffle volume; at 100 TB the inverted-index join is the whole
-        // cost, so it must run exactly once — and since r15 it runs once
-        // for the whole family via [[sharedInterCounts]]/[sharedShingleSizes]]).
-        val sizes = sharedShingleSizes(s, dir)
-        val inter = sharedInterCounts(s, dir)
-        inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        // cost, so it must run exactly once — since r15 it runs once for
+        // the whole family via [[sharedPairStats]], and since r16 the size
+        // joins ride that shared build too; this entry is the exact
+        // Jaccard cut over the survivor stats).
+        sharedPairStats(s, dir)
           .select(col("id_a"), col("id_b"),
             (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
           .filter(col("jac") >= 0.6)
@@ -902,13 +991,12 @@ object QueriesPipeline {
       (s, dir) => {
         import SimHashParams._
         val toks = sharedShingleHashes(s, dir)
-        // all 32 vote counters fold in ONE imperative aggregate (see
-        // SimHashSig's scaladoc: the 32-column sum(when(...)) formulation
-        // generated a JIT-hostile huge update method; vote math unchanged)
-        val sig = toks.groupBy(col("doc_id"))
-          .agg(graft.functions.SimHashSig.simhash_sig(col("h"),
-            (0 until Bits).map(a).toArray, (0 until Bits).map(b).toArray,
-            P, Half).as("sig"))
+        // all 32 vote counters fold in ONE codegen'd aggregation pass —
+        // 16 lane-packed sums + count (optimization r16, guide §4); see
+        // [[simhashSigPacked]] for the bit-identical vote math. The typed
+        // udaf ([[graft.functions.SimHashSig]], still property-tested) ran
+        // on the non-codegen ObjectHashAggregate path.
+        val sig = simhashSigPacked(toks)
         val blocks = sig.select(col("doc_id"), col("sig"),
           posexplode(array((0 until Blocks).map(bk =>
             shiftright(col("sig"), bk * BlockBits) % (1 << BlockBits)): _*))
@@ -2385,15 +2473,16 @@ object QueriesPipeline {
     // exactly as in p21. Integer counts, one IEEE division — bit-stable.
     NamedQuery("p41_dedup_containment",
       (s, dir) => {
-        // the =!= orientation is the shared ordered intersection table
+        // the =!= orientation is the shared ordered survivor-stats table
         // plus its mirror — intersection counts are symmetric, so the
-        // expensive inverted-index self-join is not re-run here (r15)
-        val ordered = sharedInterCounts(s, dir)
-        val sizes = sharedShingleSizes(s, dir)
+        // expensive inverted-index self-join is not re-run here (r15);
+        // sizes now arrive pre-joined on the shared table (r16), so the
+        // mirror just swaps (na, nb) along with the ids
+        val ordered = sharedPairStats(s, dir)
         val inter = ordered.unionAll(ordered.select(
-          col("id_b").as("id_a"), col("id_a").as("id_b"), col("ni")))
+          col("id_b").as("id_a"), col("id_a").as("id_b"), col("ni"),
+          col("nb").as("na"), col("na").as("nb")))
         inter
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
           .filter(col("na") >= 5 &&
             col("ni").cast("double") / col("na") >= 0.9)
           .select(col("id_a"), col("id_b"),

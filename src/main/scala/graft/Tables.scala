@@ -61,11 +61,32 @@ object Tables {
     */
   private def pathStamp(path: String): (Long, Long) =
     try {
+      val p = java.nio.file.Paths.get(path)
       val a = java.nio.file.Files.readAttributes(
-        java.nio.file.Paths.get(path),
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      (a.size, a.lastModifiedTime.toMillis)
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      if (a.isDirectory) {
+        // ADVICE r15: an in-place rewrite of an existing part file changes
+        // neither the directory's size nor its mtime — fold the direct
+        // children's sizes and max mtime into the stamp (one shallow
+        // listing; parquet "files" written by Spark are directories).
+        var (sz, mt) = (a.size, a.lastModifiedTime.toMillis)
+        val st = java.nio.file.Files.list(p)
+        try st.forEach { c =>
+          val ca = java.nio.file.Files.readAttributes(
+            c, classOf[java.nio.file.attribute.BasicFileAttributes])
+          sz += ca.size
+          mt = math.max(mt, ca.lastModifiedTime.toMillis)
+        } finally st.close()
+        (sz, mt)
+      } else (a.size, a.lastModifiedTime.toMillis)
     } catch { case _: Exception => (-1L, -1L) }
+
+  /** Bumped whenever a stamp mismatch REBUILDS a cached plan (ADVICE r15):
+    * temp views registered from the previous plan would otherwise keep the
+    * stale file listing, since [[registerAll]] skips re-registration for an
+    * unchanged dir. First-time builds don't bump — no view can predate them.
+    */
+  private val rebuildGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     planCache.keySet.removeIf(_._1.sparkContext.isStopped)
@@ -73,6 +94,7 @@ object Tables {
     planCache.compute((spark, dir, name), { (_, prev) =>
       if (prev != null && prev._1 == stamp) prev
       else {
+        if (prev != null) rebuildGen.incrementAndGet() // stale views must refresh
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         stamp -> nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
@@ -86,19 +108,22 @@ object Tables {
     * overhead; skip unless the target dir actually changed.
     */
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Long)]
 
   /** Register every fixture table as a temp view for `spark.sql`. The
     * success marker is recorded AFTER all ten views exist: Verify catches
     * per-entry Throwables and continues, so a registration that failed
     * partway (transient FS error) must be retried by the next entry, not
-    * skipped for the rest of the run.
+    * skipped for the rest of the run. The marker carries the [[rebuildGen]]
+    * observed after registering (ADVICE r15): any later stamp-mismatch
+    * rebuild bumps the generation, so the skip check fails and the views
+    * are refreshed from the rebuilt plans.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registered.keySet.removeIf(_.sparkContext.isStopped)
-    if (!dir.equals(registered.get(spark))) {
+    if (!(dir, rebuildGen.get()).equals(registered.get(spark))) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(spark, dir)
+      registered.put(spark, (dir, rebuildGen.get()))
     }
   }
 }

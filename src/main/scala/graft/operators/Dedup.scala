@@ -74,7 +74,12 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("keeper")).as("keeper"), min(col("old")).as("old"))
         .localCheckpoint()
-      converged = next.filter(col("keeper") =!= col("old")).isEmpty
+      // null `old` must read NOT-converged (ADVICE r15): today it is
+      // unreachable (labels seed from the full symmetric edge set, so every
+      // viaNeighbor id has a labels row and min(old) is its prior keeper),
+      // but a future seeding change must loop another round rather than
+      // silently terminate early with wrong components.
+      converged = next.filter(col("old").isNull || col("keeper") =!= col("old")).isEmpty
       // `next` is materialized (eager localCheckpoint) and the convergence
       // check above has consumed the previous round — its cached blocks are
       // dead from here on; drop them instead of letting rounds accumulate

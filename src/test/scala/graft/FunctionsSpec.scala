@@ -219,4 +219,25 @@ class FunctionsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaAgg == viaCols)
   }
+
+  test("simhashSigPacked equals the SimHashSig udaf group by group") {
+    // optimization r16: p04's registry entry switched from the typed udaf
+    // to the lane-packed codegen'd sum formulation — pin bit-equality of
+    // the two on a keyed hash table wide enough to exercise every lane,
+    // tie cases included (even group sizes can yield w_j = 0)
+    import spark.implicits._
+    val bits = 32
+    val p = PolyHash.Mod
+    val half = p / 2
+    val as = (0 until bits).map(j => ((j + 1) * 73939L + 3) % p).toArray
+    val bs = (0 until bits).map(j => ((j + 1) * 104729L + 17) % p).toArray
+    val rows = (1 to 700).map(i => (i % 23L, (i * 1103515245L + 12345L) % p))
+    val df = rows.toDF("doc_id", "h")
+    val viaUdaf = df.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashSig.simhash_sig(col("h"), as, bs, p, half).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPacked = QueriesPipeline.simhashSigPacked(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPacked == viaUdaf)
+  }
 }
