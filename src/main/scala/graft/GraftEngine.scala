@@ -159,6 +159,18 @@ object GraftEngine {
     new GraftEngine(spark, ms, src)
   }
 
+  /** AQE's runtime sort-merge → shuffled-hash join rewrite threshold
+    * (optimization r16, guide §3.1): Spark ships it OFF (0). With it set,
+    * AQE rewrites an SMJ to SHJ at runtime ONLY when every post-shuffle
+    * partition's map output is under the threshold — a size-ADAPTIVE
+    * decision from measured bytes, not a local[32] constant: big
+    * partitions at 100 TB keep the spill-safe sort-merge, small ones skip
+    * two sorts. 64 MiB per-partition build side is modest executor memory
+    * at any deployment size; env-overridable (0 disables).
+    */
+  val shjThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m")
+
   /** Local session with the settings this project standardizes on. */
   def localSession(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
@@ -167,6 +179,7 @@ object GraftEngine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

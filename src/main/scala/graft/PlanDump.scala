@@ -41,10 +41,23 @@ object PlanDump {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        // SPARK_GRAFT_PLAN_AFTER_EXEC=1: explain AFTER the action so the
+        // dump carries AQE's FINAL plan (isFinalPlan=true — runtime
+        // SMJ→SHJ rewrites, coalesced/skew-split reads) instead of the
+        // initial one (r16; requires exec)
+        val afterExec = sys.env.getOrElse("SPARK_GRAFT_PLAN_AFTER_EXEC", "0") == "1"
+        def dump(): Unit = Files.writeString(Paths.get(s"$outDir/$name.txt"),
+          df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+        if (!(exec && afterExec)) dump()
         val t2 = System.nanoTime()
-        val cnt = if (exec) df.count() else -1L
+        // after-exec mode drives the frame's OWN executedPlan (toRdd —
+        // df.count() would plan a separate query and leave this one's
+        // AdaptiveSparkPlan unexecuted/initial); every column computes, so
+        // it is the noop-sink action in effect
+        val cnt = if (!exec) -1L
+          else if (afterExec) df.queryExecution.toRdd.count()
+          else df.count()
+        if (exec && afterExec) dump()
         val t3 = System.nanoTime()
         System.err.println(f"[plandump] $name build=${(t1 - t0) / 1e9}%.3fs " +
           f"explain=${(t2 - t1) / 1e9}%.3fs exec=${(t3 - t2) / 1e9}%.3fs rows=$cnt")

@@ -13,6 +13,10 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // same SMJ→SHJ AQE rewrite as Bench/localSession (r16): the
+      // verified plans must be the benched plans
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        GraftEngine.shjThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
