@@ -48,7 +48,11 @@ object PlanDump {
         val afterExec = sys.env.getOrElse("SPARK_GRAFT_PLAN_AFTER_EXEC", "0") == "1"
         def dump(): Unit = Files.writeString(Paths.get(s"$outDir/$name.txt"),
           df.queryExecution.explainString(ExplainMode.fromString("formatted")))
-        if (!(exec && afterExec)) dump()
+        // ALWAYS dump the initial plan here (r16 review: a query that
+        // throws mid-execution under after-exec mode must still leave its
+        // plan on disk, and the explain render must not be charged to
+        // exec=); after-exec mode overwrites it with the final plan below
+        dump()
         val t2 = System.nanoTime()
         // after-exec mode drives the frame's OWN executedPlan (toRdd —
         // df.count() would plan a separate query and leave this one's
@@ -57,8 +61,8 @@ object PlanDump {
         val cnt = if (!exec) -1L
           else if (afterExec) df.queryExecution.toRdd.count()
           else df.count()
-        if (exec && afterExec) dump()
         val t3 = System.nanoTime()
+        if (exec && afterExec) dump() // final plan: isFinalPlan=true, AQE rewrites visible
         System.err.println(f"[plandump] $name build=${(t1 - t0) / 1e9}%.3fs " +
           f"explain=${(t2 - t1) / 1e9}%.3fs exec=${(t3 - t2) / 1e9}%.3fs rows=$cnt")
       } catch { case e: Throwable =>

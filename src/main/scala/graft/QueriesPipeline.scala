@@ -44,6 +44,16 @@ object QueriesPipeline {
   /** p21's hot-shingle document-frequency cap (index-side only). */
   val JaccardDfCap = 6
 
+  /** p02's Jaccard near-dup cut and p41's containment cut, ONE definition
+    * each (r16 review): [[sharedPairStats]]' survivor prefilter is the
+    * disjunction of these consumer thresholds, so a drifting copy would
+    * silently narrow a consumer's input. The Spark prefilter, both
+    * consumer filters, and the oracle SQL twins all interpolate these.
+    */
+  val JaccardCut = 0.6
+  val ContainmentMinSize = 5
+  val ContainmentCut = 0.9
+
   /** p31's PII patterns — pure-ERE subset (no lookaround, no backrefs) so
     * Java regex (Spark) and RE2 (DuckDB) match identically.
     */
@@ -181,9 +191,11 @@ object QueriesPipeline {
     * cost is negligible.
     *
     * COUPLING NOTE: the keep-predicate below is the disjunction of the
-    * consumer thresholds (p02: jac ≥ 0.6; p41: n ≥ 5 ∧ ni/n ≥ 0.9 in
-    * either orientation). A new consumer, or a threshold change in
-    * p02/p41, must update it or lose rows silently.
+    * consumer thresholds — [[JaccardCut]] (p02) and
+    * [[ContainmentMinSize]]/[[ContainmentCut]] (p41, either orientation).
+    * Prefilter and consumers interpolate the SAME constants, so a
+    * threshold change cannot drift them apart; a NEW consumer must still
+    * extend the disjunction or lose rows silently.
     */
   private val interCache = new SharedPlanCache(persistAtHit = 1)
   private[graft] def sharedPairStats(s: SparkSession, dir: String): DataFrame =
@@ -196,11 +208,11 @@ object QueriesPipeline {
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
       val jac = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
       def cont(n: Column): Column =
-        n >= 5 && col("ni").cast("double") / n >= 0.9
+        n >= ContainmentMinSize && col("ni").cast("double") / n >= ContainmentCut
       inter
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-        .filter(jac >= 0.6 || cont(col("na")) || cont(col("nb")))
+        .filter(jac >= JaccardCut || cont(col("na")) || cont(col("nb")))
         .select(col("id_a"), col("id_b"), col("ni"), col("na"), col("nb"))
     })
 
@@ -956,7 +968,7 @@ object QueriesPipeline {
         sharedPairStats(s, dir)
           .select(col("id_a"), col("id_b"),
             (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jac"))
-          .filter(col("jac") >= 0.6)
+          .filter(col("jac") >= JaccardCut)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH $sqlShingleCtes,
@@ -969,7 +981,7 @@ object QueriesPipeline {
              FROM inter
              JOIN sz za ON za.doc_id = id_a
              JOIN sz zb ON zb.doc_id = id_b
-             WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.6
+             WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= $JaccardCut
              ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------ p03 MinHash+LSH
@@ -2483,8 +2495,8 @@ object QueriesPipeline {
           col("id_b").as("id_a"), col("id_a").as("id_b"), col("ni"),
           col("nb").as("na"), col("na").as("nb")))
         inter
-          .filter(col("na") >= 5 &&
-            col("ni").cast("double") / col("na") >= 0.9)
+          .filter(col("na") >= ContainmentMinSize &&
+            col("ni").cast("double") / col("na") >= ContainmentCut)
           .select(col("id_a"), col("id_b"),
             (col("ni").cast("double") / col("na")).as("containment"))
           .orderBy(col("id_a"), col("id_b"))
@@ -2496,7 +2508,8 @@ object QueriesPipeline {
                GROUP BY 1, 2)
              SELECT id_a, id_b, CAST(ni AS DOUBLE) / za.n AS containment
              FROM inter JOIN sz za ON za.doc_id = id_a
-             WHERE za.n >= 5 AND CAST(ni AS DOUBLE) / za.n >= 0.9
+             WHERE za.n >= $ContainmentMinSize
+               AND CAST(ni AS DOUBLE) / za.n >= $ContainmentCut
              ORDER BY id_a, id_b""")),
 
     // -------------------------------------- p42 semantic dedup (SemDeDup)

@@ -81,20 +81,12 @@ object Tables {
       } else (a.size, a.lastModifiedTime.toMillis)
     } catch { case _: Exception => (-1L, -1L) }
 
-  /** Bumped whenever a stamp mismatch REBUILDS a cached plan (ADVICE r15):
-    * temp views registered from the previous plan would otherwise keep the
-    * stale file listing, since [[registerAll]] skips re-registration for an
-    * unchanged dir. First-time builds don't bump — no view can predate them.
-    */
-  private val rebuildGen = new java.util.concurrent.atomic.AtomicLong(0L)
-
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     planCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val stamp = pathStamp(s"$dir/$name.parquet")
     planCache.compute((spark, dir, name), { (_, prev) =>
       if (prev != null && prev._1 == stamp) prev
       else {
-        if (prev != null) rebuildGen.incrementAndGet() // stale views must refresh
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         stamp -> nanosColumns.getOrElse(name, Nil).filter(raw.columns.contains)
@@ -108,22 +100,29 @@ object Tables {
     * overhead; skip unless the target dir actually changed.
     */
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Long)]
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (String, Seq[(Long, Long)])]
 
   /** Register every fixture table as a temp view for `spark.sql`. The
     * success marker is recorded AFTER all ten views exist: Verify catches
     * per-entry Throwables and continues, so a registration that failed
     * partway (transient FS error) must be retried by the next entry, not
-    * skipped for the rest of the run. The marker carries the [[rebuildGen]]
-    * observed after registering (ADVICE r15): any later stamp-mismatch
-    * rebuild bumps the generation, so the skip check fails and the views
-    * are refreshed from the rebuilt plans.
+    * skipped for the rest of the run. The marker carries the per-table
+    * [[pathStamp]]s observed BEFORE registering (ADVICE r15, hardened by
+    * the r16 review): the skip check re-stats every table on each call
+    * (ten attribute reads — microseconds against the ~0.5 s registration
+    * it skips), so a fixture regenerated in place is detected by
+    * registerAll ITSELF, not only by a DataFrame-API load happening to
+    * re-stat it; and because the marker snapshot predates the view
+    * creation, a rewrite racing the registration can only force one
+    * harmless re-registration, never absorb a stale view into a matching
+    * marker.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registered.keySet.removeIf(_.sparkContext.isStopped)
-    if (!(dir, rebuildGen.get()).equals(registered.get(spark))) {
+    val stamps = names.map(n => pathStamp(s"$dir/$n.parquet"))
+    if (!(dir, stamps).equals(registered.get(spark))) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(spark, (dir, rebuildGen.get()))
+      registered.put(spark, (dir, stamps))
     }
   }
 }
